@@ -1,0 +1,102 @@
+"""Merkle commitment trees over trace matrices (device build, host verify).
+
+Replaces the Merkle tree machinery of risc0-zkp 3.0.2 (SURVEY.md §2.2:
+Merkle commit trees over witness-column LDEs; FRI query openings). The
+reference commits a (rows x cols) evaluation matrix by hashing each row
+to a digest and reducing pairs layer by layer.
+
+TPU-native design: the leaf hash is one batched Poseidon2 sponge over all
+rows at once; every tree layer is one batched digest-pair permutation —
+log2(n) kernel launches total, all data device-resident. Queried-path
+opening and verification run on the host (they touch ~50 rows).
+
+Row indexing: leaves are committed in natural row order. Layer k holds
+2^k digests; root is layer 0. Node i's children are 2i, 2i+1.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .. import field as F
+from . import poseidon2 as P2
+
+_U32 = jnp.uint32
+
+
+@dataclass
+class MerkleTree:
+    """Device-resident tree. layers[0] = root (1, 8) ... layers[-1] = leaves."""
+    layers: list          # list of (2^k, 8) device arrays, Montgomery
+    n_leaves: int
+
+    @property
+    def root(self) -> np.ndarray:
+        """Root digest in standard form (host numpy, shape (8,))."""
+        return np.asarray(F.from_monty(self.layers[0]))[0].astype(np.uint64)
+
+    def open(self, idx: int) -> np.ndarray:
+        """Sibling path for leaf idx: (depth, 8) digests, standard form."""
+        path = []
+        for layer in reversed(self.layers[1:]):
+            path.append(np.asarray(F.from_monty(layer))[idx ^ 1].astype(np.uint64))
+            idx >>= 1
+        return np.stack(path) if path else np.zeros((0, 8), dtype=np.uint64)
+
+
+def commit_rows(matrix) -> MerkleTree:
+    """Commit a (rows, cols) Montgomery matrix. rows must be a power of two."""
+    n = matrix.shape[0]
+    assert n & (n - 1) == 0, "row count must be a power of two"
+    leaves = P2.hash_rows(matrix)
+    layers = [leaves]
+    cur = leaves
+    while cur.shape[0] > 1:
+        cur = P2.hash_pairs(cur[0::2], cur[1::2])
+        layers.append(cur)
+    layers.reverse()
+    return MerkleTree(layers=layers, n_leaves=n)
+
+
+commit_rows_jit = jax.jit(lambda m: [l for l in commit_rows(m).layers])
+
+
+def commit_digests(digests) -> MerkleTree:
+    """Build a tree over precomputed leaf digests (n, 8) Montgomery."""
+    n = digests.shape[0]
+    assert n & (n - 1) == 0
+    layers = [digests]
+    cur = digests
+    while cur.shape[0] > 1:
+        cur = P2.hash_pairs(cur[0::2], cur[1::2])
+        layers.append(cur)
+    layers.reverse()
+    return MerkleTree(layers=layers, n_leaves=n)
+
+
+# ---------------------------------------------------------------------------
+# Host-side verification (numpy, standard form)
+# ---------------------------------------------------------------------------
+
+
+def leaf_digest_np(row: np.ndarray) -> np.ndarray:
+    """Hash one row of standard-form field elements to its leaf digest."""
+    return P2.hash_rows_np(np.asarray(row, dtype=np.uint64)[None])[0]
+
+
+def verify_path(root: np.ndarray, idx: int, row: np.ndarray,
+                path: np.ndarray) -> bool:
+    """Check a row + sibling path against a root. All standard form."""
+    digest = leaf_digest_np(row)
+    for sibling in path:
+        if idx & 1:
+            digest = P2.hash_pairs_np(sibling[None], digest[None])[0]
+        else:
+            digest = P2.hash_pairs_np(digest[None], sibling[None])[0]
+        idx >>= 1
+    return bool((digest == np.asarray(root, dtype=np.uint64)).all())
