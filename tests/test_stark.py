@@ -1,0 +1,75 @@
+"""End-to-end STARK: prove on device, verify on host, reject tampering."""
+
+import numpy as np
+import pytest
+
+from zeth_tpu.field import P
+from zeth_tpu.circuits.toy import PermutationAir, SquareChainAir
+from zeth_tpu.zkp import prover, verifier
+from zeth_tpu.zkp.verifier import VerificationError
+
+PO2 = 6  # n = 64 rows; LDE 256 — small enough for CPU test runs
+
+
+def test_square_chain_roundtrip():
+    air = SquareChainAir()
+    main, publics = SquareChainAir.witgen(PO2, x0=7)
+    proof = prover.prove(air, main, publics)
+    verifier.verify(air, proof, publics)
+
+
+def test_square_chain_rejects_wrong_publics():
+    air = SquareChainAir()
+    main, publics = SquareChainAir.witgen(PO2, x0=7)
+    proof = prover.prove(air, main, publics)
+    bad = [publics[0], (publics[1] + 1) % P]
+    with pytest.raises(VerificationError):
+        verifier.verify(air, proof, bad)
+
+
+def test_square_chain_rejects_invalid_witness():
+    air = SquareChainAir()
+    main, publics = SquareChainAir.witgen(PO2, x0=7)
+    main = main.copy()
+    main[13, 0] = (main[13, 0] + 1) % P  # break the chain mid-way
+    proof = prover.prove(air, main, publics)
+    with pytest.raises(VerificationError):
+        verifier.verify(air, proof, publics)
+
+
+def test_square_chain_rejects_tampered_taps():
+    air = SquareChainAir()
+    main, publics = SquareChainAir.witgen(PO2, x0=7)
+    proof = prover.prove(air, main, publics)
+    proof.taps = proof.taps.copy()
+    proof.taps[1, 0] = (proof.taps[1, 0] + 1) % P
+    with pytest.raises(VerificationError):
+        verifier.verify(air, proof, publics)
+
+
+def test_square_chain_rejects_tampered_opening():
+    air = SquareChainAir()
+    main, publics = SquareChainAir.witgen(PO2, x0=7)
+    proof = prover.prove(air, main, publics)
+    rows = proof.openings["main"].rows.copy()
+    rows[0, 0] = (rows[0, 0] + 1) % P
+    proof.openings["main"].rows = rows
+    with pytest.raises(VerificationError):
+        verifier.verify(air, proof, publics)
+
+
+def test_permutation_roundtrip():
+    air = PermutationAir()
+    main, publics = PermutationAir.witgen(PO2, seed=3)
+    proof = prover.prove(air, main, publics)
+    verifier.verify(air, proof, publics)
+
+
+def test_permutation_rejects_non_permutation():
+    air = PermutationAir()
+    main, publics = PermutationAir.witgen(PO2, seed=3)
+    main = main.copy()
+    main[5, 1] = (main[5, 1] + 1) % P  # b no longer a permutation of a
+    proof = prover.prove(air, main, publics)
+    with pytest.raises(VerificationError):
+        verifier.verify(air, proof, publics)

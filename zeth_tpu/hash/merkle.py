@@ -34,17 +34,24 @@ class MerkleTree:
     """Device-resident tree. layers[0] = root (1, 8) ... layers[-1] = leaves."""
     layers: list          # list of (2^k, 8) device arrays, Montgomery
     n_leaves: int
+    _std: list = None     # lazily fetched standard-form numpy copies
+
+    def _layers_std(self) -> list:
+        if self._std is None:
+            self._std = [np.asarray(F.from_monty(l)).astype(np.uint64)
+                         for l in self.layers]
+        return self._std
 
     @property
     def root(self) -> np.ndarray:
         """Root digest in standard form (host numpy, shape (8,))."""
-        return np.asarray(F.from_monty(self.layers[0]))[0].astype(np.uint64)
+        return self._layers_std()[0][0]
 
     def open(self, idx: int) -> np.ndarray:
         """Sibling path for leaf idx: (depth, 8) digests, standard form."""
         path = []
-        for layer in reversed(self.layers[1:]):
-            path.append(np.asarray(F.from_monty(layer))[idx ^ 1].astype(np.uint64))
+        for layer in reversed(self._layers_std()[1:]):
+            path.append(layer[idx ^ 1])
             idx >>= 1
         return np.stack(path) if path else np.zeros((0, 8), dtype=np.uint64)
 

@@ -286,15 +286,20 @@ def hash_rows(rows):
     """Sponge-hash rows on device. rows: (n, k) Montgomery -> digests (n, 8).
 
     Matches hash_rows_np on (from_monty o hash o to_monty). The sponge
-    absorbs RATE=16 elements per permutation (add-into-rate), zero pad.
+    absorbs RATE=16 elements per permutation (add-into-rate); zero-padding
+    the last chunk is equivalent to the host's partial absorb. The chunk
+    loop is a lax.scan so wide traces trace ONE permutation, not k/16.
     """
     n, k = rows.shape
-    state = jnp.zeros((CELLS, n), _U32)
-    for off in range(0, max(k, 1), RATE):
-        chunk = rows[:, off:off + RATE].T
-        r = chunk.shape[0]
-        state = state.at[:r].set(F.add(state[:r], chunk))
-        state = permute(state)
+    nch = max(1, -(-k // RATE))
+    padded = jnp.zeros((n, nch * RATE), _U32).at[:, :k].set(rows)
+    chunks = jnp.swapaxes(padded.reshape(n, nch, RATE), 0, 1)   # (nch, n, 16)
+
+    def body(state, chunk):
+        state = state.at[:RATE].set(F.add(state[:RATE], chunk.T))
+        return permute(state), None
+
+    state, _ = jax.lax.scan(body, jnp.zeros((CELLS, n), _U32), chunks)
     return state[:DIGEST_LEN].T
 
 

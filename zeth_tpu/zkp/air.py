@@ -1,0 +1,154 @@
+"""AIR (algebraic intermediate representation) interface.
+
+The shape mirrors the reference's circuit structure (SURVEY.md §2.2,
+risc0-circuit-rv32im: control/data/accum witness groups) re-cast for a
+generic prover:
+
+- ``control``: columns deterministic in (circuit, po2) — committed by the
+  prover, root checked by the verifier against a precomputed constant
+  (the analog of the reference's code/control commitment).
+- ``main``:    witness columns (the reference's "data" group).
+- ``aux``:     columns whose witgen consumes Fiat-Shamir challenges drawn
+  after the main commit (the reference's "accum" grand-product group).
+
+Constraints are *polymorphic*: the same ``constraints()`` body runs on
+device over full LDE columns (Montgomery uint32 base-field arrays) during
+proving, and on host over extension-field tap values at the DEEP point z
+during verification. Values are combined exclusively through the ``ops``
+object; ``v(group, col, offset)`` fetches a column value at the current
+row (offset 0) or the next trace row (offset 1).
+
+Max constraint degree is 4 (= the LDE blowup); keep products of committed
+values to degree <= 4.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from .. import field as F
+from .. import hostmath as H
+
+GROUPS = ("control", "main", "aux")
+
+
+class DeviceOps:
+    """Constraint math over (4n,) Montgomery base-field device arrays."""
+
+    is_device = True
+
+    add = staticmethod(F.add)
+    sub = staticmethod(F.sub)
+    mul = staticmethod(F.mul)
+    neg = staticmethod(F.neg)
+
+    @staticmethod
+    def const(c: int):
+        return F.to_monty(jnp.asarray(np.uint32(c % F.P)))
+
+
+class HostExtOps:
+    """Constraint math over (4,) standard-form extension values (host)."""
+
+    is_device = False
+
+    add = staticmethod(H.ext_add)
+    sub = staticmethod(H.ext_sub)
+    mul = staticmethod(H.ext_mul)
+    neg = staticmethod(H.ext_neg)
+
+    @staticmethod
+    def const(c: int):
+        return H.ext(c % F.P)
+
+
+class HostVecOps:
+    """Constraint math over full numpy base-field columns (standard form).
+
+    Used by ``check_constraints`` to evaluate an AIR on the raw trace
+    domain without any proving machinery — the witgen debugging oracle.
+    """
+
+    is_device = False
+
+    add = staticmethod(H.fadd)
+    sub = staticmethod(H.fsub)
+    mul = staticmethod(H.fmul)
+    neg = staticmethod(H.fneg)
+
+    @staticmethod
+    def const(c: int):
+        return np.uint64(c % F.P)
+
+
+def check_constraints(air, control_std, main_std, aux_std, publics,
+                      challenges) -> dict:
+    """Evaluate every constraint on the trace domain (host numpy).
+
+    Returns {constraint_index: count_of_nonzero_rows} for violations only.
+    A correct witness returns {}.
+    """
+    cols = {"control": np.asarray(control_std, np.uint64),
+            "main": np.asarray(main_std, np.uint64)}
+    cols["aux"] = (np.asarray(aux_std, np.uint64) if aux_std is not None
+                   else np.zeros((cols["main"].shape[0], 0), np.uint64))
+
+    def v(group, col, offset=0):
+        arr = cols[group][:, col]
+        return np.roll(arr, -offset) if offset else arr
+
+    pubs = [np.uint64(int(p) % F.P) for p in publics]
+    chals = [np.uint64(int(c[0]) % F.P) for c in challenges]
+    out = {}
+    for i, c in enumerate(air.constraints(v, HostVecOps, pubs, chals)):
+        bad = int(np.count_nonzero(np.asarray(c, np.uint64) % H.PU))
+        if bad:
+            out[i] = bad
+    return out
+
+
+class Air:
+    """Base class. Subclasses set the column counts and the constraints."""
+
+    name = "air"
+    control_cols = 0
+    main_cols = 0
+    aux_cols = 0
+    n_challenges = 0        # ext challenges sampled before aux witgen
+
+    def control_trace(self, po2: int) -> np.ndarray:
+        """Deterministic (n, control_cols) standard-form columns."""
+        return np.zeros((1 << po2, self.control_cols), dtype=np.uint64)
+
+    def build_aux(self, main_monty, challenges: np.ndarray):
+        """Device witgen for aux columns: (n, main_cols) -> (n, aux_cols).
+
+        challenges: (n_challenges, 4) standard-form numpy.
+        """
+        raise NotImplementedError
+
+    def constraints(self, v, ops, publics: list[int]) -> list:
+        """Return constraint values; each must vanish on every trace row."""
+        raise NotImplementedError
+
+    # -- helpers -----------------------------------------------------------
+
+    def group_cols(self, group: str) -> int:
+        return {"control": self.control_cols, "main": self.main_cols,
+                "aux": self.aux_cols}[group]
+
+
+def is_first_column(po2: int) -> np.ndarray:
+    """Standard control column: 1 on row 0, else 0."""
+    col = np.zeros(1 << po2, dtype=np.uint64)
+    col[0] = 1
+    return col
+
+
+def is_last_column(po2: int) -> np.ndarray:
+    """Standard control column: 1 on the last row, else 0."""
+    col = np.zeros(1 << po2, dtype=np.uint64)
+    col[-1] = 1
+    return col

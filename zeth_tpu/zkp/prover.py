@@ -1,0 +1,363 @@
+"""DEEP-ALI STARK prover: all heavy math on device, transcript on host.
+
+Replaces the prover pipeline of risc0-zkp 3.0.2 (SURVEY.md §3.2 PROVE
+step: witgen -> trace LDE -> Merkle commit -> DEEP-ALI composition -> FRI).
+Protocol spec: PROTOCOL.md. Stage structure:
+
+  commit control/main/aux groups  (coset LDE + batched Poseidon2 Merkle)
+  -> constraint quotient Q = mix(C_i)/Z on the LDE domain (one fused jit)
+  -> "check" group = Q split into 4 coefficient slices x 4 ext components
+  -> DEEP taps at z / z*w_n (power series via associative scan + mod-dot)
+  -> DEEP combination polynomial -> FRI (zeth_tpu.zkp.fri)
+  -> Merkle openings of every group at the FRI query indices.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .. import field as F
+from .. import hostmath as H
+from .. import ntt
+from ..field import GENERATOR, P
+from ..hash import merkle
+from . import fri
+from .air import Air, DeviceOps
+from .transcript import Transcript
+
+BLOWUP = fri.BLOWUP
+_U32 = jnp.uint32
+
+# Tap stream order (PROTOCOL.md step 5): offset 0 = z, offset 1 = z*w_n.
+TAP_STREAMS = [("control", 0), ("main", 0), ("aux", 0), ("check", 0),
+               ("control", 1), ("main", 1), ("aux", 1)]
+
+
+def _to_monty_np(a) -> np.ndarray:
+    return ((np.asarray(a, np.uint64) << np.uint64(32)) % np.uint64(P)).astype(np.uint32)
+
+
+def _from_monty(a) -> np.ndarray:
+    return np.asarray(F.from_monty(a)).astype(np.uint64)
+
+
+@dataclass
+class GroupOpening:
+    rows: np.ndarray     # (n_queries, cols) standard form LDE rows
+    paths: list          # n_queries sibling paths (depth, 8)
+
+
+@dataclass
+class StarkProof:
+    air_name: str
+    po2: int
+    publics: list
+    roots: dict          # group -> (8,) digest
+    taps: np.ndarray     # (n_taps, 4) standard form, TAP_STREAMS order
+    fri_proof: fri.FriProof
+    openings: dict       # group -> GroupOpening
+    query_indices: list
+
+
+def ext_power_series(z_monty, n: int):
+    """Device (n, 4) Montgomery array of z^0 .. z^(n-1) (log-depth scan)."""
+    zz = jnp.broadcast_to(z_monty, (n, 4))
+    ps = jax.lax.associative_scan(F.ext_mul, zz)
+    one = jnp.zeros((1, 4), _U32).at[0, 0].set(F.mont_one())
+    return jnp.concatenate([one, ps[:-1]], axis=0)
+
+
+def base_power_series(b_monty, n: int):
+    """Device (n,) Montgomery array of b^0 .. b^(n-1)."""
+    bb = jnp.broadcast_to(b_monty, (n,))
+    ps = jax.lax.associative_scan(F.mul, bb)
+    one = jnp.full((1,), F.mont_one(), _U32)
+    return jnp.concatenate([one, ps[:-1]], axis=0)
+
+
+@jax.jit
+def _lde_group(trace_monty):
+    """(n, c) trace -> (coeffs (n, c), lde (4n, c)) on the coset 31*<w_4n>."""
+    n, c = trace_monty.shape
+    coeffs = ntt.intt(trace_monty)
+    shift_pows = base_power_series(jnp.asarray(np.uint32((GENERATOR << 32) % P)), n)
+    scaled = F.mul(coeffs, shift_pows[:, None])
+    pad = jnp.zeros((n * (BLOWUP - 1), c), _U32)
+    lde = ntt.ntt(jnp.concatenate([scaled, pad], axis=0))
+    return coeffs, lde
+
+
+def _zinv_table(n: int) -> np.ndarray:
+    """Montgomery (BLOWUP,) table of 1/(x^n - 1) on the LDE coset (4-periodic)."""
+    gn = pow(GENERATOR, n, P)
+    w4 = H.rou_fwd(BLOWUP)
+    vals = [(gn * pow(w4, i, P) - 1) % P for i in range(BLOWUP)]
+    return _to_monty_np([pow(v, P - 2, P) for v in vals])
+
+
+# Air registry + cached chunked constraint evaluators. Constraint chunks
+# compile as separate (cached) jits: XLA compile time is superlinear in
+# graph size, and publics/challenges enter as traced arguments so that a
+# new segment/proof does NOT recompile.
+_AIRS: dict[str, Air] = {}
+CONSTRAINT_CHUNK = 180
+
+
+def register_air(air: Air) -> None:
+    _AIRS[air.name] = air
+
+
+def _device_pubs_chals(publics, challenges):
+    """Lift publics + challenge component-0 values to Montgomery scalars."""
+    pubs = tuple(jnp.asarray(_to_monty_np(int(p) % P)) for p in publics)
+    chals = tuple(jnp.asarray(_to_monty_np(int(c[0]) % P)) for c in challenges)
+    return pubs, chals
+
+
+@functools.lru_cache(maxsize=None)
+def _chunk_fn(air_name: str, start: int, end: int):
+    air = _AIRS[air_name]
+
+    def run(ldes, pubs, chals, ap):
+        def v(group, col, offset=0):
+            lde = ldes[group]
+            if offset == 0:
+                return lde[:, col]
+            # next trace row: x*w_n is index +BLOWUP in natural LDE order
+            return jnp.roll(lde[:, col], -BLOWUP, axis=0)
+
+        cs = air.constraints(v, DeviceOps, list(pubs), list(chals))[start:end]
+        acc = jnp.zeros((ldes["main"].shape[0], 4), _U32)
+        for i, c in enumerate(cs):
+            acc = F.ext_add(acc, F.ext_mul_base(ap[i], c))
+        return acc
+
+    return jax.jit(run)
+
+
+@jax.jit
+def _finish_check(acc, zinv, sinv):
+    q_evals = F.ext_mul_base(acc, zinv)              # (4n, 4)
+    qc = ntt.intt(q_evals)                           # coset iNTT -> coeffs
+    qc = F.mul(qc, sinv[:, None])
+    n = qc.shape[0] // BLOWUP
+    # split: 4 slices (k) x 4 ext components -> (n, 16), col = 4k + comp
+    cols = qc.reshape(BLOWUP, n, 4)
+    cols = jnp.swapaxes(cols, 0, 1).reshape(n, 16)   # coefficients of Q_k
+    # Commit the check group as *evaluations on H* so the interpolating
+    # polynomial of each column is exactly Q_{k,comp} (tap consistency).
+    return ntt.ntt(cols)
+
+
+def _check_group(air: Air, ldes: dict, alpha: np.ndarray, publics, challenges,
+                 n: int):
+    """Build the check group: Q = mix(C_i)/Z split into 16 base columns."""
+    register_air(air)
+    ncs = len(_count_constraints(air, publics, challenges))
+    alpha_pows = jnp.asarray(_to_monty_np(
+        np.stack([np.asarray(H.ext_pow(alpha, i)) for i in range(ncs)])))
+    pubs, chals = _device_pubs_chals(publics, challenges)
+
+    acc = jnp.zeros((BLOWUP * n, 4), _U32)
+    for s in range(0, ncs, CONSTRAINT_CHUNK):
+        e = min(s + CONSTRAINT_CHUNK, ncs)
+        with _Stage(f"constraint chunk {s}:{e}"):
+            acc = F.ext_add(acc, _chunk_fn(air.name, s, e)(
+                ldes, pubs, chals, alpha_pows[s:e]))
+            acc.block_until_ready()
+
+    zinv = jnp.asarray(np.tile(_zinv_table(n), n))
+    sinv = base_power_series(
+        jnp.asarray(np.uint32((pow(GENERATOR, P - 2, P) << 32) % P)),
+        BLOWUP * n)
+    return _finish_check(acc, zinv, sinv)
+
+
+def _count_constraints(air: Air, publics, challenges):
+    """Count constraints cheaply: evaluate on tiny numpy arrays (no jax)."""
+    from .air import HostVecOps
+    dummy = {g: np.zeros((BLOWUP, max(air.group_cols(g), 1)), np.uint64)
+             for g in ("control", "main", "aux")}
+
+    def v(group, col, offset=0):
+        arr = dummy[group][:, col]
+        return np.roll(arr, -offset) if offset else arr
+
+    pubs = [np.uint64(int(p) % P) for p in publics]
+    chals = [np.uint64(int(c[0]) % P) for c in challenges]
+    return air.constraints(v, HostVecOps, pubs, chals)
+
+
+@jax.jit
+def _deep_stage(cat_z, cat_zg, bp_z, bp_zg, cz, czg, iz, izg):
+    """f0(x) = [sum_j b_j f_j(x) - const] * inv for the two tap points."""
+    def mix(cat, bp):
+        # out[comp] = sum_j bp[j, comp] * cat[:, j]  (scan over columns)
+        def body(acc, jx):
+            col, b = jx            # col: (4n,), b: (4,)
+            return F.add(acc, F.mul(col[:, None], b[None, :])), None
+        init = jnp.zeros((cat.shape[0], 4), _U32)
+        acc, _ = jax.lax.scan(body, init, (jnp.swapaxes(cat, 0, 1), bp))
+        return acc                                   # (4n, 4)
+    num_z = F.ext_sub(mix(cat_z, bp_z), jnp.broadcast_to(cz, cat_z.shape[:1] + (4,)))
+    num_zg = F.ext_sub(mix(cat_zg, bp_zg), jnp.broadcast_to(czg, cat_zg.shape[:1] + (4,)))
+    return F.ext_add(F.ext_mul(num_z, iz), F.ext_mul(num_zg, izg))
+
+
+def _deep_combine(ldes_cat_z, ldes_cat_zg, beta_pows_z, beta_pows_zg,
+                  const_z, const_zg, inv_z, inv_zg):
+    return _deep_stage(ldes_cat_z, ldes_cat_zg, beta_pows_z, beta_pows_zg,
+                       const_z, const_zg, inv_z, inv_zg)
+
+
+@jax.jit
+def _point_inverses(x_pows, z_monty):
+    """ext inverse of (x_i - z) for all LDE points. x_pows: (4n,) base."""
+    diff0 = F.sub(x_pows, z_monty[0])
+    rest = jnp.broadcast_to(F.neg(z_monty[1:]), x_pows.shape + (3,))
+    diff = jnp.concatenate([diff0[..., None], rest], axis=-1)
+    return F.ext_inv(diff)
+
+
+import os as _os
+import sys as _sys
+import time as _time
+
+_TIMING = _os.environ.get("ZETH_TIMING", "0") == "1"
+
+
+class _Stage:
+    """Context timer: prints prover stage timings when ZETH_TIMING=1."""
+
+    def __init__(self, name):
+        self.name = name
+
+    def __enter__(self):
+        self.t0 = _time.time()
+
+    def __exit__(self, *a):
+        if _TIMING:
+            print(f"[prover] {self.name}: {_time.time() - self.t0:.2f}s",
+                  file=_sys.stderr, flush=True)
+
+
+def prove(air: Air, main_std: np.ndarray, publics: list[int]) -> StarkProof:
+    """Prove one AIR execution. main_std: (n, main_cols) standard-form trace."""
+    n, c_main = main_std.shape
+    assert c_main == air.main_cols and n & (n - 1) == 0
+    po2 = n.bit_length() - 1
+
+    t = Transcript()
+    t.mix_values(np.array([po2] + [int(p) for p in publics], dtype=np.uint64))
+
+    # --- commit control / main ------------------------------------------
+    groups, coeffs, ldes, trees, roots = {}, {}, {}, {}, {}
+    control_std = air.control_trace(po2)
+    for gname, std in (("control", control_std), ("main", main_std)):
+        with _Stage(f"commit {gname}"):
+            monty = jnp.asarray(_to_monty_np(std))
+            coeffs[gname], ldes[gname] = _lde_group(monty)
+            trees[gname] = merkle.commit_rows(ldes[gname])
+            roots[gname] = trees[gname].root
+        t.mix(roots[gname])
+
+    # --- aux group -------------------------------------------------------
+    challenges = np.stack([t.sample_ext() for _ in range(air.n_challenges)]) \
+        if air.n_challenges else np.zeros((0, 4), dtype=np.uint64)
+    if air.aux_cols:
+        with _Stage("commit aux"):
+            aux_monty = air.build_aux(jnp.asarray(_to_monty_np(main_std)), challenges)
+            coeffs["aux"], ldes["aux"] = _lde_group(aux_monty)
+            trees["aux"] = merkle.commit_rows(ldes["aux"])
+            roots["aux"] = trees["aux"].root
+        t.mix(roots["aux"])
+    else:
+        coeffs["aux"] = jnp.zeros((n, 0), _U32)
+        ldes["aux"] = jnp.zeros((BLOWUP * n, 0), _U32)
+
+    # --- composition / check group --------------------------------------
+    alpha = t.sample_ext()
+    with _Stage("check group"):
+        check_cols = _check_group(air, ldes, alpha, publics, challenges, n)
+        coeffs["check"], ldes["check"] = _lde_group(check_cols)
+        trees["check"] = merkle.commit_rows(ldes["check"])
+        roots["check"] = trees["check"].root
+    t.mix(roots["check"])
+
+    # --- DEEP taps -------------------------------------------------------
+    z = t.sample_ext()
+    _tap_t0 = _time.time()
+    w_n = H.rou_fwd(n)
+    zg = H.ext_mul(H.ext(z), H.ext(w_n))
+    tap_vals = []
+    zp = {0: ext_power_series(jnp.asarray(_to_monty_np(z)), n),
+          1: ext_power_series(jnp.asarray(_to_monty_np(zg)), n)}
+    for (gname, offset) in TAP_STREAMS:
+        cf = coeffs[gname]
+        if cf.shape[1] == 0:
+            tap_vals.append(np.zeros((0, 4), dtype=np.uint64))
+            continue
+        vals = ntt.eval_poly_ext(cf, zp[offset])          # (c, 4)
+        tap_vals.append(_from_monty(vals))
+    if _TIMING:
+        print(f"[prover] taps: {_time.time() - _tap_t0:.2f}s",
+              file=_sys.stderr, flush=True)
+    taps = np.concatenate(tap_vals, axis=0)
+    with _Stage("mix taps"):
+        t.mix_values(taps.reshape(-1))
+
+    # --- DEEP combination ------------------------------------------------
+    beta = t.sample_ext()
+    n_z = air.control_cols + air.main_cols + air.aux_cols + 16
+    n_zg = air.control_cols + air.main_cols + air.aux_cols
+    beta_pows = H.ext_powers(beta, n_z + n_zg)            # (ntaps, 4) std
+    const_z = np.zeros(4, dtype=np.uint64)
+    const_zg = np.zeros(4, dtype=np.uint64)
+    for j in range(n_z):
+        const_z = H.ext_add(const_z, H.ext_mul(beta_pows[j], taps[j]))
+    for j in range(n_zg):
+        const_zg = H.ext_add(const_zg,
+                             H.ext_mul(beta_pows[n_z + j], taps[n_z + j]))
+
+    w_monty = jnp.asarray(_to_monty_np(H.rou_fwd(BLOWUP * n)))
+    x_pows = F.mul(base_power_series(w_monty, BLOWUP * n),
+                   jnp.asarray(_to_monty_np(GENERATOR)))
+    inv_z = _point_inverses(x_pows, jnp.asarray(_to_monty_np(z)))
+    inv_zg = _point_inverses(x_pows, jnp.asarray(_to_monty_np(zg)))
+
+    cat_z = jnp.concatenate(
+        [ldes["control"], ldes["main"], ldes["aux"], ldes["check"]], axis=1)
+    cat_zg = jnp.concatenate(
+        [ldes["control"], ldes["main"], ldes["aux"]], axis=1)
+    with _Stage("deep setup"):
+        pass
+    f0 = _deep_combine(cat_z, cat_zg,
+                       jnp.asarray(_to_monty_np(beta_pows[:n_z])),
+                       jnp.asarray(_to_monty_np(beta_pows[n_z:])),
+                       jnp.asarray(_to_monty_np(const_z)),
+                       jnp.asarray(_to_monty_np(const_zg)),
+                       inv_z, inv_zg)
+
+    # --- FRI + query openings -------------------------------------------
+    with _Stage("fri"):
+        fri_proof, qs = fri.prove(f0, GENERATOR, n, t)
+    openings = {}
+    for gname in ("control", "main", "aux", "check"):
+        if ldes[gname].shape[1] == 0:
+            openings[gname] = GroupOpening(
+                rows=np.zeros((len(qs), 0), dtype=np.uint64), paths=[])
+            continue
+        lde_std = _from_monty(ldes[gname])
+        rows = np.stack([lde_std[q] for q in qs])
+        paths = [trees[gname].open(q) for q in qs]
+        openings[gname] = GroupOpening(rows=rows, paths=paths)
+
+    return StarkProof(air_name=air.name, po2=po2, publics=list(publics),
+                      roots=roots, taps=taps, fri_proof=fri_proof,
+                      openings=openings, query_indices=qs)

@@ -1,0 +1,171 @@
+"""Host-side STARK verifier (portable numpy; no device required).
+
+Replaces the verifier of risc0-zkp 3.0.2 (SURVEY.md §2.2). Mirrors the
+prover's transcript (PROTOCOL.md) exactly; the "implement the verifier
+first" oracle of SURVEY.md §7.2 step 6 — every prover change must keep
+this verifier accepting.
+
+The control group's root is deterministic per (air, po2): it is recomputed
+once (device hashing, cached) and any proof whose control root differs is
+rejected — the analog of the reference's known code/control commitment.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from .. import hostmath as H
+from ..field import GENERATOR, P
+from ..hash import merkle
+from . import fri
+from .air import Air, HostExtOps
+from .prover import TAP_STREAMS, BLOWUP, StarkProof, _lde_group, _to_monty_np
+from .transcript import Transcript
+
+
+class VerificationError(Exception):
+    pass
+
+
+@functools.lru_cache(maxsize=None)
+def _expected_control_root(air_key, po2: int) -> tuple:
+    air = _AIR_REGISTRY[air_key]
+    std = air.control_trace(po2)
+    _, lde = _lde_group(jnp.asarray(_to_monty_np(std)))
+    return tuple(int(v) for v in merkle.commit_rows(lde).root)
+
+
+_AIR_REGISTRY: dict = {}
+
+
+def _ensure(cond, msg):
+    if not cond:
+        raise VerificationError(msg)
+
+
+def verify(air: Air, proof: StarkProof, publics: list[int]) -> None:
+    """Raise VerificationError unless the proof is valid for (air, publics)."""
+    n = 1 << proof.po2
+    _ensure(proof.air_name == air.name, "air name mismatch")
+    _ensure([int(p) for p in proof.publics] == [int(p) for p in publics],
+            "public values mismatch")
+
+    t = Transcript()
+    t.mix_values(np.array([proof.po2] + [int(p) for p in publics],
+                          dtype=np.uint64))
+
+    # --- replay commits --------------------------------------------------
+    _AIR_REGISTRY[air.name] = air
+    if air.control_cols:
+        want_root = np.array(_expected_control_root(air.name, proof.po2),
+                             dtype=np.uint64)
+        _ensure((proof.roots["control"] == want_root).all(),
+                "control root mismatch")
+    t.mix(proof.roots["control"])
+    t.mix(proof.roots["main"])
+    challenges = np.stack([t.sample_ext() for _ in range(air.n_challenges)]) \
+        if air.n_challenges else np.zeros((0, 4), dtype=np.uint64)
+    if air.aux_cols:
+        t.mix(proof.roots["aux"])
+    alpha = t.sample_ext()
+    t.mix(proof.roots["check"])
+    z = t.sample_ext()
+
+    # --- tap bookkeeping -------------------------------------------------
+    sizes = {"control": air.control_cols, "main": air.main_cols,
+             "aux": air.aux_cols, "check": 16}
+    tap_slices = {}
+    off = 0
+    for (gname, offset) in TAP_STREAMS:
+        c = sizes[gname]
+        tap_slices[(gname, offset)] = slice(off, off + c)
+        off += c
+    _ensure(proof.taps.shape == (off, 4), "tap vector shape mismatch")
+    taps = np.asarray(proof.taps, dtype=np.uint64)
+    t.mix_values(taps.reshape(-1))
+
+    # --- DEEP-ALI identity at z -----------------------------------------
+    def tap(gname, col, offset=0):
+        return taps[tap_slices[(gname, offset)]][col]
+
+    def v(gname, col, offset=0):
+        return tap(gname, col, offset)
+
+    pubs_ops = [H.ext(int(p) % P) for p in publics]
+    chals_ops = [H.ext(int(c[0]) % P) for c in challenges]
+    cs = air.constraints(v, HostExtOps, pubs_ops, chals_ops)
+    c_at_z = np.zeros(4, dtype=np.uint64)
+    for i, c in enumerate(cs):
+        c_at_z = H.ext_add(c_at_z, H.ext_mul(H.ext_pow(alpha, i), c))
+    z_n = H.ext_pow(z, n)
+    z_inv = H.ext_inv(H.ext_sub(z_n, H.ext(1)))
+    q_expected = H.ext_mul(c_at_z, z_inv)
+    # reassemble Q(z) = sum_k z^(kn) sum_comp basis_comp * check_tap[4k+comp]
+    q_claim = np.zeros(4, dtype=np.uint64)
+    check_taps = taps[tap_slices[("check", 0)]]
+    for k in range(BLOWUP):
+        part = np.zeros(4, dtype=np.uint64)
+        for comp in range(4):
+            basis = np.zeros(4, dtype=np.uint64)
+            basis[comp] = 1
+            part = H.ext_add(part, H.ext_mul(basis, check_taps[4 * k + comp]))
+        q_claim = H.ext_add(q_claim, H.ext_mul(H.ext_pow(z, k * n), part))
+    _ensure((q_claim == q_expected).all(), "DEEP-ALI identity failed at z")
+
+    # --- DEEP combination setup -----------------------------------------
+    beta = t.sample_ext()
+    n_z = air.control_cols + air.main_cols + air.aux_cols + 16
+    n_zg = air.control_cols + air.main_cols + air.aux_cols
+    beta_pows = H.ext_powers(beta, n_z + n_zg)
+    w_n = H.rou_fwd(n)
+    zg = H.ext_mul(H.ext(z), H.ext(w_n))
+
+    group_order_z = ["control", "main", "aux", "check"]
+    group_order_zg = ["control", "main", "aux"]
+
+    def inner(q):
+        """f0(x_q) from the opened LDE rows at query q."""
+        qi = proof.query_indices.index(q)
+        x = GENERATOR * pow(H.rou_fwd(BLOWUP * n), q, P) % P
+        acc = np.zeros(4, dtype=np.uint64)
+        for point, order, base in ((z, group_order_z, 0),
+                                   (zg, group_order_zg, n_z)):
+            num = np.zeros(4, dtype=np.uint64)
+            j = 0
+            for gname in order:
+                row = proof.openings[gname].rows[qi]
+                off_tap = 0 if gname != "check" else 0
+                stream = tap_slices[(gname, 1 if base else 0)] \
+                    if gname != "check" else tap_slices[("check", 0)]
+                for col in range(sizes[gname]):
+                    fx = H.ext(int(row[col]))
+                    vj = taps[stream][col]
+                    num = H.ext_add(
+                        num, H.ext_mul(beta_pows[base + j],
+                                       H.ext_sub(fx, vj)))
+                    j += 1
+            denom = H.ext_inv(H.ext_sub(H.ext(x), point))
+            acc = H.ext_add(acc, H.ext_mul(num, denom))
+        return acc
+
+    # --- FRI verification (also replays queries) ------------------------
+    try:
+        qs = fri.verify(proof.fri_proof, n, GENERATOR, t, inner)
+    except ValueError as e:
+        raise VerificationError(f"fri: {e}") from e
+    _ensure(qs == proof.query_indices, "query index mismatch")
+
+    # --- Merkle openings of every group at every query ------------------
+    for gname in ("control", "main", "aux", "check"):
+        if sizes[gname] == 0 or (gname == "aux" and air.aux_cols == 0):
+            continue
+        op = proof.openings[gname]
+        for qi, q in enumerate(qs):
+            _ensure(
+                merkle.verify_path(proof.roots[gname], q, op.rows[qi],
+                                   op.paths[qi]),
+                f"bad merkle path: group {gname} query {qi}")
