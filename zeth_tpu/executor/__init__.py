@@ -1,0 +1,256 @@
+"""RV32IM zkVM executor: C++ emulator core + Python orchestration.
+
+TPU-native replacement for risc0-circuit-rv32im's executor/emulator
+(SURVEY.md §2.2): the hot interpreter loop, paged memory, segmentation
+and cycle accounting run in native C++ (ctypes, built by csrc/Makefile);
+Python owns ELF/guest tooling and hands witness shards to the device.
+
+zkVM ABI (this framework's own; mirrors the reference's surface —
+`env::read/commit_slice/log`, cycle tracking, keccak acceleration,
+guests/stateless-client/src/lib.rs:17-33):
+
+  ecall with a7 = syscall number:
+    0 HALT    a0 = exit code
+    1 READ    a0 = dst ptr, a1 = max bytes   -> a0 = bytes read (from input)
+    2 COMMIT  a0 = src ptr, a1 = bytes          (append to journal)
+    3 LOG     a0 = src ptr, a1 = bytes          (host stderr/log buffer)
+    4 CYCLE                                  -> a0 = user cycle count (lo32)
+    5 KECCAK  a0 = ptr to 200-byte state        (host keccak-f[1600],
+                                                 counted as accelerator call)
+
+Cycle accounting (reference categories, run-parallel.sh:67-70):
+  user cycles   = executed instructions
+  paging cycles = PAGE_CYCLES per first touch (in) + per dirty page (out),
+                  charged per segment
+  total cycles  = user + paging, padded up to the segment power of two.
+
+Memory: 4 KiB pages over a 32-bit space; the image ID is the Poseidon2
+Merkle root of the initial memory image combined with the entry pc
+(risc0-binfmt's image ID role, SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from dataclasses import dataclass, field
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "csrc", "librv32im.so")
+
+PAGE_SIZE = 4096
+PAGE_CYCLES = 1094   # per page-in / page-out: cost of hashing one page in-circuit
+
+# status codes returned by ex_run (keep in sync with rv32im.cpp)
+ST_RUNNING = 0
+ST_HALTED = 1
+ST_SEGMENT_FULL = 2
+ST_ERROR = 3
+
+
+def _build():
+    subprocess.run(["make", "-s", "-C", os.path.join(_DIR, "csrc")], check=True)
+
+
+def _lib():
+    if not os.path.exists(_SO):
+        _build()
+    lib = ctypes.CDLL(_SO)
+    lib.ex_create.restype = ctypes.c_void_p
+    lib.ex_destroy.argtypes = [ctypes.c_void_p]
+    lib.ex_load_elf.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t]
+    lib.ex_set_input.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t]
+    lib.ex_run.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+    lib.ex_user_cycles.restype = ctypes.c_uint64
+    lib.ex_user_cycles.argtypes = [ctypes.c_void_p]
+    lib.ex_paging_cycles.restype = ctypes.c_uint64
+    lib.ex_paging_cycles.argtypes = [ctypes.c_void_p]
+    lib.ex_segment_cycles.restype = ctypes.c_uint64
+    lib.ex_segment_cycles.argtypes = [ctypes.c_void_p]
+    lib.ex_exit_code.restype = ctypes.c_uint32
+    lib.ex_exit_code.argtypes = [ctypes.c_void_p]
+    lib.ex_pc.restype = ctypes.c_uint32
+    lib.ex_pc.argtypes = [ctypes.c_void_p]
+    lib.ex_journal_len.restype = ctypes.c_size_t
+    lib.ex_journal_len.argtypes = [ctypes.c_void_p]
+    lib.ex_journal.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.ex_log_len.restype = ctypes.c_size_t
+    lib.ex_log_len.argtypes = [ctypes.c_void_p]
+    lib.ex_log.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.ex_keccak_count.restype = ctypes.c_uint64
+    lib.ex_keccak_count.argtypes = [ctypes.c_void_p]
+    lib.ex_new_segment.argtypes = [ctypes.c_void_p]
+    lib.ex_image_words.restype = ctypes.c_size_t
+    lib.ex_image_words.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint32),
+                                   ctypes.POINTER(ctypes.c_uint32), ctypes.c_size_t]
+    lib.ex_trace_enable.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.ex_trace_len.restype = ctypes.c_size_t
+    lib.ex_trace_len.argtypes = [ctypes.c_void_p]
+    lib.ex_trace_data.restype = ctypes.POINTER(ctypes.c_uint32)
+    lib.ex_trace_data.argtypes = [ctypes.c_void_p]
+    return lib
+
+
+_LIB = None
+
+
+def get_lib():
+    global _LIB
+    if _LIB is None:
+        _LIB = _lib()
+    return _LIB
+
+
+@dataclass
+class SegmentInfo:
+    index: int
+    user_cycles: int
+    paging_cycles: int
+    po2: int
+    exit_pc: int = 0                  # machine pc when the segment ended
+    trace: np.ndarray | None = None   # (cycles, TRACE_WORDS) witness records
+
+
+# One trace record per executed instruction (see rv32im.cpp emit_trace):
+# [pc, insn, rs1_val, rs2_val, rd_val, mem_addr, mem_val_pre, flags]
+TRACE_WORDS = 8
+
+
+@dataclass
+class ExecResult:
+    exit_code: int
+    journal: bytes
+    log: bytes
+    user_cycles: int
+    paging_cycles: int
+    total_cycles: int
+    keccak_calls: int
+    segments: list = field(default_factory=list)
+
+
+def load_image(elf_bytes: bytes) -> tuple[int, np.ndarray, np.ndarray]:
+    """Load an ELF's initial memory image: (entry_pc, addrs, words), sorted."""
+    from .elf import read_entry
+
+    lib = get_lib()
+    h = lib.ex_create()
+    try:
+        rc = lib.ex_load_elf(h, elf_bytes, len(elf_bytes))
+        if rc != 0:
+            raise ValueError(f"ELF load failed (code {rc})")
+        n = lib.ex_image_words(h, None, None, 0)
+        addrs = (ctypes.c_uint32 * max(n, 1))()
+        words = (ctypes.c_uint32 * max(n, 1))()
+        lib.ex_image_words(h, addrs, words, n)
+        a = np.frombuffer(addrs, dtype=np.uint32)[:n].astype(np.uint64)
+        w = np.frombuffer(words, dtype=np.uint32)[:n].astype(np.uint64)
+        order = np.argsort(a, kind="stable")
+        return read_entry(elf_bytes), a[order].copy(), w[order].copy()
+    finally:
+        lib.ex_destroy(h)
+
+
+def image_id_from_parts(entry_pc: int, addrs: np.ndarray,
+                        words: np.ndarray) -> np.ndarray:
+    """Image ID from an explicit memory image (also used by verifiers to
+    bind a prover-supplied image back to the claimed ID)."""
+    from ..hash import poseidon2 as P2
+
+    a = np.asarray(addrs, dtype=np.uint64)
+    w = np.asarray(words, dtype=np.uint64)
+    head = np.array([entry_pc & 0xFFFF, entry_pc >> 16, len(a)],
+                    dtype=np.uint64)
+    body = np.stack([a & 0xFFFF, a >> np.uint64(16),
+                     w & 0xFFFF, w >> np.uint64(16)], axis=1).reshape(-1)
+    return P2.hash_rows_np(np.concatenate([head, body])[None])[0]
+
+
+def compute_image_id(elf_bytes: bytes) -> np.ndarray:
+    """Image ID: Poseidon2 digest of the initial memory image + entry pc.
+
+    Plays the role of risc0-binfmt's image ID (SURVEY.md §2.2; used at
+    reference crates/host/src/lib.rs:81): any change to the guest binary
+    changes the ID. Encoding: [pc_lo16, pc_hi16, n_words, then per nonzero
+    word in address order: addr_lo16, addr_hi16, val_lo16, val_hi16],
+    hashed with the framework's Poseidon2 sponge. Returns (8,) uint64.
+    """
+    entry, a, w = load_image(elf_bytes)
+    return image_id_from_parts(entry, a, w)
+
+
+class Executor:
+    """One guest execution: load ELF, provide input, run to completion."""
+
+    def __init__(self, elf_bytes: bytes, input_bytes: bytes = b"",
+                 segment_po2: int = 20, trace: bool = False):
+        self.lib = get_lib()
+        self.h = self.lib.ex_create()
+        rc = self.lib.ex_load_elf(self.h, elf_bytes, len(elf_bytes))
+        if rc != 0:
+            raise ValueError(f"ELF load failed (code {rc})")
+        self.lib.ex_set_input(self.h, input_bytes, len(input_bytes))
+        self.segment_po2 = segment_po2
+        self._trace = trace
+        if trace:
+            self.lib.ex_trace_enable(self.h, 1)
+
+    def __del__(self):
+        if getattr(self, "h", None):
+            self.lib.ex_destroy(self.h)
+            self.h = None
+
+    def _grab_trace(self) -> np.ndarray:
+        n = self.lib.ex_trace_len(self.h)
+        ptr = self.lib.ex_trace_data(self.h)
+        if n == 0:
+            return np.zeros((0, TRACE_WORDS), dtype=np.uint32)
+        buf = np.ctypeslib.as_array(ptr, shape=(n * TRACE_WORDS,))
+        return buf.reshape(n, TRACE_WORDS).copy()
+
+    def run(self, max_segments: int = 1 << 20) -> ExecResult:
+        lib, h = self.lib, self.h
+        limit = 1 << self.segment_po2
+        segments = []
+        user0 = paging0 = 0
+        for seg_idx in range(max_segments):
+            status = lib.ex_run(h, limit)
+            seg_user = lib.ex_user_cycles(h) - user0
+            seg_paging = lib.ex_paging_cycles(h) - paging0
+            info = SegmentInfo(
+                index=seg_idx,
+                user_cycles=seg_user,
+                paging_cycles=seg_paging,
+                po2=self.segment_po2,
+                exit_pc=lib.ex_pc(h),
+                trace=self._grab_trace() if self._trace else None,
+            )
+            segments.append(info)
+            user0 = lib.ex_user_cycles(h)
+            paging0 = lib.ex_paging_cycles(h)
+            if status == ST_HALTED:
+                break
+            if status == ST_ERROR:
+                raise RuntimeError(f"guest fault at pc=0x{lib.ex_pc(h):08x}")
+            lib.ex_new_segment(h)
+        else:
+            raise RuntimeError("segment limit exceeded")
+
+        journal = ctypes.create_string_buffer(lib.ex_journal_len(h))
+        lib.ex_journal(h, journal)
+        log = ctypes.create_string_buffer(lib.ex_log_len(h))
+        lib.ex_log(h, log)
+        user = lib.ex_user_cycles(h)
+        paging = lib.ex_paging_cycles(h)
+        return ExecResult(
+            exit_code=lib.ex_exit_code(h),
+            journal=journal.raw,
+            log=log.raw,
+            user_cycles=user,
+            paging_cycles=paging,
+            total_cycles=user + paging,
+            keccak_calls=lib.ex_keccak_count(h),
+            segments=segments,
+        )

@@ -1,0 +1,490 @@
+// RV32IM zkVM executor core (ctypes shared library).
+//
+// Native replacement for the executor/emulator of risc0-circuit-rv32im
+// (SURVEY.md §2.2): tight interpreter loop, 4 KiB paged memory with
+// paging-cycle accounting, segmentation at 2^po2 cycles, and the zkVM
+// syscall ABI documented in ../__init__.py. Witness trace records are
+// emitted into a flat uint32 buffer consumed zero-copy by numpy.
+//
+// Build: make -C . (produces librv32im.so)
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <cstdio>
+#include <unordered_map>
+#include <vector>
+#include <memory>
+
+namespace {
+
+constexpr uint32_t PAGE_BITS = 12;
+constexpr uint32_t PAGE_SIZE = 1u << PAGE_BITS;
+constexpr uint32_t PAGE_WORDS = PAGE_SIZE / 4;
+constexpr uint64_t PAGE_CYCLES = 1094;  // hash cost of one page in-circuit
+
+enum Status : int { ST_RUNNING = 0, ST_HALTED = 1, ST_SEGMENT_FULL = 2, ST_ERROR = 3 };
+
+enum Syscall : uint32_t {
+  SYS_HALT = 0, SYS_READ = 1, SYS_COMMIT = 2, SYS_LOG = 3,
+  SYS_CYCLE = 4, SYS_KECCAK = 5,
+};
+
+// Trace record flags (see TRACE_WORDS in __init__.py)
+enum TraceFlag : uint32_t {
+  TR_MEM_LOAD = 1u << 0, TR_MEM_STORE = 1u << 1, TR_ECALL = 1u << 2,
+};
+
+struct Page {
+  uint32_t words[PAGE_WORDS];
+  bool dirty = false;
+};
+
+// ---- keccak-f[1600] (for the accelerator syscall) -------------------------
+static const uint64_t KECCAK_RC[24] = {
+  0x0000000000000001ULL, 0x0000000000008082ULL, 0x800000000000808AULL,
+  0x8000000080008000ULL, 0x000000000000808BULL, 0x0000000080000001ULL,
+  0x8000000080008081ULL, 0x8000000000008009ULL, 0x000000000000008AULL,
+  0x0000000000000088ULL, 0x0000000080008009ULL, 0x000000008000000AULL,
+  0x000000008000808BULL, 0x800000000000008BULL, 0x8000000000008089ULL,
+  0x8000000000008003ULL, 0x8000000000008002ULL, 0x8000000000000080ULL,
+  0x000000000000800AULL, 0x800000008000000AULL, 0x8000000080008081ULL,
+  0x8000000000008080ULL, 0x0000000080000001ULL, 0x8000000080008008ULL};
+
+static inline uint64_t rotl64(uint64_t x, int n) {
+  return n ? (x << n) | (x >> (64 - n)) : x;
+}
+
+static void keccakf(uint64_t st[25]) {
+  static const int ROT[5][5] = {
+    {0, 36, 3, 41, 18}, {1, 44, 10, 45, 2}, {62, 6, 43, 15, 61},
+    {28, 55, 25, 21, 56}, {27, 20, 39, 8, 14}};
+  for (int rnd = 0; rnd < 24; rnd++) {
+    uint64_t C[5], D[5], B[25];
+    for (int x = 0; x < 5; x++)
+      C[x] = st[x] ^ st[x + 5] ^ st[x + 10] ^ st[x + 15] ^ st[x + 20];
+    for (int x = 0; x < 5; x++) {
+      D[x] = C[(x + 4) % 5] ^ rotl64(C[(x + 1) % 5], 1);
+      for (int y = 0; y < 5; y++) st[x + 5 * y] ^= D[x];
+    }
+    for (int x = 0; x < 5; x++)
+      for (int y = 0; y < 5; y++)
+        B[y + 5 * ((2 * x + 3 * y) % 5)] = rotl64(st[x + 5 * y], ROT[x][y]);
+    for (int x = 0; x < 5; x++)
+      for (int y = 0; y < 5; y++)
+        st[x + 5 * y] = B[x + 5 * y] ^ (~B[(x + 1) % 5 + 5 * y] & B[(x + 2) % 5 + 5 * y]);
+    st[0] ^= KECCAK_RC[rnd];
+  }
+}
+
+// ---- executor -------------------------------------------------------------
+
+struct Executor {
+  std::unordered_map<uint32_t, std::unique_ptr<Page>> pages;
+  // pages touched in the *current segment* (paging cost charged per segment,
+  // mirroring the reference's per-segment page-in/page-out accounting)
+  std::unordered_map<uint32_t, uint8_t> seg_touched;  // bit0=read bit1=write
+
+  uint32_t regs[32] = {0};
+  uint32_t pc = 0;
+  uint32_t exit_code = 0;
+  bool halted = false, faulted = false;
+
+  uint64_t user_cycles = 0;
+  uint64_t paging_cycles = 0;
+  uint64_t seg_start_user = 0;
+  uint64_t seg_paging = 0;
+  uint64_t keccak_count = 0;
+
+  std::vector<uint8_t> input;
+  size_t input_pos = 0;
+  std::vector<uint8_t> journal;
+  std::vector<uint8_t> logbuf;
+
+  bool trace_on = false;
+  std::vector<uint32_t> trace;   // records of 8 words
+
+  // initial image (for image-id computation on the Python side)
+  std::vector<uint32_t> image_addr_words;  // pairs appended at load
+
+  Page* page(uint32_t pnum) {
+    auto it = pages.find(pnum);
+    if (it != pages.end()) return it->second.get();
+    auto p = std::make_unique<Page>();
+    memset(p->words, 0, sizeof(p->words));
+    Page* raw = p.get();
+    pages.emplace(pnum, std::move(p));
+    return raw;
+  }
+
+  void touch(uint32_t addr, bool write) {
+    uint32_t pnum = addr >> PAGE_BITS;
+    uint8_t& bits = seg_touched[pnum];
+    uint8_t need = write ? 2 : 1;
+    if ((bits & need) == 0) {
+      if (bits == 0) { paging_cycles += PAGE_CYCLES; seg_paging += PAGE_CYCLES; } // page-in
+      if (write) { paging_cycles += PAGE_CYCLES; seg_paging += PAGE_CYCLES; }      // page-out
+      bits |= need | 1;  // a write implies the page was also read in
+    }
+  }
+
+  uint32_t load_word(uint32_t addr) {
+    touch(addr, false);
+    Page* p = page(addr >> PAGE_BITS);
+    return p->words[(addr & (PAGE_SIZE - 1)) >> 2];
+  }
+
+  void store_word(uint32_t addr, uint32_t val) {
+    touch(addr, true);
+    Page* p = page(addr >> PAGE_BITS);
+    p->words[(addr & (PAGE_SIZE - 1)) >> 2] = val;
+    p->dirty = true;
+  }
+
+  uint8_t load_byte(uint32_t addr) {
+    uint32_t w = load_word(addr & ~3u);
+    return (w >> ((addr & 3) * 8)) & 0xFF;
+  }
+
+  void store_byte(uint32_t addr, uint8_t val) {
+    uint32_t w = load_word(addr & ~3u);
+    uint32_t sh = (addr & 3) * 8;
+    store_word(addr & ~3u, (w & ~(0xFFu << sh)) | (uint32_t(val) << sh));
+  }
+
+  uint16_t load_half(uint32_t addr) {
+    uint32_t w = load_word(addr & ~3u);
+    return (w >> ((addr & 2) * 8)) & 0xFFFF;
+  }
+
+  void store_half(uint32_t addr, uint16_t val) {
+    uint32_t w = load_word(addr & ~3u);
+    uint32_t sh = (addr & 2) * 8;
+    store_word(addr & ~3u, (w & ~(0xFFFFu << sh)) | (uint32_t(val) << sh));
+  }
+
+  void read_bytes(uint32_t addr, uint8_t* dst, uint32_t len) {
+    for (uint32_t i = 0; i < len; i++) dst[i] = load_byte(addr + i);
+  }
+
+  void write_bytes(uint32_t addr, const uint8_t* src, uint32_t len) {
+    for (uint32_t i = 0; i < len; i++) store_byte(addr + i, src[i]);
+  }
+
+  void emit_trace(uint32_t ins_pc, uint32_t insn, uint32_t rs1v, uint32_t rs2v,
+                  uint32_t rdv, uint32_t maddr, uint32_t mval, uint32_t flags) {
+    if (!trace_on) return;
+    trace.push_back(ins_pc); trace.push_back(insn);
+    trace.push_back(rs1v); trace.push_back(rs2v); trace.push_back(rdv);
+    trace.push_back(maddr); trace.push_back(mval); trace.push_back(flags);
+  }
+
+  void ecall() {
+    uint32_t num = regs[17];  // a7
+    uint32_t a0 = regs[10], a1 = regs[11];
+    switch (num) {
+      case SYS_HALT:
+        exit_code = a0;
+        halted = true;
+        break;
+      case SYS_READ: {
+        uint32_t n = a1;
+        size_t avail = input.size() - input_pos;
+        if (n > avail) n = (uint32_t)avail;
+        std::vector<uint8_t> buf(n);
+        memcpy(buf.data(), input.data() + input_pos, n);
+        input_pos += n;
+        write_bytes(a0, buf.data(), n);
+        regs[10] = n;
+        break;
+      }
+      case SYS_COMMIT: {
+        std::vector<uint8_t> buf(a1);
+        read_bytes(a0, buf.data(), a1);
+        journal.insert(journal.end(), buf.begin(), buf.end());
+        break;
+      }
+      case SYS_LOG: {
+        std::vector<uint8_t> buf(a1);
+        read_bytes(a0, buf.data(), a1);
+        logbuf.insert(logbuf.end(), buf.begin(), buf.end());
+        break;
+      }
+      case SYS_CYCLE:
+        regs[10] = (uint32_t)user_cycles;
+        break;
+      case SYS_KECCAK: {
+        uint64_t st[25];
+        uint8_t raw[200];
+        read_bytes(a0, raw, 200);
+        memcpy(st, raw, 200);
+        keccakf(st);
+        memcpy(raw, st, 200);
+        write_bytes(a0, raw, 200);
+        keccak_count++;
+        break;
+      }
+      default:
+        faulted = true;
+    }
+  }
+
+  // Execute until halt, fault, or the segment cycle budget is exhausted.
+  int run(uint64_t seg_limit) {
+    while (!halted && !faulted) {
+      uint64_t seg_cycles = (user_cycles - seg_start_user) + seg_paging;
+      if (seg_cycles + 2 * PAGE_CYCLES + 1 >= seg_limit) return ST_SEGMENT_FULL;
+
+      uint32_t insn = load_word(pc);
+      uint32_t opcode = insn & 0x7F;
+      uint32_t rd = (insn >> 7) & 31;
+      uint32_t funct3 = (insn >> 12) & 7;
+      uint32_t rs1 = (insn >> 15) & 31;
+      uint32_t rs2 = (insn >> 20) & 31;
+      uint32_t funct7 = insn >> 25;
+      uint32_t rs1v = regs[rs1], rs2v = regs[rs2];
+      uint32_t next_pc = pc + 4;
+      uint32_t rdv = 0; bool wb = false;
+      uint32_t maddr = 0, mval = 0, tflags = 0;
+
+      switch (opcode) {
+        case 0x37: rdv = insn & 0xFFFFF000u; wb = true; break;              // LUI
+        case 0x17: rdv = pc + (insn & 0xFFFFF000u); wb = true; break;       // AUIPC
+        case 0x6F: {                                                        // JAL
+          int32_t imm = ((int32_t)(insn & 0x80000000) >> 11) |
+                        (insn & 0xFF000) | ((insn >> 9) & 0x800) |
+                        ((insn >> 20) & 0x7FE);
+          rdv = pc + 4; wb = true; next_pc = pc + imm; break;
+        }
+        case 0x67: {                                                        // JALR
+          int32_t imm = (int32_t)insn >> 20;
+          rdv = pc + 4; wb = true; next_pc = (rs1v + imm) & ~1u; break;
+        }
+        case 0x63: {                                                        // branches
+          int32_t imm = ((int32_t)(insn & 0x80000000) >> 19) |
+                        ((insn << 4) & 0x800) | ((insn >> 20) & 0x7E0) |
+                        ((insn >> 7) & 0x1E);
+          bool take = false;
+          switch (funct3) {
+            case 0: take = rs1v == rs2v; break;
+            case 1: take = rs1v != rs2v; break;
+            case 4: take = (int32_t)rs1v < (int32_t)rs2v; break;
+            case 5: take = (int32_t)rs1v >= (int32_t)rs2v; break;
+            case 6: take = rs1v < rs2v; break;
+            case 7: take = rs1v >= rs2v; break;
+            default: faulted = true;
+          }
+          if (take) next_pc = pc + imm;
+          break;
+        }
+        case 0x03: {                                                        // loads
+          int32_t imm = (int32_t)insn >> 20;
+          uint32_t addr = rs1v + imm;
+          maddr = addr; tflags |= TR_MEM_LOAD;
+          switch (funct3) {
+            case 0: rdv = (int32_t)(int8_t)load_byte(addr); break;          // LB
+            case 1: rdv = (int32_t)(int16_t)load_half(addr); break;         // LH
+            case 2: rdv = load_word(addr); break;                           // LW
+            case 4: rdv = load_byte(addr); break;                           // LBU
+            case 5: rdv = load_half(addr); break;                           // LHU
+            default: faulted = true;
+          }
+          mval = rdv; wb = true; break;
+        }
+        case 0x23: {                                                        // stores
+          int32_t imm = (((int32_t)insn >> 20) & ~0x1F) | ((insn >> 7) & 0x1F);
+          uint32_t addr = rs1v + imm;
+          maddr = addr; mval = rs2v; tflags |= TR_MEM_STORE;
+          switch (funct3) {
+            case 0: store_byte(addr, rs2v & 0xFF); break;                   // SB
+            case 1: store_half(addr, rs2v & 0xFFFF); break;                 // SH
+            case 2: store_word(addr, rs2v); break;                          // SW
+            default: faulted = true;
+          }
+          break;
+        }
+        case 0x13: {                                                        // op-imm
+          int32_t imm = (int32_t)insn >> 20;
+          uint32_t shamt = rs2;
+          switch (funct3) {
+            case 0: rdv = rs1v + imm; break;                                // ADDI
+            case 1: rdv = rs1v << shamt; break;                             // SLLI
+            case 2: rdv = (int32_t)rs1v < imm; break;                       // SLTI
+            case 3: rdv = rs1v < (uint32_t)imm; break;                      // SLTIU
+            case 4: rdv = rs1v ^ imm; break;                                // XORI
+            case 5: rdv = (funct7 & 0x20) ? (uint32_t)((int32_t)rs1v >> shamt)
+                                          : rs1v >> shamt; break;           // SRLI/SRAI
+            case 6: rdv = rs1v | imm; break;                                // ORI
+            case 7: rdv = rs1v & imm; break;                                // ANDI
+          }
+          wb = true; break;
+        }
+        case 0x33: {                                                        // op
+          if (funct7 == 1) {                                                // M ext
+            uint64_t a = rs1v, b = rs2v;
+            int64_t sa = (int32_t)rs1v, sb = (int32_t)rs2v;
+            switch (funct3) {
+              case 0: rdv = rs1v * rs2v; break;                             // MUL
+              case 1: rdv = (uint32_t)(((int64_t)sa * sb) >> 32); break;    // MULH
+              case 2: rdv = (uint32_t)(((int64_t)sa * (int64_t)(uint64_t)b) >> 32); break; // MULHSU
+              case 3: rdv = (uint32_t)((a * b) >> 32); break;               // MULHU
+              case 4: rdv = sb == 0 ? 0xFFFFFFFFu :
+                      (sa == INT32_MIN && sb == -1) ? (uint32_t)INT32_MIN :
+                      (uint32_t)(sa / sb); break;                           // DIV
+              case 5: rdv = rs2v == 0 ? 0xFFFFFFFFu : rs1v / rs2v; break;   // DIVU
+              case 6: rdv = sb == 0 ? rs1v :
+                      (sa == INT32_MIN && sb == -1) ? 0 :
+                      (uint32_t)(sa % sb); break;                           // REM
+              case 7: rdv = rs2v == 0 ? rs1v : rs1v % rs2v; break;          // REMU
+            }
+          } else {
+            switch (funct3) {
+              case 0: rdv = (funct7 & 0x20) ? rs1v - rs2v : rs1v + rs2v; break;
+              case 1: rdv = rs1v << (rs2v & 31); break;                     // SLL
+              case 2: rdv = (int32_t)rs1v < (int32_t)rs2v; break;           // SLT
+              case 3: rdv = rs1v < rs2v; break;                             // SLTU
+              case 4: rdv = rs1v ^ rs2v; break;                             // XOR
+              case 5: rdv = (funct7 & 0x20) ? (uint32_t)((int32_t)rs1v >> (rs2v & 31))
+                                            : rs1v >> (rs2v & 31); break;   // SRL/SRA
+              case 6: rdv = rs1v | rs2v; break;                             // OR
+              case 7: rdv = rs1v & rs2v; break;                             // AND
+            }
+          }
+          wb = true; break;
+        }
+        case 0x0F: break;                                                   // FENCE: nop
+        case 0x73:                                                          // SYSTEM
+          if (insn == 0x00000073) { tflags |= TR_ECALL; ecall(); }
+          else if (insn == 0x00100073) { faulted = true; }                  // EBREAK
+          else { faulted = true; }
+          break;
+        default:
+          faulted = true;
+      }
+
+      if (faulted) return ST_ERROR;
+      if (wb && rd != 0) regs[rd] = rdv;
+      emit_trace(pc, insn, rs1v, rs2v, (wb && rd != 0) ? rdv : 0,
+                 maddr, mval, tflags);
+      pc = next_pc;
+      user_cycles++;
+      if (halted) return ST_HALTED;
+    }
+    return halted ? ST_HALTED : ST_ERROR;
+  }
+
+  void new_segment() {
+    seg_start_user = user_cycles;
+    seg_paging = 0;
+    seg_touched.clear();
+    trace.clear();
+  }
+};
+
+// ---- minimal ELF32 loader -------------------------------------------------
+
+struct Elf32Hdr {
+  uint8_t ident[16];
+  uint16_t type, machine;
+  uint32_t version, entry, phoff, shoff, flags;
+  uint16_t ehsize, phentsize, phnum, shentsize, shnum, shstrndx;
+};
+
+struct Elf32Phdr {
+  uint32_t type, offset, vaddr, paddr, filesz, memsz, flags, align;
+};
+
+static int load_elf(Executor* ex, const uint8_t* data, size_t len) {
+  if (len < sizeof(Elf32Hdr)) return 1;
+  Elf32Hdr hdr;
+  memcpy(&hdr, data, sizeof(hdr));
+  if (memcmp(hdr.ident, "\x7f""ELF", 4) != 0) return 2;
+  if (hdr.ident[4] != 1 || hdr.ident[5] != 1) return 3;  // 32-bit LE
+  if (hdr.machine != 0xF3) return 4;                     // EM_RISCV
+  ex->pc = hdr.entry;
+  for (int i = 0; i < hdr.phnum; i++) {
+    size_t off = hdr.phoff + (size_t)i * hdr.phentsize;
+    if (off + sizeof(Elf32Phdr) > len) return 5;
+    Elf32Phdr ph;
+    memcpy(&ph, data + off, sizeof(ph));
+    if (ph.type != 1) continue;                          // PT_LOAD
+    if (ph.offset + ph.filesz > len) return 6;
+    for (uint32_t j = 0; j < ph.filesz; j++)
+      ex->store_byte(ph.vaddr + j, data[ph.offset + j]);
+    // memsz > filesz tail is zero (pages are zero-initialized)
+  }
+  // record the initial image for image-id computation, then reset counters
+  for (auto& kv : ex->pages) {
+    for (uint32_t w = 0; w < PAGE_WORDS; w++) {
+      if (kv.second->words[w]) {
+        ex->image_addr_words.push_back((kv.first << PAGE_BITS) + w * 4);
+        ex->image_addr_words.push_back(kv.second->words[w]);
+      }
+    }
+  }
+  ex->user_cycles = 0;
+  ex->paging_cycles = 0;
+  ex->new_segment();
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* ex_create() { return new Executor(); }
+void ex_destroy(void* h) { delete (Executor*)h; }
+
+int ex_load_elf(void* h, const char* data, size_t len) {
+  return load_elf((Executor*)h, (const uint8_t*)data, len);
+}
+
+void ex_set_input(void* h, const char* data, size_t len) {
+  Executor* ex = (Executor*)h;
+  ex->input.assign(data, data + len);
+  ex->input_pos = 0;
+}
+
+int ex_run(void* h, uint64_t seg_limit) { return ((Executor*)h)->run(seg_limit); }
+void ex_new_segment(void* h) { ((Executor*)h)->new_segment(); }
+
+uint64_t ex_user_cycles(void* h) { return ((Executor*)h)->user_cycles; }
+uint64_t ex_paging_cycles(void* h) { return ((Executor*)h)->paging_cycles; }
+uint64_t ex_segment_cycles(void* h) {
+  Executor* ex = (Executor*)h;
+  return (ex->user_cycles - ex->seg_start_user) + ex->seg_paging;
+}
+uint32_t ex_exit_code(void* h) { return ((Executor*)h)->exit_code; }
+uint32_t ex_pc(void* h) { return ((Executor*)h)->pc; }
+uint64_t ex_keccak_count(void* h) { return ((Executor*)h)->keccak_count; }
+
+size_t ex_journal_len(void* h) { return ((Executor*)h)->journal.size(); }
+void ex_journal(void* h, char* out) {
+  Executor* ex = (Executor*)h;
+  memcpy(out, ex->journal.data(), ex->journal.size());
+}
+size_t ex_log_len(void* h) { return ((Executor*)h)->logbuf.size(); }
+void ex_log(void* h, char* out) {
+  Executor* ex = (Executor*)h;
+  memcpy(out, ex->logbuf.data(), ex->logbuf.size());
+}
+
+void ex_trace_enable(void* h, int on) { ((Executor*)h)->trace_on = on != 0; }
+size_t ex_trace_len(void* h) { return ((Executor*)h)->trace.size() / 8; }
+uint32_t* ex_trace_data(void* h) { return ((Executor*)h)->trace.data(); }
+
+// initial memory image as (addr, word) pairs; returns pair count
+size_t ex_image_words(void* h, uint32_t* addrs, uint32_t* words, size_t cap) {
+  Executor* ex = (Executor*)h;
+  size_t n = ex->image_addr_words.size() / 2;
+  if (addrs && words) {
+    size_t m = n < cap ? n : cap;
+    for (size_t i = 0; i < m; i++) {
+      addrs[i] = ex->image_addr_words[2 * i];
+      words[i] = ex->image_addr_words[2 * i + 1];
+    }
+  }
+  return n;
+}
+
+}  // extern "C"
