@@ -1,0 +1,219 @@
+"""zkVM host API: executor env, prover dispatch, receipts.
+
+Python surface mirroring the reference's risc0-zkvm host API
+(SURVEY.md §2.2: `ExecutorEnvBuilder`, `default_prover()`, dev-mode fake
+receipts, `Receipt::verify(image_id)`, journal access — used by the host
+at /root/reference/crates/host/src/lib.rs:123-143 and verified at
+crates/host/src/bin/cli.rs:100-108).
+
+Dev mode: set ``ZETH_DEV_MODE=1`` (the reference's RISC0_DEV_MODE,
+README.md:104-108) — guests execute in the native emulator and a fake
+receipt is returned; verification of fake receipts fails unless dev mode
+is active in the verifying process too.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .executor import Executor, compute_image_id
+from .hash import poseidon2 as P2
+
+DEFAULT_SEGMENT_PO2 = 20
+
+
+def dev_mode_enabled() -> bool:
+    return os.environ.get("ZETH_DEV_MODE", "0").lower() in ("1", "true", "yes")
+
+
+def to_zkvm_input_bytes(obj) -> bytes:
+    """Word-align serialized input (the reference's u32-word serde,
+    crates/host/src/lib.rs:150-154). Accepts bytes or str (JSON)."""
+    raw = obj if isinstance(obj, bytes) else str(obj).encode()
+    raw = len(raw).to_bytes(4, "little") + raw
+    return raw + b"\x00" * (-len(raw) % 4)
+
+
+def from_zkvm_input_bytes(data: bytes) -> bytes:
+    n = int.from_bytes(data[:4], "little")
+    return data[4:4 + n]
+
+
+@dataclass
+class ExecutorEnv:
+    """Input + limits for one guest execution (ExecutorEnvBuilder analog)."""
+    input_bytes: bytes = b""
+    segment_limit_po2: int = DEFAULT_SEGMENT_PO2
+
+    class Builder:
+        def __init__(self):
+            self._input = b""
+            self._po2 = DEFAULT_SEGMENT_PO2
+
+        def write(self, obj) -> "ExecutorEnv.Builder":
+            self._input += to_zkvm_input_bytes(obj)
+            return self
+
+        def write_slice(self, raw: bytes) -> "ExecutorEnv.Builder":
+            self._input += raw
+            return self
+
+        def segment_limit_po2(self, po2: int) -> "ExecutorEnv.Builder":
+            self._po2 = po2
+            return self
+
+        def build(self) -> "ExecutorEnv":
+            return ExecutorEnv(self._input, self._po2)
+
+    @staticmethod
+    def builder() -> "ExecutorEnv.Builder":
+        return ExecutorEnv.Builder()
+
+
+@dataclass
+class ReceiptClaim:
+    """Binding of an execution to its outputs (risc0-binfmt claim analog)."""
+    image_id: np.ndarray         # (8,) field elements
+    journal_digest: bytes        # sha256 of journal
+    exit_code: int
+
+    def digest(self) -> np.ndarray:
+        ws = np.frombuffer(self.journal_digest, dtype="<u4").astype(np.uint64)
+        halves = np.stack([ws & 0xFFFF, ws >> np.uint64(16)], -1).reshape(-1)
+        row = np.concatenate([
+            np.asarray(self.image_id, np.uint64), halves,
+            np.array([self.exit_code], np.uint64)])
+        return P2.hash_rows_np(row[None])[0]
+
+
+class VerificationError(Exception):
+    pass
+
+
+@dataclass
+class FakeInner:
+    """Dev-mode inner receipt: no cryptographic content."""
+    kind: str = "fake"
+
+
+@dataclass
+class SegmentsInner:
+    """One STARK seal per execution segment (pre-recursion aggregation).
+
+    Carries the public program image (bound to the claim's image ID at
+    verification time — the rv32im circuit's ROM is built from it)."""
+    seals: list = field(default_factory=list)       # list of np.uint32 seals
+    image_addrs: np.ndarray = None
+    image_words: np.ndarray = None
+    entry_pc: int = 0
+    kind: str = "segments"
+
+
+@dataclass
+class Receipt:
+    journal: bytes
+    claim: ReceiptClaim
+    inner: object
+
+    def verify(self, image_id: np.ndarray) -> None:
+        image_id = np.asarray(image_id, dtype=np.uint64)
+        if hashlib.sha256(self.journal).digest() != self.claim.journal_digest:
+            raise VerificationError("journal digest mismatch")
+        if not (self.claim.image_id == image_id).all():
+            raise VerificationError("image id mismatch")
+        if self.claim.exit_code != 0:
+            raise VerificationError(f"guest exited with {self.claim.exit_code}")
+        if isinstance(self.inner, FakeInner):
+            if not dev_mode_enabled():
+                raise VerificationError(
+                    "fake receipt rejected: dev mode not enabled")
+            return
+        if isinstance(self.inner, SegmentsInner):
+            from .circuits import rv32im as rv
+            from .executor import image_id_from_parts
+            # bind the prover-supplied program image to the claimed image ID
+            got = image_id_from_parts(self.inner.entry_pc,
+                                      self.inner.image_addrs,
+                                      self.inner.image_words)
+            if not (got == np.asarray(self.claim.image_id, np.uint64)).all():
+                raise VerificationError("program image does not match image id")
+            rv.verify_segments(self.inner.seals, self.claim,
+                               self.inner.image_addrs, self.inner.image_words,
+                               self.inner.entry_pc)
+            return
+        raise VerificationError(f"unknown receipt kind: {self.inner!r}")
+
+
+@dataclass
+class SessionStats:
+    user_cycles: int
+    paging_cycles: int
+    total_cycles: int
+    keccak_calls: int
+    segments: int
+
+
+@dataclass
+class ProveInfo:
+    receipt: Receipt
+    stats: SessionStats
+
+
+class DevModeProver:
+    """Executes the guest natively; returns a fake receipt (dev-mode seam —
+    the reference's fake-backend test strategy, SURVEY.md §4)."""
+
+    name = "dev-mode"
+
+    def prove(self, env: ExecutorEnv, elf: bytes) -> ProveInfo:
+        ex = Executor(elf, env.input_bytes, segment_po2=env.segment_limit_po2)
+        res = ex.run()
+        claim = ReceiptClaim(
+            image_id=compute_image_id(elf),
+            journal_digest=hashlib.sha256(res.journal).digest(),
+            exit_code=res.exit_code)
+        receipt = Receipt(journal=res.journal, claim=claim, inner=FakeInner())
+        stats = SessionStats(
+            user_cycles=res.user_cycles, paging_cycles=res.paging_cycles,
+            total_cycles=res.total_cycles, keccak_calls=res.keccak_calls,
+            segments=len(res.segments))
+        return ProveInfo(receipt=receipt, stats=stats)
+
+
+class LocalProver:
+    """Executes, then STARK-proves every segment on the device."""
+
+    name = "local"
+
+    def prove(self, env: ExecutorEnv, elf: bytes) -> ProveInfo:
+        from .circuits import rv32im as rv
+        from .executor import load_image
+        entry_pc, img_a, img_w = load_image(elf)
+        ex = Executor(elf, env.input_bytes,
+                      segment_po2=env.segment_limit_po2, trace=True)
+        res = ex.run()
+        claim = ReceiptClaim(
+            image_id=compute_image_id(elf),
+            journal_digest=hashlib.sha256(res.journal).digest(),
+            exit_code=res.exit_code)
+        seals = [rv.prove_segment(seg, img_a, img_w) for seg in res.segments]
+        receipt = Receipt(journal=res.journal, claim=claim,
+                          inner=SegmentsInner(seals=seals, image_addrs=img_a,
+                                              image_words=img_w,
+                                              entry_pc=entry_pc))
+        stats = SessionStats(
+            user_cycles=res.user_cycles, paging_cycles=res.paging_cycles,
+            total_cycles=res.total_cycles, keccak_calls=res.keccak_calls,
+            segments=len(res.segments))
+        return ProveInfo(receipt=receipt, stats=stats)
+
+
+def default_prover():
+    """Dispatch on environment (the reference's default_prover() seam)."""
+    if dev_mode_enabled():
+        return DevModeProver()
+    return LocalProver()
