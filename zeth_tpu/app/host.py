@@ -1,0 +1,302 @@
+"""Host orchestration: fetch -> cache -> validate -> prove -> verify.
+
+Replaces zeth-host (SURVEY.md §2.1, crates/host/src/lib.rs): chain
+detection, input fetch with JSON caching keyed by block hash
+(cli.rs:113-145), host-side validation, and proving dispatch through
+the zkvm layer's dev-mode seam.
+
+Input format: the reference's cached `StatelessInput` JSON — {"block":
+{..header fields.., "transactions": [...]}, "witness": {"state": [hex],
+"codes": [hex], "headers": [hex], "keys": ignored}} (the reference drops
+`keys` too, lib.rs:104). Field names accept both camelCase and
+snake_case.
+
+v1 validation scope (documented gap, tracked for later rounds): header
+hash recomputation, parent-header linkage, and witness/pre-state-trie
+integrity. Transaction re-execution needs the EVM engine (the
+reference's reth/revm stack, §2.2) which is not yet rebuilt; `prove`
+therefore supports dev-mode only.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from dataclasses import dataclass, field
+
+from ..hash.keccak import keccak256
+from . import rlp
+from .chainspec import BY_CHAIN_ID, ChainSpec
+from .state import SparseState
+
+# header fields in RLP order: (name, kind, optional_since_fork)
+# kind: h=hash/bytes32, a=address, b=raw bytes, i=int
+_HEADER_FIELDS = [
+    ("parent_hash", "h", None),
+    ("ommers_hash", "h", None),
+    ("beneficiary", "a", None),
+    ("state_root", "h", None),
+    ("transactions_root", "h", None),
+    ("receipts_root", "h", None),
+    ("logs_bloom", "b", None),
+    ("difficulty", "i", None),
+    ("number", "i", None),
+    ("gas_limit", "i", None),
+    ("gas_used", "i", None),
+    ("timestamp", "i", None),
+    ("extra_data", "b", None),
+    ("mix_hash", "h", None),
+    ("nonce", "b", None),
+    ("base_fee_per_gas", "i", "london"),
+    ("withdrawals_root", "h", "shanghai"),
+    ("blob_gas_used", "i", "cancun"),
+    ("excess_blob_gas", "i", "cancun"),
+    ("parent_beacon_block_root", "h", "cancun"),
+    ("requests_hash", "h", "prague"),
+]
+
+_ALIASES = {
+    "ommers_hash": ["sha3Uncles", "unclesHash"],
+    "beneficiary": ["miner", "coinbase"],
+    "mix_hash": ["prevRandao"],
+}
+
+
+def _camel(s: str) -> str:
+    parts = s.split("_")
+    return parts[0] + "".join(p.capitalize() for p in parts[1:])
+
+
+def _get_field(d: dict, name: str):
+    for k in [name, _camel(name)] + _ALIASES.get(name, []):
+        if k in d and d[k] is not None:
+            return d[k]
+    return None
+
+
+def _to_bytes(v) -> bytes:
+    if isinstance(v, str):
+        return bytes.fromhex(v[2:] if v.startswith("0x") else v)
+    if isinstance(v, list):
+        return bytes(v)
+    raise TypeError(type(v))
+
+
+def _to_int(v) -> int:
+    if isinstance(v, str):
+        return int(v, 16) if v.startswith("0x") else int(v)
+    return int(v)
+
+
+@dataclass
+class Header:
+    fields: dict                # name -> decoded value (bytes or int)
+
+    @classmethod
+    def from_json(cls, d: dict) -> "Header":
+        out = {}
+        for name, kind, _ in _HEADER_FIELDS:
+            v = _get_field(d, name)
+            if v is None:
+                continue
+            out[name] = _to_int(v) if kind == "i" else _to_bytes(v)
+        return cls(out)
+
+    @classmethod
+    def from_rlp(cls, raw: bytes) -> "Header":
+        items = rlp.decode_full(raw)
+        out = {}
+        for (name, kind, _), item in zip(_HEADER_FIELDS, items):
+            out[name] = int.from_bytes(item, "big") if kind == "i" else bytes(item)
+        return cls(out)
+
+    def encode(self) -> bytes:
+        items = []
+        for name, kind, _ in _HEADER_FIELDS:
+            if name not in self.fields:
+                continue
+            items.append(self.fields[name])
+        return rlp.encode(items)
+
+    def hash(self) -> bytes:
+        return keccak256(self.encode())
+
+    @property
+    def number(self) -> int:
+        return self.fields["number"]
+
+    @property
+    def state_root(self) -> bytes:
+        return self.fields["state_root"]
+
+    @property
+    def parent_hash(self) -> bytes:
+        return self.fields["parent_hash"]
+
+
+@dataclass
+class ExecutionWitness:
+    state: list                 # RLP trie nodes (bytes)
+    codes: list                 # contract bytecodes
+    headers: list               # RLP-encoded ancestor headers, parent first
+
+    @classmethod
+    def from_json(cls, d: dict) -> "ExecutionWitness":
+        return cls(
+            state=[_to_bytes(x) for x in d.get("state", [])],
+            codes=[_to_bytes(x) for x in d.get("codes", [])],
+            headers=[_to_bytes(x) for x in d.get("headers", [])],
+        )
+
+
+@dataclass
+class StatelessInput:
+    block: Header
+    transactions: list
+    witness: ExecutionWitness
+    raw: dict = field(default_factory=dict, repr=False)
+
+    @classmethod
+    def from_json(cls, d: dict) -> "StatelessInput":
+        block = d["block"]
+        header_src = block.get("header", block)
+        return cls(
+            block=Header.from_json(header_src),
+            transactions=block.get("body", {}).get(
+                "transactions", block.get("transactions", [])),
+            witness=ExecutionWitness.from_json(d["witness"]),
+            raw=d,
+        )
+
+
+class ValidationError(Exception):
+    pass
+
+
+def validate_block(input: StatelessInput, spec: ChainSpec) -> bytes:
+    """Validate and return the block hash (zeth_core::validate_block role,
+    crates/core/src/lib.rs:34-53 — v1 scope per module docstring)."""
+    header = input.block
+    if header.fields.get("difficulty", 0) != 0:
+        raise ValidationError("pre-merge blocks are not supported")
+
+    if not input.witness.headers:
+        raise ValidationError("witness has no ancestor headers")
+    parent = Header.from_rlp(input.witness.headers[0])
+    if parent.hash() != header.parent_hash:
+        raise ValidationError("parent header does not match parent_hash")
+    if parent.number + 1 != header.number:
+        raise ValidationError("parent number mismatch")
+    # ancestor chain (BLOCKHASH window) must link
+    prev = parent
+    for raw in input.witness.headers[1:]:
+        h = Header.from_rlp(raw)
+        if h.hash() != prev.parent_hash:
+            raise ValidationError("broken ancestor header chain")
+        prev = h
+
+    # pre-state trie must hydrate from the witness at the parent state root
+    from .trie import Digest
+    state = SparseState(parent.state_root, input.witness.state,
+                        input.witness.codes)
+    if state.state.root_hash() != parent.state_root:
+        raise ValidationError("witness does not reproduce pre-state root")
+    if input.witness.state and isinstance(state.state.root, Digest):
+        raise ValidationError("witness is missing the state root node")
+
+    # NOTE v1: transaction re-execution + post-state root check pending the
+    # EVM engine rebuild (documented gap).
+    return header.hash()
+
+
+class BlockProcessor:
+    """crates/host BlockProcessor equivalent (lib.rs:30-154)."""
+
+    def __init__(self, spec: ChainSpec, rpc_url: str | None = None):
+        self.spec = spec
+        self.rpc_url = rpc_url
+
+    @classmethod
+    def for_chain_id(cls, chain_id: int, rpc_url: str | None = None):
+        if chain_id not in BY_CHAIN_ID:
+            raise ValueError(f"unsupported chain id {chain_id}")
+        return cls(BY_CHAIN_ID[chain_id], rpc_url)
+
+    # -- cache (cli.rs:113-145) ------------------------------------------
+
+    def cache_path(self, cache_dir: str, block_hash: bytes) -> str:
+        return os.path.join(cache_dir, f"input_0x{block_hash.hex()}.json")
+
+    def load_cached_input(self, path: str) -> StatelessInput:
+        with open(path) as f:
+            data = json.load(f)
+        inp = StatelessInput.from_json(data)
+        return inp
+
+    def save_input(self, cache_dir: str, inp_json: dict) -> str:
+        inp = StatelessInput.from_json(inp_json)
+        os.makedirs(cache_dir, exist_ok=True)
+        path = self.cache_path(cache_dir, inp.block.hash())
+        with open(path, "w") as f:
+            json.dump(inp_json, f)
+        return path
+
+    # -- rpc fetch (lib.rs:87-110) ---------------------------------------
+
+    def create_input(self, block_id) -> StatelessInput:
+        block = self._rpc("eth_getBlockByNumber", [hex(block_id), True]) \
+            if isinstance(block_id, int) else \
+            self._rpc("eth_getBlockByHash", [block_id, True])
+        witness = self._rpc("debug_executionWitness", [block["number"]])
+        witness.pop("keys", None)   # dropped, as in the reference (lib.rs:104)
+        return StatelessInput.from_json({"block": block, "witness": witness})
+
+    def _rpc(self, method: str, params: list):
+        import urllib.request
+        if not self.rpc_url:
+            raise RuntimeError("no RPC URL configured")
+        req = urllib.request.Request(
+            self.rpc_url,
+            data=json.dumps({"jsonrpc": "2.0", "id": 1, "method": method,
+                             "params": params}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as resp:
+            out = json.load(resp)
+        if "error" in out:
+            raise RuntimeError(f"rpc error: {out['error']}")
+        return out["result"]
+
+    # -- validate / prove -------------------------------------------------
+
+    def validate(self, inp: StatelessInput) -> bytes:
+        return validate_block(inp, self.spec)
+
+    def prove(self, inp: StatelessInput, segment_po2: int | None = None):
+        """Dev-mode proving of the validated block (config 1 of
+        BASELINE.json): validation runs natively, the receipt commits the
+        block hash as journal. Real in-zkVM EVM proving is pending the
+        EVM guest (documented gap)."""
+        from .. import zkvm
+        if not zkvm.dev_mode_enabled():
+            raise NotImplementedError(
+                "real block proving requires the EVM guest (pending); "
+                "set ZETH_DEV_MODE=1 for dev-mode receipts")
+        block_hash = self.validate(inp)
+        claim = zkvm.ReceiptClaim(
+            image_id=self._pseudo_image_id(),
+            journal_digest=hashlib.sha256(block_hash).digest(),
+            exit_code=0)
+        receipt = zkvm.Receipt(journal=block_hash, claim=claim,
+                               inner=zkvm.FakeInner())
+        return receipt
+
+    def _pseudo_image_id(self):
+        """Image ID of the native validation path (per-chain constant)."""
+        import numpy as np
+        from ..hash import poseidon2 as P2
+        tag = f"zeth-tpu:native-validator:{self.spec.name}:v1".encode()
+        tag += b"\x00" * (-len(tag) % 4)
+        words = np.frombuffer(tag, dtype="<u4").astype(np.uint64) % np.uint64(
+            2013265921)
+        return P2.hash_rows_np(words[None])[0]

@@ -1,0 +1,187 @@
+"""Witness-generation RPC proxy.
+
+Replaces zeth-rpc-proxy (SURVEY.md §2.1, crates/rpc-proxy): a JSON-RPC
+HTTP server that answers `debug_executionWitness` locally and forwards
+every other method upstream with retry/backoff (RetryBackoffLayer
+equivalent, main.rs:207-208).
+
+v1 scope: full proxy plumbing (routing, forwarding, retries, error
+codes per main.rs:72-100) and witness *assembly* from upstream
+`eth_getProof` responses for the access-list-declared state. The
+preflight EVM re-execution that discovers the full touched-state set
+(witness.rs:75-87) lands with the EVM engine rebuild — until then the
+proxy forwards `debug_executionWitness` upstream when the node supports
+it, and otherwise serves the proof-based partial witness.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.request
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+JSONRPC_INTERNAL = -32603
+JSONRPC_INVALID = -32600
+JSONRPC_METHOD_NOT_FOUND = -32601
+
+
+class Upstream:
+    """Forwarding client with retry/backoff (10 retries by default)."""
+
+    def __init__(self, url: str, max_retries: int = 10,
+                 backoff_ms: int = 200):
+        self.url = url
+        self.max_retries = max_retries
+        self.backoff_ms = backoff_ms
+
+    def call_raw(self, payload: bytes) -> bytes:
+        last = None
+        for attempt in range(self.max_retries + 1):
+            try:
+                req = urllib.request.Request(
+                    self.url, data=payload,
+                    headers={"Content-Type": "application/json"})
+                with urllib.request.urlopen(req, timeout=60) as resp:
+                    return resp.read()
+            except Exception as e:   # network-level retry
+                last = e
+                time.sleep(self.backoff_ms / 1000.0 * (attempt + 1))
+        raise RuntimeError(f"upstream failed after retries: {last}")
+
+    def call(self, method: str, params: list):
+        out = json.loads(self.call_raw(json.dumps(
+            {"jsonrpc": "2.0", "id": 1, "method": method,
+             "params": params}).encode()))
+        if "error" in out:
+            raise RuntimeError(f"upstream rpc error: {out['error']}")
+        return out["result"]
+
+
+def execution_witness(upstream: Upstream, block_number: str) -> dict:
+    """Assemble an ExecutionWitness for a block (witness.rs:33-132 v1).
+
+    Prefers the node's native debug_executionWitness; otherwise builds a
+    partial witness from eth_getProof over the block's access lists and
+    touched addresses (sender/recipient/coinbase), plus ancestor headers.
+    """
+    try:
+        return upstream.call("debug_executionWitness", [block_number])
+    except RuntimeError:
+        pass
+
+    block = upstream.call("eth_getBlockByNumber", [block_number, True])
+    parent = upstream.call(
+        "eth_getBlockByHash", [block["parentHash"], False])
+
+    addresses: dict[str, list] = {}
+
+    def touch(addr, slots=()):
+        if addr is None:
+            return
+        cur = addresses.setdefault(addr.lower(), [])
+        for s in slots:
+            if s not in cur:
+                cur.append(s)
+
+    touch(block.get("miner"))
+    for tx in block.get("transactions", []):
+        touch(tx.get("from"))
+        touch(tx.get("to"))
+        for item in tx.get("accessList") or []:
+            touch(item["address"], item.get("storageKeys", []))
+
+    state_nodes: list[str] = []
+    codes: list[str] = []
+    parent_num = parent["number"]
+    for addr, slots in addresses.items():
+        proof = upstream.call("eth_getProof", [addr, slots, parent_num])
+        for node in proof.get("accountProof", []):
+            if node not in state_nodes:
+                state_nodes.append(node)
+        for sp in proof.get("storageProof", []):
+            for node in sp.get("proof", []):
+                if node not in state_nodes:
+                    state_nodes.append(node)
+        code = upstream.call("eth_getCode", [addr, parent_num])
+        if code and code != "0x" and code not in codes:
+            codes.append(code)
+
+    headers = [_header_rlp_from_rpc(parent)]
+    return {"state": state_nodes, "codes": codes, "keys": [],
+            "headers": headers}
+
+
+def _header_rlp_from_rpc(block_json: dict) -> str:
+    from .host import Header
+    return "0x" + Header.from_json(block_json).encode().hex()
+
+
+class ProxyHandler(BaseHTTPRequestHandler):
+    upstream: Upstream = None
+    protocol_version = "HTTP/1.1"
+
+    def log_message(self, fmt, *args):   # route through print, not stderr spam
+        pass
+
+    def do_POST(self):
+        length = int(self.headers.get("Content-Length", 0))
+        body = self.rfile.read(length)
+        try:
+            req = json.loads(body)
+        except json.JSONDecodeError:
+            return self._reply({"jsonrpc": "2.0", "id": None, "error": {
+                "code": JSONRPC_INVALID, "message": "invalid json"}})
+        method = req.get("method")
+        if method == "debug_executionWitness":
+            try:
+                result = execution_witness(self.upstream, req["params"][0])
+                return self._reply({"jsonrpc": "2.0", "id": req.get("id"),
+                                    "result": result})
+            except Exception as e:
+                return self._reply({"jsonrpc": "2.0", "id": req.get("id"),
+                                    "error": {"code": JSONRPC_INTERNAL,
+                                              "message": str(e)}})
+        try:
+            raw = self.upstream.call_raw(body)
+        except Exception as e:
+            return self._reply({"jsonrpc": "2.0", "id": req.get("id"),
+                                "error": {"code": JSONRPC_INTERNAL,
+                                          "message": str(e)}})
+        self._reply_raw(raw)
+
+    def _reply(self, obj):
+        self._reply_raw(json.dumps(obj).encode())
+
+    def _reply_raw(self, raw: bytes):
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(raw)))
+        self.end_headers()
+        self.wfile.write(raw)
+
+
+def serve(upstream_url: str, bind: str = "127.0.0.1", port: int = 8545,
+          max_retries: int = 10, backoff_ms: int = 200):
+    """Run the proxy (crates/rpc-proxy/src/main.rs:237-245 equivalent)."""
+    handler = type("BoundHandler", (ProxyHandler,), {
+        "upstream": Upstream(upstream_url, max_retries, backoff_ms)})
+    server = ThreadingHTTPServer((bind, port), handler)
+    print(f"rpc-proxy listening on {bind}:{port} -> {upstream_url}")
+    server.serve_forever()
+
+
+def main(argv=None):
+    import argparse
+    ap = argparse.ArgumentParser(prog="zeth-tpu-rpc-proxy")
+    ap.add_argument("--rpc-url", required=True)
+    ap.add_argument("--bind-address", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8545)
+    ap.add_argument("--max-retries", type=int, default=10)
+    ap.add_argument("--backoff-ms", type=int, default=200)
+    a = ap.parse_args(argv)
+    serve(a.rpc_url, a.bind_address, a.port, a.max_retries, a.backoff_ms)
+
+
+if __name__ == "__main__":
+    main()
