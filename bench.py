@@ -1,0 +1,70 @@
+"""Benchmark: single-segment STARK proving throughput on the attached chip.
+
+BASELINE.json config 2: Baby Bear LDE + Poseidon2 Merkle commit + DEEP +
+FRI for one rv32im segment. The reference publishes no absolute numbers
+(BASELINE.md), so vs_baseline reports against the previous recorded run
+when available (BENCH_PREV env or 1.0).
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+
+Env knobs: BENCH_PO2 (default 14), BENCH_PLATFORM (default: jax default —
+the attached TPU under the driver; set cpu for local smoke).
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def main():
+    po2 = int(os.environ.get("BENCH_PO2", "14"))
+    if os.environ.get("BENCH_PLATFORM"):
+        os.environ["JAX_PLATFORMS"] = os.environ["BENCH_PLATFORM"]
+
+    import numpy as np
+
+    from zeth_tpu.circuits import rv32im as rv
+    from zeth_tpu.executor import Executor, guests, load_image
+    from zeth_tpu.zkp import proof as proof_mod, prover, verifier
+
+    # build a real segment of ~2^po2 cycles from the spin guest
+    elf = guests.spin((1 << po2) - 4096)
+    entry, ia, iw = load_image(elf)
+    res = Executor(elf, segment_po2=po2 + 1, trace=True).run()
+    seg = res.segments[0]
+    cycles = seg.trace.shape[0]
+
+    air = rv.Rv32imAir(ia, iw)
+    main_std, publics = air.witgen(seg.trace, po2 + 1, seg.exit_pc)
+
+    # warm-up run (compile), then timed runs
+    t0 = time.time()
+    pf = prover.prove(air, main_std, publics)
+    compile_s = time.time() - t0
+
+    times = []
+    for _ in range(int(os.environ.get("BENCH_REPS", "2"))):
+        t0 = time.time()
+        pf = prover.prove(air, main_std, publics)
+        times.append(time.time() - t0)
+    prove_s = min(times)
+
+    verifier.verify(air, pf, publics)   # correctness gate for the number
+    seal_words = int(proof_mod.encode(pf).shape[0])
+
+    mcps = cycles / prove_s / 1e6
+    prev = float(os.environ.get("BENCH_PREV", "0") or 0)
+    out = {
+        "metric": "rv32im_Mcycles_proved_per_sec_chip",
+        "value": round(mcps, 4),
+        "unit": f"Mcycles/s/chip (po2={po2 + 1}, {cycles} cycles, "
+                f"prove {prove_s:.2f}s, compile {compile_s:.1f}s, "
+                f"seal {seal_words * 4 // 1024}KiB, verified)",
+        "vs_baseline": round(mcps / prev, 3) if prev else 1.0,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
