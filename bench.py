@@ -28,8 +28,8 @@ def main():
     from zeth_tpu.executor import Executor, guests, load_image
     from zeth_tpu.zkp import proof as proof_mod, prover, verifier
 
-    # build a real segment of ~2^po2 cycles from the spin guest
-    elf = guests.spin((1 << po2) - 4096)
+    # build a real segment filling ~3/4 of the 2^po2 cycle budget
+    elf = guests.spin(max((1 << po2) - 4096, (1 << po2) * 3 // 4))
     entry, ia, iw = load_image(elf)
     res = Executor(elf, segment_po2=po2 + 1, trace=True).run()
     seg = res.segments[0]

@@ -86,6 +86,10 @@ def _lib():
     lib.ex_image_words.restype = ctypes.c_size_t
     lib.ex_image_words.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint32),
                                    ctypes.POINTER(ctypes.c_uint32), ctypes.c_size_t]
+    lib.ex_keccak_inputs_len.restype = ctypes.c_size_t
+    lib.ex_keccak_inputs_len.argtypes = [ctypes.c_void_p]
+    lib.ex_keccak_inputs.restype = ctypes.POINTER(ctypes.c_uint64)
+    lib.ex_keccak_inputs.argtypes = [ctypes.c_void_p]
     lib.ex_trace_enable.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.ex_trace_len.restype = ctypes.c_size_t
     lib.ex_trace_len.argtypes = [ctypes.c_void_p]
@@ -237,6 +241,14 @@ class Executor:
             lib.ex_new_segment(h)
         else:
             raise RuntimeError("segment limit exceeded")
+
+        nk = lib.ex_keccak_inputs_len(h)
+        if nk:
+            kptr = lib.ex_keccak_inputs(h)
+            self.keccak_inputs = np.ctypeslib.as_array(
+                kptr, shape=(nk,)).reshape(-1, 25).copy()
+        else:
+            self.keccak_inputs = np.zeros((0, 25), dtype=np.uint64)
 
         journal = ctypes.create_string_buffer(lib.ex_journal_len(h))
         lib.ex_journal(h, journal)

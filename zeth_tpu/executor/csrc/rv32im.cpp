@@ -95,6 +95,7 @@ struct Executor {
   uint64_t seg_start_user = 0;
   uint64_t seg_paging = 0;
   uint64_t keccak_count = 0;
+  std::vector<uint64_t> keccak_inputs;  // 25 words per accelerator call
 
   std::vector<uint8_t> input;
   size_t input_pos = 0;
@@ -218,6 +219,7 @@ struct Executor {
         uint8_t raw[200];
         read_bytes(a0, raw, 200);
         memcpy(st, raw, 200);
+        keccak_inputs.insert(keccak_inputs.end(), st, st + 25);
         keccakf(st);
         memcpy(raw, st, 200);
         write_bytes(a0, raw, 200);
@@ -470,6 +472,14 @@ void ex_log(void* h, char* out) {
 }
 
 void ex_trace_enable(void* h, int on) { ((Executor*)h)->trace_on = on != 0; }
+
+// recorded keccak accelerator inputs: 25 u64 words per call
+size_t ex_keccak_inputs_len(void* h) {
+  return ((Executor*)h)->keccak_inputs.size();
+}
+const uint64_t* ex_keccak_inputs(void* h) {
+  return ((Executor*)h)->keccak_inputs.data();
+}
 size_t ex_trace_len(void* h) { return ((Executor*)h)->trace.size() / 8; }
 uint32_t* ex_trace_data(void* h) { return ((Executor*)h)->trace.data(); }
 

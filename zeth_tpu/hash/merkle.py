@@ -34,26 +34,39 @@ class MerkleTree:
     """Device-resident tree. layers[0] = root (1, 8) ... layers[-1] = leaves."""
     layers: list          # list of (2^k, 8) device arrays, Montgomery
     n_leaves: int
-    _std: list = None     # lazily fetched standard-form numpy copies
-
-    def _layers_std(self) -> list:
-        if self._std is None:
-            self._std = [np.asarray(F.from_monty(l)).astype(np.uint64)
-                         for l in self.layers]
-        return self._std
+    _root: np.ndarray = None
 
     @property
     def root(self) -> np.ndarray:
         """Root digest in standard form (host numpy, shape (8,))."""
-        return self._layers_std()[0][0]
+        if self._root is None:
+            self._root = np.asarray(
+                F.from_monty(self.layers[0]))[0].astype(np.uint64)
+        return self._root
 
     def open(self, idx: int) -> np.ndarray:
         """Sibling path for leaf idx: (depth, 8) digests, standard form."""
-        path = []
-        for layer in reversed(self._layers_std()[1:]):
-            path.append(layer[idx ^ 1])
-            idx >>= 1
-        return np.stack(path) if path else np.zeros((0, 8), dtype=np.uint64)
+        return self.open_many([idx])[0]
+
+    def open_many(self, indices: list) -> list:
+        """Sibling paths for many leaves with one device gather per layer
+        (avoids pulling whole layers to the host — they can be GBs)."""
+        depth = len(self.layers) - 1
+        sib_per_layer = []   # bottom-up: (n_queries, 8) numpy
+        idxs = list(indices)
+        for layer in reversed(self.layers[1:]):
+            want = jnp.asarray(np.array([i ^ 1 for i in idxs], np.int32))
+            sib = np.asarray(F.from_monty(layer[want])).astype(np.uint64)
+            sib_per_layer.append(sib)
+            idxs = [i >> 1 for i in idxs]
+        out = []
+        for qi in range(len(indices)):
+            if depth == 0:
+                out.append(np.zeros((0, 8), dtype=np.uint64))
+            else:
+                out.append(np.stack([sib_per_layer[d][qi]
+                                     for d in range(depth)]))
+        return out
 
 
 def commit_rows(matrix) -> MerkleTree:

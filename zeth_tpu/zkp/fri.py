@@ -132,16 +132,26 @@ def prove(evals, shift: int, degree: int, transcript: Transcript):
         layer_roots=[t.root for (t, _, _, _) in layers],
         final_coeffs=final_coeffs,
     )
-    mats_std = [np.asarray(F.from_monty(group_matrix(lay))).astype(np.uint64)
-                for (_, lay, _, _) in layers]
-    for q in qs:
-        pos = q
+    # per-layer positions for every query, then one device gather per layer
+    pos_per_layer = []       # [layer][query] -> g
+    cur_pos = list(qs)
+    for (_, _, n_l, _) in layers:
+        m = n_l // FRI_FOLD
+        cur_pos = [p % m for p in cur_pos]
+        pos_per_layer.append(list(cur_pos))
+    rows_per_layer = []
+    paths_per_layer = []
+    for (tree, lay, _, _), gl in zip(layers, pos_per_layer):
+        mat = group_matrix(lay)
+        rows = np.asarray(F.from_monty(
+            mat[jnp.asarray(np.array(gl, np.int32))])).astype(np.uint64)
+        rows_per_layer.append(rows)
+        paths_per_layer.append(tree.open_many(gl))
+    for qi in range(len(qs)):
         per_layer = []
-        for (tree, _, n_l, _), mat_std in zip(layers, mats_std):
-            m = n_l // FRI_FOLD
-            g = pos % m
-            per_layer.append(FriLayerOpening(row=mat_std[g], path=tree.open(g)))
-            pos = g
+        for li in range(len(layers)):
+            per_layer.append(FriLayerOpening(
+                row=rows_per_layer[li][qi], path=paths_per_layer[li][qi]))
         proof.openings.append(per_layer)
     return proof, qs
 

@@ -65,6 +65,7 @@ class StarkProof:
     query_indices: list
 
 
+@functools.partial(jax.jit, static_argnames=("n",))
 def ext_power_series(z_monty, n: int):
     """Device (n, 4) Montgomery array of z^0 .. z^(n-1) (log-depth scan)."""
     zz = jnp.broadcast_to(z_monty, (n, 4))
@@ -73,6 +74,13 @@ def ext_power_series(z_monty, n: int):
     return jnp.concatenate([one, ps[:-1]], axis=0)
 
 
+@jax.jit
+def _tap_eval(coeffs, z_pows):
+    """All columns of a group evaluated at one ext point: (n,c),(n,4)->(c,4)."""
+    return ntt.eval_poly_ext(coeffs, z_pows)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
 def base_power_series(b_monty, n: int):
     """Device (n,) Montgomery array of b^0 .. b^(n-1)."""
     bb = jnp.broadcast_to(b_monty, (n,))
@@ -164,9 +172,10 @@ def _check_group(air: Air, ldes: dict, alpha: np.ndarray, publics, challenges,
         np.stack([np.asarray(H.ext_pow(alpha, i)) for i in range(ncs)])))
     pubs, chals = _device_pubs_chals(publics, challenges)
 
+    chunk = getattr(air, "constraint_chunk", None) or CONSTRAINT_CHUNK
     acc = jnp.zeros((BLOWUP * n, 4), _U32)
-    for s in range(0, ncs, CONSTRAINT_CHUNK):
-        e = min(s + CONSTRAINT_CHUNK, ncs)
+    for s in range(0, ncs, chunk):
+        e = min(s + chunk, ncs)
         with _Stage(f"constraint chunk {s}:{e}"):
             acc = F.ext_add(acc, _chunk_fn(air.name, s, e)(
                 ldes, pubs, chals, alpha_pows[s:e]))
@@ -303,7 +312,7 @@ def prove(air: Air, main_std: np.ndarray, publics: list[int]) -> StarkProof:
         if cf.shape[1] == 0:
             tap_vals.append(np.zeros((0, 4), dtype=np.uint64))
             continue
-        vals = ntt.eval_poly_ext(cf, zp[offset])          # (c, 4)
+        vals = _tap_eval(cf, zp[offset])                  # (c, 4)
         tap_vals.append(_from_monty(vals))
     if _TIMING:
         print(f"[prover] taps: {_time.time() - _tap_t0:.2f}s",
@@ -348,15 +357,17 @@ def prove(air: Air, main_std: np.ndarray, publics: list[int]) -> StarkProof:
     with _Stage("fri"):
         fri_proof, qs = fri.prove(f0, GENERATOR, n, t)
     openings = {}
-    for gname in ("control", "main", "aux", "check"):
-        if ldes[gname].shape[1] == 0:
-            openings[gname] = GroupOpening(
-                rows=np.zeros((len(qs), 0), dtype=np.uint64), paths=[])
-            continue
-        lde_std = _from_monty(ldes[gname])
-        rows = np.stack([lde_std[q] for q in qs])
-        paths = [trees[gname].open(q) for q in qs]
-        openings[gname] = GroupOpening(rows=rows, paths=paths)
+    q_idx = jnp.asarray(np.array(qs, dtype=np.int32))
+    with _Stage("openings"):
+        for gname in ("control", "main", "aux", "check"):
+            if ldes[gname].shape[1] == 0:
+                openings[gname] = GroupOpening(
+                    rows=np.zeros((len(qs), 0), dtype=np.uint64), paths=[])
+                continue
+            # gather only the queried rows on device (the full LDE is huge)
+            rows = _from_monty(ldes[gname][q_idx])
+            paths = trees[gname].open_many(qs)
+            openings[gname] = GroupOpening(rows=rows, paths=paths)
 
     return StarkProof(air_name=air.name, po2=po2, publics=list(publics),
                       roots=roots, taps=taps, fri_proof=fri_proof,
