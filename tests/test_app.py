@@ -261,3 +261,21 @@ def test_rpc_proxy_forwards_and_serves_witness():
     assert "eth_chainId" in calls and "debug_executionWitness" in calls
     up.shutdown()
     proxy.shutdown()
+
+
+# -- run-parallel pipeline ---------------------------------------------------
+
+
+def test_run_parallel_csv(tmp_path, monkeypatch):
+    from zeth_tpu.app import run_parallel
+    d, block = _fixture_input()
+    proc = BlockProcessor.for_chain_id(1)
+    proc.save_input(str(tmp_path), d)
+    monkeypatch.setenv("ZETH_DEV_MODE", "1")
+    out = tmp_path / "results.csv"
+    rc = run_parallel.main(["--jobs", "1", "--cache-dir", str(tmp_path),
+                            "--output", str(out)])
+    assert rc == 0
+    lines = out.read_text().strip().splitlines()
+    assert lines[0].startswith("block_number,execution_time,total_cycles")
+    assert lines[1].startswith("101,")
