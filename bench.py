@@ -18,7 +18,7 @@ import time
 
 
 def main():
-    po2 = int(os.environ.get("BENCH_PO2", "14"))
+    po2 = int(os.environ.get("BENCH_PO2", "12"))
     if os.environ.get("BENCH_PLATFORM"):
         os.environ["JAX_PLATFORMS"] = os.environ["BENCH_PLATFORM"]
 
@@ -28,8 +28,9 @@ def main():
     from zeth_tpu.executor import Executor, guests, load_image
     from zeth_tpu.zkp import proof as proof_mod, prover, verifier
 
-    # build a real segment filling ~3/4 of the 2^po2 cycle budget
-    elf = guests.spin(max((1 << po2) - 4096, (1 << po2) * 3 // 4))
+    # over-request cycles; the executor splits at the segment budget, so
+    # segments[0] is a *full* segment for the chosen po2
+    elf = guests.spin(1 << (po2 + 3))
     entry, ia, iw = load_image(elf)
     res = Executor(elf, segment_po2=po2 + 1, trace=True).run()
     seg = res.segments[0]
@@ -44,7 +45,7 @@ def main():
     compile_s = time.time() - t0
 
     times = []
-    for _ in range(int(os.environ.get("BENCH_REPS", "2"))):
+    for _ in range(int(os.environ.get("BENCH_REPS", "1"))):
         t0 = time.time()
         pf = prover.prove(air, main_std, publics)
         times.append(time.time() - t0)

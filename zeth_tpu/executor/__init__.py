@@ -217,6 +217,12 @@ class Executor:
     def run(self, max_segments: int = 1 << 20) -> ExecResult:
         lib, h = self.lib, self.h
         limit = 1 << self.segment_po2
+        # a single instruction may cost up to 1 + 2*PAGE_CYCLES, so smaller
+        # segments cannot guarantee progress
+        if limit <= 2 * PAGE_CYCLES + 1:
+            raise ValueError(
+                f"segment_po2={self.segment_po2} too small: budget {limit} "
+                f"<= paging reserve {2 * PAGE_CYCLES + 1} (need po2 >= 12)")
         segments = []
         user0 = paging0 = 0
         for seg_idx in range(max_segments):
@@ -238,6 +244,10 @@ class Executor:
                 break
             if status == ST_ERROR:
                 raise RuntimeError(f"guest fault at pc=0x{lib.ex_pc(h):08x}")
+            if seg_user == 0:
+                raise RuntimeError(
+                    "segment made no progress (budget too small for one "
+                    "instruction's worst-case paging cost)")
             lib.ex_new_segment(h)
         else:
             raise RuntimeError("segment limit exceeded")

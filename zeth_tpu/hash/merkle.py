@@ -69,10 +69,9 @@ class MerkleTree:
         return out
 
 
-def commit_rows(matrix) -> MerkleTree:
-    """Commit a (rows, cols) Montgomery matrix. rows must be a power of two."""
-    n = matrix.shape[0]
-    assert n & (n - 1) == 0, "row count must be a power of two"
+@jax.jit
+def _build_layers(matrix):
+    """Leaf hash + all tree layers in ONE program (one device dispatch)."""
     leaves = P2.hash_rows(matrix)
     layers = [leaves]
     cur = leaves
@@ -80,23 +79,33 @@ def commit_rows(matrix) -> MerkleTree:
         cur = P2.hash_pairs(cur[0::2], cur[1::2])
         layers.append(cur)
     layers.reverse()
-    return MerkleTree(layers=layers, n_leaves=n)
+    return layers
 
 
-commit_rows_jit = jax.jit(lambda m: [l for l in commit_rows(m).layers])
+def commit_rows(matrix) -> MerkleTree:
+    """Commit a (rows, cols) Montgomery matrix. rows must be a power of two."""
+    n = matrix.shape[0]
+    assert n & (n - 1) == 0, "row count must be a power of two"
+    return MerkleTree(layers=_build_layers(matrix), n_leaves=n)
 
 
-def commit_digests(digests) -> MerkleTree:
-    """Build a tree over precomputed leaf digests (n, 8) Montgomery."""
-    n = digests.shape[0]
-    assert n & (n - 1) == 0
+@jax.jit
+def _build_layers_from_digests(digests):
     layers = [digests]
     cur = digests
     while cur.shape[0] > 1:
         cur = P2.hash_pairs(cur[0::2], cur[1::2])
         layers.append(cur)
     layers.reverse()
-    return MerkleTree(layers=layers, n_leaves=n)
+    return layers
+
+
+def commit_digests(digests) -> MerkleTree:
+    """Build a tree over precomputed leaf digests (n, 8) Montgomery."""
+    n = digests.shape[0]
+    assert n & (n - 1) == 0
+    return MerkleTree(layers=_build_layers_from_digests(digests),
+                      n_leaves=n)
 
 
 # ---------------------------------------------------------------------------
