@@ -37,7 +37,8 @@ def main():
     cycles = seg.trace.shape[0]
 
     air = rv.Rv32imAir(ia, iw)
-    main_std, publics = air.witgen(seg.trace, po2 + 1, seg.exit_pc)
+    main_std, publics = air.witgen(seg.trace, po2 + 1, seg.exit_pc,
+                                   seg.entry_regs)
 
     # warm-up run (compile), then timed runs
     t0 = time.time()

@@ -13,7 +13,8 @@ from zeth_tpu.circuits.rv32im import LAYOUT, Rv32imAir, choose_po2
 from zeth_tpu.executor import Executor, guests, load_image
 from zeth_tpu.zkp.air import check_constraints
 
-CHAL = np.array([[999999937, 3, 0, 0], [123456789, 7, 0, 0]], dtype=np.uint64)
+CHAL = np.array([[999999937, 3, 0, 0], [123456789, 7, 0, 0],
+                 [55555333, 0, 0, 0], [77777177, 0, 0, 0]], dtype=np.uint64)
 
 
 def _witness(elf, inp=b""):
@@ -22,7 +23,7 @@ def _witness(elf, inp=b""):
     seg = res.segments[0]
     air = Rv32imAir(ia, iw)
     po2 = choose_po2(seg.trace.shape[0], len(ia))
-    main, pubs = air.witgen(seg.trace, po2, seg.exit_pc)
+    main, pubs = air.witgen(seg.trace, po2, seg.exit_pc, seg.entry_regs)
     ctrl = air.control_trace(po2)
     return air, ctrl, main, pubs
 
@@ -81,3 +82,61 @@ def test_skipped_branch_detected():
     br = np.where(main[:, LAYOUT.idx("sel", 4)] == 1)[0]
     main[br[0], LAYOUT.idx("taken")] ^= 1
     assert _check(air, ctrl, main, pubs) != {}
+
+
+# -- register-file memory argument -------------------------------------------
+
+
+def test_multisegment_continuation_with_live_registers():
+    elf = guests.spin(30000)
+    entry, ia, iw = load_image(elf)
+    res = Executor(elf, segment_po2=13, trace=True).run()
+    assert len(res.segments) >= 3
+    for seg in res.segments[1:3]:   # continuation segments: nonzero regs
+        air = Rv32imAir(ia, iw)
+        po2 = choose_po2(seg.trace.shape[0], len(ia))
+        main, pubs = air.witgen(seg.trace, po2, seg.exit_pc, seg.entry_regs)
+        ctrl = air.control_trace(po2)
+        assert (seg.entry_regs != 0).any()
+        assert check_constraints(air, ctrl, main, _aux(air, main),
+                                 pubs, CHAL) == {}
+
+
+def test_forged_register_read_detected():
+    air, ctrl, main, pubs = _witness(guests.sum_loop(50))
+    from zeth_tpu.circuits.rv32im import N_INIT_ROWS
+    main[N_INIT_ROWS + 10, LAYOUT.idx("rs1v", 0)] ^= 1
+    assert check_constraints(air, ctrl, main, _aux(air, main),
+                             pubs, CHAL) != {}
+
+
+def test_forged_register_write_detected():
+    air, ctrl, main, pubs = _witness(guests.sum_loop(50))
+    op_rows = np.where(main[:, LAYOUT.idx("sel", 8)] == 1)[0]
+    main[op_rows[0], LAYOUT.idx("res", 2)] ^= 1
+    assert check_constraints(air, ctrl, main, _aux(air, main),
+                             pubs, CHAL) != {}
+
+
+def test_forged_init_register_detected():
+    air, ctrl, main, pubs = _witness(guests.sum_loop(50))
+    main[5, LAYOUT.idx("res", 0)] ^= 1   # init row of x5
+    assert check_constraints(air, ctrl, main, _aux(air, main),
+                             pubs, CHAL) != {}
+
+
+def test_dropped_sorted_write_detected():
+    air, ctrl, main, pubs = _witness(guests.sum_loop(50))
+    done = False
+    for r in range(main.shape[0]):
+        for u in range(3):
+            if (main[r, LAYOUT.idx("m_act", u)] == 1
+                    and main[r, LAYOUT.idx("m_wr", u)] == 1):
+                main[r, LAYOUT.idx("m_act", u)] = 0
+                done = True
+                break
+        if done:
+            break
+    assert done
+    assert check_constraints(air, ctrl, main, _aux(air, main),
+                             pubs, CHAL) != {}

@@ -45,9 +45,15 @@ CLASSES = [
     ("LUI", 0x37), ("AUIPC", 0x17), ("JAL", 0x6F), ("JALR", 0x67),
     ("BRANCH", 0x63), ("LOAD", 0x03), ("STORE", 0x23), ("OPIMM", 0x13),
     ("OP", 0x33), ("SYSTEM", 0x73), ("FENCE", 0x0F), ("PAD", 0x00),
+    ("INIT", 0x00),   # rows 0..31: register-file init writes (one per reg)
 ]
 NCLASS = len(CLASSES)
 CLASS_IDX = {name: i for i, (name, _) in enumerate(CLASSES)}
+
+N_INIT_ROWS = 32     # one register-init write row per register
+ORD_BITS = 24        # sorted-order diffs (ts = 3*cycle+unit < 3*2^21)
+# classes whose result is written back to rd
+WB_CLASSES = ("LUI", "AUIPC", "JAL", "JALR", "OPIMM", "OP", "LOAD")
 
 
 class Layout:
@@ -66,6 +72,12 @@ class Layout:
             ("npc_c1", 1), ("npc_c2", 1),
             ("jalr_lsb", 1), ("taken", 1), ("sub", 1), ("op_alu", 1),
             ("rom_m", 1),
+            # register-file memory argument: rd != 0 helper + the sorted
+            # access trace (3 units per row, sorted by (reg, cycle, unit))
+            ("rd_nz", 1), ("rd_inv", 1),
+            ("m_reg", 3), ("m_cyc", 3), ("m_vlo", 3), ("m_vhi", 3),
+            ("m_wr", 3), ("m_act", 3), ("m_same", 3), ("g_rw", 3),
+            ("ord_bits", 3 * ORD_BITS),
         ]:
             self.slices[name] = slice(self.n, self.n + width)
             self.n += width
@@ -81,11 +93,16 @@ LAYOUT = Layout()
 # control columns
 C_IS_FIRST, C_IS_LAST = 0, 1
 C_ROM_ALO, C_ROM_AHI, C_ROM_WLO, C_ROM_WHI = 2, 3, 4, 5
-N_CONTROL = 6
+C_CYCLE, C_IS_INIT = 6, 7
+N_CONTROL = 8
 
-# aux columns (LogUp): t = fetch term, u = rom term, acc = running sum
+# aux columns (LogUp): t = fetch term, u = rom term, acc = running sum;
+# register argument: 3 unsorted + 3 sorted access terms + running sum
 A_T, A_U, A_ACC = 0, 1, 2
-N_AUX = 3
+A_RU = 3          # unsorted access terms (3)
+A_RS = 6          # sorted access terms (3)
+A_RACC = 9
+N_AUX = 10
 
 # bit lists for immediates: entry is ("b", insn_bit_index) or 0
 def _imm_bits(kind: str):
@@ -119,7 +136,7 @@ class Rv32imAir(Air):
     control_cols = N_CONTROL
     main_cols = LAYOUT.n
     aux_cols = N_AUX
-    n_challenges = 2     # gamma0 (LogUp point), gamma1 (tuple fingerprint)
+    n_challenges = 4     # g0/g1: fetch LogUp; g2/g3: register argument
 
     def __init__(self, image_addrs: np.ndarray, image_words: np.ndarray):
         """image_*: the initial memory image (sorted by address)."""
@@ -153,21 +170,33 @@ class Rv32imAir(Air):
         cols[:, C_ROM_AHI] = addrs >> np.uint64(16)
         cols[:, C_ROM_WLO] = words & 0xFFFF
         cols[:, C_ROM_WHI] = words >> np.uint64(16)
+        cols[:, C_CYCLE] = np.arange(n)
+        cols[:N_INIT_ROWS, C_IS_INIT] = 1
         return cols
 
     # -- witgen ------------------------------------------------------------
 
-    def witgen(self, trace: np.ndarray, po2: int,
-               exit_pc: int) -> tuple[np.ndarray, list]:
+    def witgen(self, trace: np.ndarray, po2: int, exit_pc: int,
+               entry_regs: np.ndarray | None = None) -> tuple[np.ndarray, list]:
         """Expand executor trace records -> (main_std (n, main_cols), publics).
 
         trace: (cycles, 8) uint32 [pc, insn, rs1v, rs2v, rdv, maddr, mval, fl]
         exit_pc: machine pc after the segment's last instruction (from the
         executor) — becomes the frozen padding-row pc and the exit public.
+        entry_regs: (32,) register file at segment entry (zeros if omitted);
+        written by the N_INIT_ROWS leading init rows.
+
+        Row layout: [0, 32) = register init rows; [32, 32+cycles) = executed
+        instructions; rest = padding.
         """
         n = 1 << po2
         rows = trace.shape[0]
-        assert rows < n, "need at least one padding row"
+        B = N_INIT_ROWS
+        assert B + rows < n, "need at least one padding row"
+        if entry_regs is None:
+            entry_regs = np.zeros(32, dtype=np.uint64)
+        entry_regs = np.asarray(entry_regs, dtype=np.uint64)
+        assert entry_regs[0] == 0
         m = np.zeros((n, LAYOUT.n), dtype=np.uint64)
         L = LAYOUT
 
@@ -184,7 +213,9 @@ class Rv32imAir(Air):
 
         pad_pc = np.uint64(exit_pc & 0xFFFFFFFF)
 
-        def put_bits(name, vals, where=slice(0, rows)):
+        def put_bits(name, vals, where=None):
+            if where is None:
+                where = slice(B, B + rows)
             s = L.slices[name]
             for j in range(s.stop - s.start):
                 m[where, s.start + j] = (vals >> np.uint64(j)) & np.uint64(1)
@@ -194,8 +225,14 @@ class Rv32imAir(Air):
         put_bits("rs1v", rs1v)
         put_bits("rs2v", rs2v)
         put_bits("res", rdv)
-        m[rows:, L.slices["pc"].start:L.slices["pc"].stop] = (
+        m[B + rows:, L.slices["pc"].start:L.slices["pc"].stop] = (
             (pad_pc >> np.arange(32).astype(np.uint64)) & 1)
+        # init rows: pc frozen at the entry pc; res carries the incoming
+        # register value written by that row's init unit
+        entry_pc = np.uint64(int(trace[0, 0]) if rows else int(exit_pc))
+        m[:B, L.slices["pc"].start:L.slices["pc"].stop] = (
+            (entry_pc >> np.arange(32).astype(np.uint64)) & 1)
+        put_bits("res", entry_regs, where=slice(0, B))
 
         # class selectors
         class_of = np.full(rows, CLASS_IDX["PAD"], dtype=np.int64)
@@ -203,12 +240,14 @@ class Rv32imAir(Air):
             if name == "PAD":
                 continue
             class_of[opcode == opc] = CLASS_IDX[name]
-        m[np.arange(rows), L.idx("sel") + class_of] = 1
-        m[rows:, L.idx("sel", CLASS_IDX["PAD"])] = 1
+        m[B + np.arange(rows), L.idx("sel") + class_of] = 1
+        m[B + rows:, L.idx("sel", CLASS_IDX["PAD"])] = 1
+        m[:B, L.idx("sel", CLASS_IDX["INIT"])] = 1
 
         # f3 one-hot (padding rows: f3 = 0)
-        m[np.arange(rows), L.idx("f3_sel") + f3.astype(np.int64)] = 1
-        m[rows:, L.idx("f3_sel", 0)] = 1
+        m[B + np.arange(rows), L.idx("f3_sel") + f3.astype(np.int64)] = 1
+        m[B + rows:, L.idx("f3_sel", 0)] = 1
+        m[:B, L.idx("f3_sel", 0)] = 1
 
         is_cls = {name: class_of == CLASS_IDX[name] for name, _ in CLASSES}
 
@@ -226,9 +265,9 @@ class Rv32imAir(Air):
         d = (a_cmp - b_cmp) & np.uint64(0xFFFFFFFF)
         put_bits("cmp_d", d)
         c1 = ((b_cmp & 0xFFFF) + (d & 0xFFFF)) >> np.uint64(16)
-        m[:rows, L.idx("cmp_c1")] = c1
+        m[B:B + rows, L.idx("cmp_c1")] = c1
         ltu = a_cmp < b_cmp
-        m[:rows, L.idx("cmp_lt")] = ltu
+        m[B:B + rows, L.idx("cmp_lt")] = ltu
 
         # equality unit (rs1 vs rs2, per 16-bit limb)
         def inv_or_zero(x):
@@ -240,12 +279,14 @@ class Rv32imAir(Air):
         dhi = (rs1v >> np.uint64(16)).astype(np.int64) - (rs2v >> np.uint64(16)).astype(np.int64)
         dlo_f = np.mod(dlo, P).astype(np.uint64)
         dhi_f = np.mod(dhi, P).astype(np.uint64)
-        m[:rows, L.idx("eq_lo")] = dlo_f == 0
-        m[:rows, L.idx("eq_hi")] = dhi_f == 0
-        m[:rows, L.idx("eq_inv_lo")] = inv_or_zero(dlo_f)
-        m[:rows, L.idx("eq_inv_hi")] = inv_or_zero(dhi_f)
-        m[rows:, L.idx("eq_lo")] = 1
-        m[rows:, L.idx("eq_hi")] = 1
+        m[B:B + rows, L.idx("eq_lo")] = dlo_f == 0
+        m[B:B + rows, L.idx("eq_hi")] = dhi_f == 0
+        m[B:B + rows, L.idx("eq_inv_lo")] = inv_or_zero(dlo_f)
+        m[B:B + rows, L.idx("eq_inv_hi")] = inv_or_zero(dhi_f)
+        m[B + rows:, L.idx("eq_lo")] = 1
+        m[:B, L.idx("eq_lo")] = 1
+        m[B + rows:, L.idx("eq_hi")] = 1
+        m[:B, L.idx("eq_hi")] = 1
 
         # shift unit
         shamt = np.where(is_cls["OPIMM"], (insn >> np.uint64(20)) & np.uint64(31),
@@ -253,16 +294,17 @@ class Rv32imAir(Air):
         is_shift = ((is_cls["OPIMM"] | (is_cls["OP"] & (b25 == 0)))
                     & ((f3 == 1) | (f3 == 5)))
         shamt = np.where(is_shift, shamt, 0)
-        m[np.arange(rows), L.idx("sh_sel") + shamt.astype(np.int64)] = 1
-        m[rows:, L.idx("sh_sel", 0)] = 1
+        m[B + np.arange(rows), L.idx("sh_sel") + shamt.astype(np.int64)] = 1
+        m[B + rows:, L.idx("sh_sel", 0)] = 1
+        m[:B, L.idx("sh_sel", 0)] = 1
 
         # OP-class ALU selector: excludes the M extension (funct7 bit 25)
         op_alu = (is_cls["OP"] & (b25 == 0)).astype(np.uint64)
-        m[:rows, L.idx("op_alu")] = op_alu
+        m[B:B + rows, L.idx("op_alu")] = op_alu
 
         # sub flag and ALU adder carries
         sub = (is_cls["OP"] & (b25 == 0) & (f3 == 0) & (b30 == 1)).astype(np.uint64)
-        m[:rows, L.idx("sub")] = sub
+        m[B:B + rows, L.idx("sub")] = sub
         alu_a = np.zeros(rows, dtype=np.uint64)
         alu_b = np.zeros(rows, dtype=np.uint64)
         alu_cin = np.zeros(rows, dtype=np.uint64)
@@ -280,8 +322,8 @@ class Rv32imAir(Air):
         s_lo = (alu_a & 0xFFFF) + (alu_b & 0xFFFF) + alu_cin
         ac1 = s_lo >> np.uint64(16)
         s_hi = (alu_a >> np.uint64(16)) + (alu_b >> np.uint64(16)) + ac1
-        m[:rows, L.idx("alu_c1")] = ac1
-        m[:rows, L.idx("alu_c2")] = s_hi >> np.uint64(16)
+        m[B:B + rows, L.idx("alu_c1")] = ac1
+        m[B:B + rows, L.idx("alu_c2")] = s_hi >> np.uint64(16)
 
         # branch taken + next-pc adder
         taken = np.zeros(rows, dtype=np.uint64)
@@ -291,13 +333,13 @@ class Rv32imAir(Air):
             [f3 == 0, f3 == 1, f3 == 4, f3 == 5, f3 == 6, f3 == 7],
             [eq, ~eq, ltu, ~ltu, ltu, ~ltu], default=False)
         taken[bm] = cond[bm]
-        m[:rows, L.idx("taken")] = taken
+        m[B:B + rows, L.idx("taken")] = taken
 
         imm_j = _imm_value("j", insn)
         imm_b = _imm_value("b", insn)
         jalr_t = (rs1v + imm_i) & np.uint64(0xFFFFFFFF)
         lsb = np.where(is_cls["JALR"], jalr_t & 1, 0).astype(np.int64)
-        m[:rows, L.idx("jalr_lsb")] = lsb
+        m[B:B + rows, L.idx("jalr_lsb")] = lsb
 
         # carries for the generic next-pc adder, in *integer* limb arithmetic
         # (the JALR addend is imm_lo - lsb, which never underflows: lsb <=
@@ -317,8 +359,8 @@ class Rv32imAir(Air):
             default=0)
         nc1 = ((npc_a & 0xFFFF).astype(np.int64) + b_lo_int) >> 16
         nhi = (npc_a >> np.uint64(16)).astype(np.int64) + b_hi_int + nc1
-        m[:rows, L.idx("npc_c1")] = nc1
-        m[:rows, L.idx("npc_c2")] = (nhi >> 16) & 1
+        m[B:B + rows, L.idx("npc_c1")] = nc1
+        m[B:B + rows, L.idx("npc_c2")] = (nhi >> 16) & 1
 
         # ROM multiplicities: fetch counts per image address
         rom_m = np.zeros(n, dtype=np.uint64)
@@ -331,7 +373,74 @@ class Rv32imAir(Air):
             rom_m[row] = c
         m[:, L.idx("rom_m")] = rom_m
 
-        publics = [int(pc[0]) & 0xFFFF, int(pc[0]) >> 16,
+        # --- register-file access log + sorted trace ---------------------
+        rd_f = (insn >> np.uint64(7)) & np.uint64(31)
+        rs1_f = (insn >> np.uint64(15)) & np.uint64(31)
+        rs2_f = (insn >> np.uint64(20)) & np.uint64(31)
+        m[B:B + rows, L.idx("rd_nz")] = rd_f != 0
+        m[B:B + rows, L.idx("rd_inv")] = inv_or_zero(rd_f)
+
+        wb_mask = np.zeros(rows, dtype=bool)
+        for name in WB_CLASSES:
+            wb_mask |= is_cls[name]
+        w_act = (wb_mask & (rd_f != 0)) | is_cls["SYSTEM"]
+        w_reg = np.where(is_cls["SYSTEM"], 10, rd_f)
+
+        # entries: (reg, ts, vlo, vhi, wr, act); ts = 3*row + unit
+        ex_rows = B + np.arange(rows)
+        regs_col = [np.arange(32, dtype=np.uint64), rs1_f, rs2_f, w_reg]
+        entries = []
+        # init writes (rows 0..31, unit 2)
+        entries.append(np.stack([
+            np.arange(32, dtype=np.uint64),
+            3 * np.arange(32, dtype=np.uint64) + 2,
+            entry_regs & np.uint64(0xFFFF), entry_regs >> np.uint64(16),
+            np.ones(32, dtype=np.uint64), np.ones(32, dtype=np.uint64)],
+            axis=1))
+        if rows:
+            entries.append(np.stack([
+                rs1_f, 3 * ex_rows.astype(np.uint64),
+                rs1v & np.uint64(0xFFFF), rs1v >> np.uint64(16),
+                np.zeros(rows, dtype=np.uint64),
+                np.ones(rows, dtype=np.uint64)], axis=1))
+            entries.append(np.stack([
+                rs2_f, 3 * ex_rows.astype(np.uint64) + 1,
+                rs2v & np.uint64(0xFFFF), rs2v >> np.uint64(16),
+                np.zeros(rows, dtype=np.uint64),
+                np.ones(rows, dtype=np.uint64)], axis=1))
+            entries.append(np.stack([
+                w_reg, 3 * ex_rows.astype(np.uint64) + 2,
+                rdv & np.uint64(0xFFFF), rdv >> np.uint64(16),
+                np.ones(rows, dtype=np.uint64),
+                w_act.astype(np.uint64)], axis=1))
+        log = np.concatenate(entries, axis=0)
+        log = log[log[:, 5] == 1]                     # active only
+        order = np.lexsort((log[:, 1], log[:, 0]))    # by (reg, ts)
+        log = log[order]
+        ne = log.shape[0]
+        assert ne <= 3 * n
+        for col, name in ((0, "m_reg"), (1, "m_cyc"), (2, "m_vlo"),
+                          (3, "m_vhi"), (4, "m_wr"), (5, "m_act")):
+            flat = np.zeros(3 * n, dtype=np.uint64)
+            flat[:ne] = log[:, col]
+            for u in range(3):
+                m[:, L.idx(name, u)] = flat[u::3]
+        same = np.zeros(3 * n, dtype=np.uint64)
+        if ne > 1:
+            same[1:ne] = log[1:, 0] == log[:-1, 0]
+        ordb = np.zeros(3 * n, dtype=np.uint64)
+        if ne > 1:
+            d = np.where(same[1:ne] == 1,
+                         log[1:, 1] - log[:-1, 1] - 1,
+                         log[1:, 0] - log[:-1, 0] - 1)
+            ordb[1:ne] = d
+        for u in range(3):
+            m[:, L.idx("m_same", u)] = same[u::3]
+            for j in range(ORD_BITS):
+                m[:, L.idx("ord_bits", u * ORD_BITS + j)] =                     (ordb[u::3] >> np.uint64(j)) & np.uint64(1)
+
+        entry_pc_i = int(entry_pc)
+        publics = [entry_pc_i & 0xFFFF, entry_pc_i >> 16,
                    int(pad_pc) & 0xFFFF, int(pad_pc) >> 16]
         return m, publics
 
@@ -364,7 +473,8 @@ class Rv32imAir(Air):
                  + pow(g1, 2, P) * ctrl[:, C_ROM_WLO] % P
                  + pow(g1, 3, P) * ctrl[:, C_ROM_WHI] % P) % P
 
-        active = 1 - main_std[:, L.idx("sel", CLASS_IDX["PAD"])]
+        active = (1 - main_std[:, L.idx("sel", CLASS_IDX["PAD"])]
+                  - main_std[:, L.idx("sel", CLASS_IDX["INIT"])])
         rom_m = main_std[:, L.idx("rom_m")]
 
         inv_f = _vec_modinv((np.uint64(g0) + np.uint64(P) - key_f) % np.uint64(P))
@@ -372,7 +482,60 @@ class Rv32imAir(Air):
         t = active * inv_f % P
         u = rom_m * inv_r % P
         acc = np.cumsum((t.astype(object) - u) % P) % P
-        aux = np.stack([t, u, np.array(acc, dtype=np.uint64)], axis=1)
+
+        # --- register-file argument terms (challenges g2, g3) -------------
+        g2 = int(challenges[2][0]) % P
+        g3 = int(challenges[3][0]) % P
+        g3p = [1, g3, g3 * g3 % P, pow(g3, 3, P), pow(g3, 4, P)]
+        cyc = np.arange(n, dtype=np.uint64)
+        sel = lambda nm: main_std[:, L.idx("sel", CLASS_IDX[nm])]
+        bits = lambda nm, lo, hi: sum(
+            (main_std[:, L.idx(nm, j)] << np.uint64(j - lo))
+            for j in range(lo, hi))
+
+        def fp(reg, ts, vlo, vhi, wr):
+            return (reg + g3p[1] * ts % P + g3p[2] * vlo % P
+                    + g3p[3] * vhi % P + g3p[4] * wr % P) % np.uint64(P)
+
+        def term(fp_vals, act):
+            inv = _vec_modinv((np.uint64(g2) + np.uint64(P)
+                               - fp_vals % np.uint64(P)) % np.uint64(P))
+            return act % np.uint64(P) * inv % np.uint64(P)
+
+        is_init = sel("INIT")
+        rs1_f = bits("insn", 15, 20)
+        rs2_f = bits("insn", 20, 25)
+        rd_f = bits("insn", 7, 12)
+        rs1v_lo, rs1v_hi = bits("rs1v", 0, 16), bits("rs1v", 16, 32)
+        rs2v_lo, rs2v_hi = bits("rs2v", 0, 16), bits("rs2v", 16, 32)
+        res_lo, res_hi = bits("res", 0, 16), bits("res", 16, 32)
+        rd_nz = main_std[:, L.idx("rd_nz")]
+        wb = sum(sel(nm) for nm in WB_CLASSES)
+        w_act = (wb * rd_nz + sel("SYSTEM")) % np.uint64(P)
+        w_reg = (wb * rd_nz % P * rd_f + sel("SYSTEM") * 10
+                 + is_init * cyc) % np.uint64(P)
+        w_act_all = (w_act + is_init) % np.uint64(P)
+
+        t_r1 = term(fp(rs1_f, 3 * cyc, rs1v_lo, rs1v_hi, 0), active)
+        t_r2 = term(fp(rs2_f, 3 * cyc + 1, rs2v_lo, rs2v_hi, 0), active)
+        t_w = term(fp(w_reg, 3 * cyc + 2, res_lo, res_hi, 1), w_act_all)
+        s_terms = []
+        for u2 in range(3):
+            s_terms.append(term(
+                fp(main_std[:, L.idx("m_reg", u2)],
+                   main_std[:, L.idx("m_cyc", u2)],
+                   main_std[:, L.idx("m_vlo", u2)],
+                   main_std[:, L.idx("m_vhi", u2)],
+                   main_std[:, L.idx("m_wr", u2)]),
+                main_std[:, L.idx("m_act", u2)]))
+        delta = (t_r1.astype(object) + t_r2 + t_w
+                 - s_terms[0] - s_terms[1] - s_terms[2]) % P
+        racc = np.cumsum(delta) % P
+
+        aux = np.stack([t, u, np.array(acc, dtype=np.uint64),
+                        t_r1, t_r2, t_w,
+                        s_terms[0], s_terms[1], s_terms[2],
+                        np.array(racc, dtype=np.uint64)], axis=1)
         monty = ((aux.astype(np.uint64) << np.uint64(32)) % np.uint64(P)).astype(np.uint32)
         return jnp.asarray(monty)
 
@@ -433,7 +596,8 @@ class Rv32imAir(Air):
                       "sel", "f3_sel"]
                      + ["cmp_c1", "cmp_lt", "eq_lo", "eq_hi", "alu_c1",
                         "alu_c2", "npc_c1", "npc_c2", "jalr_lsb", "taken",
-                        "sub", "op_alu"])
+                        "sub", "op_alu", "rd_nz", "m_wr", "m_act", "m_same", "g_rw"]
+                     + ["ord_bits"])
         for name in bool_cols:
             s = L.slices[name]
             for k in range(s.stop - s.start):
@@ -450,6 +614,10 @@ class Rv32imAir(Air):
             cs.append(mul(sel(nm), sub_(opc_val, ops.const(opc))))
         cs.append(mul(sel("PAD"), lump("insn", True)))
         cs.append(mul(sel("PAD"), lump("insn", False)))
+        cs.append(mul(sel("INIT"), lump("insn", True)))
+        cs.append(mul(sel("INIT"), lump("insn", False)))
+        # init rows are exactly the control-designated leading rows
+        cs.append(sub_(sel("INIT"), ctl(C_IS_INIT)))
         # padding is terminal (until last row)
         not_last = sub_(one, ctl(C_IS_LAST))
         cs.append(mul(mul(sel("PAD"), sub_(one, sel("PAD", 1))), not_last))
@@ -640,7 +808,7 @@ class Rv32imAir(Air):
         t = v("aux", A_T)
         u = v("aux", A_U)
         acc = v("aux", A_ACC)
-        active = sub_(one, sel("PAD"))
+        active = sub_(sub_(one, sel("PAD")), sel("INIT"))
         cs.append(sub_(mul(sub_(g0, key_f), t), active))
         cs.append(sub_(mul(sub_(g0, key_r), u), m("rom_m")))
         cs.append(mul(isf, sub_(acc, sub_(t, u))))
@@ -648,6 +816,104 @@ class Rv32imAir(Air):
                       sub_(v("aux", A_ACC, 1),
                            add(acc, sub_(v("aux", A_T, 1), v("aux", A_U, 1))))))
         cs.append(mul(isl, acc))
+
+        # --- register-file memory argument (challenges g2, g3) ------------
+        g2 = challenges[2]
+        g3 = challenges[3]
+        g3_2 = mul(g3, g3)
+        g3_3 = mul(g3_2, g3)
+        g3_4 = mul(g3_3, g3)
+        cyc = ctl(C_CYCLE)
+        three_cyc = mul(ops.const(3), cyc)
+
+        def fp(reg, ts, vlo, vhi, wr):
+            out = add(reg, mul(g3, ts))
+            out = add(out, mul(g3_2, vlo))
+            out = add(out, mul(g3_3, vhi))
+            return add(out, mul(g3_4, wr))
+
+        rs1_f = lin([(1 << (i - 15), m("insn", i)) for i in range(15, 20)])
+        rs2_f = lin([(1 << (i - 20), m("insn", i)) for i in range(20, 25)])
+        rd_f = lin([(1 << (i - 7), m("insn", i)) for i in range(7, 12)])
+        # rd_nz = (rd_f != 0) via the inverse trick
+        rd_nz = m("rd_nz")
+        cs.append(sub_(rd_nz, mul(rd_f, m("rd_inv"))))
+        cs.append(mul(sub_(one, rd_nz), rd_f))
+
+        wb = lin([(1, sel(nm)) for nm in WB_CLASSES])
+        w_act = add(mul(wb, rd_nz), sel("SYSTEM"))
+        w_reg = add(add(mul(mul(wb, rd_nz), rd_f),
+                        mul(sel("SYSTEM"), ops.const(10))),
+                    mul(sel("INIT"), cyc))
+        w_act_all = add(w_act, sel("INIT"))
+
+        fp_r1 = fp(rs1_f, three_cyc, lump("rs1v", True), lump("rs1v", False),
+                   ops.const(0))
+        fp_r2 = fp(rs2_f, add(three_cyc, one), lump("rs2v", True),
+                   lump("rs2v", False), ops.const(0))
+        fp_w = fp(w_reg, add(three_cyc, ops.const(2)), lump("res", True),
+                  lump("res", False), one)
+        t_r1, t_r2, t_w = v("aux", A_RU), v("aux", A_RU + 1), v("aux", A_RU + 2)
+        cs.append(sub_(mul(sub_(g2, fp_r1), t_r1), active))
+        cs.append(sub_(mul(sub_(g2, fp_r2), t_r2), active))
+        cs.append(sub_(mul(sub_(g2, fp_w), t_w), w_act_all))
+        for u in range(3):
+            fp_s = fp(m("m_reg", u), m("m_cyc", u), m("m_vlo", u),
+                      m("m_vhi", u), m("m_wr", u))
+            cs.append(sub_(mul(sub_(g2, fp_s), v("aux", A_RS + u)),
+                           m("m_act", u)))
+        # running sum over (unsorted - sorted)
+        def rdelta(off=0):
+            d = add(add(v("aux", A_RU, off), v("aux", A_RU + 1, off)),
+                    v("aux", A_RU + 2, off))
+            for u in range(3):
+                d = sub_(d, v("aux", A_RS + u, off))
+            return d
+        racc = v("aux", A_RACC)
+        cs.append(mul(isf, sub_(racc, rdelta())))
+        cs.append(mul(not_last, sub_(v("aux", A_RACC, 1),
+                                     add(racc, rdelta(1)))))
+        cs.append(mul(isl, racc))
+
+        # sorted-trace consistency: 3 boundaries per row
+        # boundary (prev=(u-1 or prev row u2), next=u)
+        def ord_lump(u, off=0):
+            return lin([(1 << j, m("ord_bits", u * ORD_BITS + j, off))
+                        for j in range(ORD_BITS)])
+
+        def boundary(prev, nxt, gate_extra=None):
+            """prev/nxt: dicts of field accessors."""
+            actN = nxt["act"]
+            if gate_extra is not None:
+                actN = mul(gate_extra, actN)
+            sameN = nxt["same"]
+            cs.append(mul(actN, sub_(one, prev["act"])))        # prefix
+            cs.append(mul(sameN, sub_(nxt["reg"], prev["reg"])))
+            d = add(mul(sameN, sub_(sub_(nxt["ts"], prev["ts"]), one)),
+                    mul(sub_(one, sameN),
+                        sub_(sub_(nxt["reg"], prev["reg"]), one)))
+            cs.append(mul(actN, sub_(d, nxt["ord"])))
+            rd_gate = mul(actN, mul(sub_(one, nxt["wr"]), sameN))
+            cs.append(mul(rd_gate, sub_(nxt["vlo"], prev["vlo"])))
+            cs.append(mul(rd_gate, sub_(nxt["vhi"], prev["vhi"])))
+            new_gate = mul(actN, mul(sub_(one, nxt["wr"]), sub_(one, sameN)))
+            cs.append(mul(new_gate, nxt["vlo"]))
+            cs.append(mul(new_gate, nxt["vhi"]))
+
+        def unit(u, off=0):
+            return {"reg": m("m_reg", u, off), "ts": m("m_cyc", u, off),
+                    "vlo": m("m_vlo", u, off), "vhi": m("m_vhi", u, off),
+                    "wr": m("m_wr", u, off), "act": m("m_act", u, off),
+                    "same": m("m_same", u, off),
+                    "ord": ord_lump(u, off)}
+
+        boundary(unit(0), unit(1))
+        boundary(unit(1), unit(2))
+        # cross-row: (row r, u2) -> (row r+1, u0), gated not_last
+        nxt0 = unit(0, 1)
+        boundary(unit(2), nxt0, gate_extra=not_last)
+        # the very first sorted entry has no predecessor
+        cs.append(mul(isf, m("m_same", 0)))
 
         return cs
 
@@ -683,7 +949,7 @@ def _air_for_image(image_addrs, image_words) -> Rv32imAir:
 
 
 def choose_po2(rows: int, image_len: int) -> int:
-    need = max(rows + 1, image_len, 64)
+    need = max(rows + N_INIT_ROWS + 1, image_len, 64)
     return max(int(np.ceil(np.log2(need))), 6)
 
 
@@ -691,7 +957,7 @@ def prove_segment(seg, image_addrs, image_words):
     """Prove one executor segment; returns the encoded seal (np.uint32)."""
     air = _air_for_image(image_addrs, image_words)
     po2 = choose_po2(seg.trace.shape[0], len(image_addrs))
-    main, publics = air.witgen(seg.trace, po2, seg.exit_pc)
+    main, publics = air.witgen(seg.trace, po2, seg.exit_pc, seg.entry_regs)
     proof = prover_mod.prove(air, main, publics)
     return proof_mod.encode(proof)
 

@@ -72,6 +72,7 @@ def _lib():
     lib.ex_segment_cycles.argtypes = [ctypes.c_void_p]
     lib.ex_exit_code.restype = ctypes.c_uint32
     lib.ex_exit_code.argtypes = [ctypes.c_void_p]
+    lib.ex_regs.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint32)]
     lib.ex_pc.restype = ctypes.c_uint32
     lib.ex_pc.argtypes = [ctypes.c_void_p]
     lib.ex_journal_len.restype = ctypes.c_size_t
@@ -115,6 +116,7 @@ class SegmentInfo:
     paging_cycles: int
     po2: int
     exit_pc: int = 0                  # machine pc when the segment ended
+    entry_regs: np.ndarray | None = None  # (32,) register file at segment start
     trace: np.ndarray | None = None   # (cycles, TRACE_WORDS) witness records
 
 
@@ -226,6 +228,9 @@ class Executor:
         segments = []
         user0 = paging0 = 0
         for seg_idx in range(max_segments):
+            regs_buf = (ctypes.c_uint32 * 32)()
+            lib.ex_regs(h, regs_buf)
+            entry_regs = np.frombuffer(regs_buf, dtype=np.uint32).copy()
             status = lib.ex_run(h, limit)
             seg_user = lib.ex_user_cycles(h) - user0
             seg_paging = lib.ex_paging_cycles(h) - paging0
@@ -235,6 +240,7 @@ class Executor:
                 paging_cycles=seg_paging,
                 po2=self.segment_po2,
                 exit_pc=lib.ex_pc(h),
+                entry_regs=entry_regs,
                 trace=self._grab_trace() if self._trace else None,
             )
             segments.append(info)

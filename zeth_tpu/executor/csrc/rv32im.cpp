@@ -356,9 +356,11 @@ struct Executor {
         }
         case 0x0F: break;                                                   // FENCE: nop
         case 0x73:                                                          // SYSTEM
-          if (insn == 0x00000073) { tflags |= TR_ECALL; ecall(); }
-          else if (insn == 0x00100073) { faulted = true; }                  // EBREAK
-          else { faulted = true; }
+          if (insn == 0x00000073) {
+            tflags |= TR_ECALL;
+            ecall();
+            rdv = regs[10];  // post-syscall a0 (register-file write record)
+          } else { faulted = true; }                                        // EBREAK etc.
           break;
         default:
           faulted = true;
@@ -366,8 +368,9 @@ struct Executor {
 
       if (faulted) return ST_ERROR;
       if (wb && rd != 0) regs[rd] = rdv;
-      emit_trace(pc, insn, rs1v, rs2v, (wb && rd != 0) ? rdv : 0,
-                 maddr, mval, tflags);
+      uint32_t rec_rdv = (wb && rd != 0) ? rdv : 0;
+      if (tflags & TR_ECALL) rec_rdv = rdv;  // a0 after the syscall
+      emit_trace(pc, insn, rs1v, rs2v, rec_rdv, maddr, mval, tflags);
       pc = next_pc;
       user_cycles++;
       if (halted) return ST_HALTED;
@@ -457,6 +460,9 @@ uint64_t ex_segment_cycles(void* h) {
   return (ex->user_cycles - ex->seg_start_user) + ex->seg_paging;
 }
 uint32_t ex_exit_code(void* h) { return ((Executor*)h)->exit_code; }
+void ex_regs(void* h, uint32_t out[32]) {
+  memcpy(out, ((Executor*)h)->regs, 32 * sizeof(uint32_t));
+}
 uint32_t ex_pc(void* h) { return ((Executor*)h)->pc; }
 uint64_t ex_keccak_count(void* h) { return ((Executor*)h)->keccak_count; }
 
