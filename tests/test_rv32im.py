@@ -140,3 +140,12 @@ def test_dropped_sorted_write_detected():
     assert done
     assert check_constraints(air, ctrl, main, _aux(air, main),
                              pubs, CHAL) != {}
+
+
+def test_forged_mul_result_detected():
+    air, ctrl, main, pubs = _witness(guests.muldiv_check())
+    mrows = np.where(main[:, LAYOUT.idx("is_m")] == 1)[0]
+    assert len(mrows) >= 4
+    main[mrows[0], LAYOUT.idx("res", 5)] ^= 1
+    assert check_constraints(air, ctrl, main, _aux(air, main),
+                             pubs, CHAL) != {}

@@ -19,10 +19,14 @@ Covered by constraints in v1:
 
 Documented v1 gaps (tracked for later rounds; the reference closes these
 with its memory/paging argument):
-- loads return unconstrained witness values; stores are uncommitted; the
-  register file has no consistency argument yet (needs the RAM/register
-  multiset argument).
-- M-extension results (MUL*/DIV*/REM*) are unconstrained witness values.
+- the register file IS consistency-checked (sorted access trace + LogUp
+  multiset equality + segment-entry init rows); loads still return
+  unconstrained witness values and stores are uncommitted (the RAM
+  argument needs executor-side access-event streaming for syscall
+  memory effects — round 2).
+- MUL/MULH/MULHSU/MULHU are fully constrained (8-bit-limb partial
+  products with range-checked carries, signed-high adjustment);
+  DIV/DIVU/REM/REMU results remain unconstrained witness values.
 - ecall effects are unconstrained (journal/input binding via the claim
   is host-side only).
 
@@ -78,6 +82,10 @@ class Layout:
             ("m_reg", 3), ("m_cyc", 3), ("m_vlo", 3), ("m_vhi", 3),
             ("m_wr", 3), ("m_act", 3), ("m_same", 3), ("g_rw", 3),
             ("ord_bits", 3 * ORD_BITS),
+            # M-extension multiply unit: committed high word, 8-bit-limb
+            # carry chain (7 carries x 12 bits), signed-adjust borrows
+            ("is_m", 1), ("mullo", 32), ("mulhi", 32),
+            ("mul_c", 7 * 12), ("madj_k", 4),
         ]:
             self.slices[name] = slice(self.n, self.n + width)
             self.n += width
@@ -301,6 +309,56 @@ class Rv32imAir(Air):
         # OP-class ALU selector: excludes the M extension (funct7 bit 25)
         op_alu = (is_cls["OP"] & (b25 == 0)).astype(np.uint64)
         m[B:B + rows, L.idx("op_alu")] = op_alu
+
+        # M-extension multiply unit (MUL/MULH/MULHSU/MULHU: f3 in 0..3)
+        is_m = (is_cls["OP"] & (b25 == 1)).astype(np.uint64)
+        m[B:B + rows, L.idx("is_m")] = is_m
+        mul_rows = (is_m == 1) & (f3 <= 3)
+        if mul_rows.any():
+            a = rs1v[mul_rows]
+            b = rs2v[mul_rows]
+            full = a * b                       # < 2^64, fits uint64
+            lo = full & np.uint64(0xFFFFFFFF)
+            hi = full >> np.uint64(32)
+            where = np.where(mul_rows)[0] + B
+            for j in range(32):
+                m[where, L.idx("mullo", j)] = (lo >> np.uint64(j)) & np.uint64(1)
+                m[where, L.idx("mulhi", j)] = (hi >> np.uint64(j)) & np.uint64(1)
+            # carry chain over 8-bit limbs
+            al = [(a >> np.uint64(8 * i)) & np.uint64(0xFF) for i in range(4)]
+            bl = [(b >> np.uint64(8 * i)) & np.uint64(0xFF) for i in range(4)]
+            rl = [(full >> np.uint64(8 * k)) & np.uint64(0xFF) for k in range(8)]
+            carry = np.zeros_like(a)
+            for k in range(7):
+                s = sum(al[i] * bl[k - i]
+                        for i in range(max(0, k - 3), min(3, k) + 1))
+                t = s + carry
+                carry = (t - rl[k]) >> np.uint64(8)
+                for j in range(12):
+                    m[where, L.idx("mul_c", 12 * k + j)] =                         (carry >> np.uint64(j)) & np.uint64(1)
+            # signed-high adjustment borrows for MULH / MULHSU
+            f3r = f3[mul_rows]
+            a31 = a >> np.uint64(31)
+            b31 = b >> np.uint64(31)
+            adj_lo = np.zeros_like(a)
+            adj_hi = np.zeros_like(a)
+            mh = f3r == 1
+            adj_lo[mh] = (a31 * (b & 0xFFFF) + b31 * (a & 0xFFFF))[mh]
+            adj_hi[mh] = (a31 * (b >> np.uint64(16))
+                          + b31 * (a >> np.uint64(16)))[mh]
+            ms = f3r == 2
+            adj_lo[ms] = (a31 * (b & 0xFFFF))[ms]
+            adj_hi[ms] = (a31 * (b >> np.uint64(16)))[ms]
+            res_r = rdv[mul_rows]
+            k1 = (adj_lo + (res_r & 0xFFFF) - (hi & 0xFFFF)) >> np.uint64(16)
+            k1[~(mh | ms)] = 0
+            k2 = (adj_hi + (res_r >> np.uint64(16)) + k1
+                  - (hi >> np.uint64(16))) >> np.uint64(16)
+            k2[~(mh | ms)] = 0
+            m[where, L.idx("madj_k", 0)] = k1 & np.uint64(1)
+            m[where, L.idx("madj_k", 1)] = k1 >> np.uint64(1)
+            m[where, L.idx("madj_k", 2)] = k2 & np.uint64(1)
+            m[where, L.idx("madj_k", 3)] = k2 >> np.uint64(1)
 
         # sub flag and ALU adder carries
         sub = (is_cls["OP"] & (b25 == 0) & (f3 == 0) & (b30 == 1)).astype(np.uint64)
@@ -597,7 +655,8 @@ class Rv32imAir(Air):
                      + ["cmp_c1", "cmp_lt", "eq_lo", "eq_hi", "alu_c1",
                         "alu_c2", "npc_c1", "npc_c2", "jalr_lsb", "taken",
                         "sub", "op_alu", "rd_nz", "m_wr", "m_act", "m_same", "g_rw"]
-                     + ["ord_bits"])
+                     + ["ord_bits", "mullo", "mulhi", "mul_c", "madj_k",
+                        "is_m"])
         for name in bool_cols:
             s = L.slices[name]
             for k in range(s.stop - s.start):
@@ -682,6 +741,70 @@ class Rv32imAir(Air):
         # ADD/SUB: b' = rs2 xor sub (bitwise), cin = sub
         op_alu = m("op_alu")
         cs.append(sub_(op_alu, mul(sel("OP"), sub_(one, m("insn", 25)))))
+        is_m = m("is_m")
+        cs.append(sub_(is_m, mul(sel("OP"), m("insn", 25))))
+
+        # --- M-extension multiply unit (MUL/MULH/MULHSU/MULHU) ------------
+        def limb8(name, k, off_name=None):
+            src_name = name
+            return lin([(1 << j, m(src_name, 8 * k + j)) for j in range(8)])
+
+        def prod_limbs(k):
+            """sum of a_i*b_j with i+j=k (8-bit limbs of rs1v, rs2v)."""
+            acc = None
+            for i in range(max(0, k - 3), min(3, k) + 1):
+                t2 = mul(limb8("rs1v", i), limb8("rs2v", k - i))
+                acc = t2 if acc is None else add(acc, t2)
+            return acc
+
+        def carry_lump(k):
+            return lin([(1 << j, m("mul_c", 12 * k + j)) for j in range(12)])
+
+        def out_limb(k):
+            if k < 4:
+                return limb8("mullo", k)
+            return limb8("mulhi", k - 4)
+
+        gate_mul4 = mul(is_m, add(add(f3(0), f3(1)), add(f3(2), f3(3))))
+        for k in range(7):
+            expr = prod_limbs(k)
+            if k > 0:
+                expr = add(expr, carry_lump(k - 1))
+            expr = sub_(expr, add(out_limb(k),
+                                  mul(ops.const(256), carry_lump(k))))
+            cs.append(mul(gate_mul4, expr))
+        cs.append(mul(gate_mul4, sub_(carry_lump(6), out_limb(7))))
+
+        def lump_of(name, lo):
+            r = range(0, 16) if lo else range(16, 32)
+            return lin([(1 << (j % 16), m(name, j)) for j in r])
+
+        # result binding per variant
+        g = mul(is_m, f3(0))       # MUL: rd = lo
+        cs.append(mul(g, sub_(lump("res", True), lump_of("mullo", True))))
+        cs.append(mul(g, sub_(lump("res", False), lump_of("mullo", False))))
+        g = mul(is_m, f3(3))       # MULHU: rd = hi (unsigned)
+        cs.append(mul(g, sub_(lump("res", True), lump_of("mulhi", True))))
+        cs.append(mul(g, sub_(lump("res", False), lump_of("mulhi", False))))
+        # MULH / MULHSU: rd + adj = hi_u (mod 2^32), adj = a31*b [+ b31*a]
+        a31 = m("rs1v", 31)
+        b31 = m("rs2v", 31)
+        k1 = lin([(1, m("madj_k", 0)), (2, m("madj_k", 1))])
+        k2 = lin([(1, m("madj_k", 2)), (2, m("madj_k", 3))])
+        two16c = ops.const(1 << 16)
+        for f3k, use_b31 in ((1, True), (2, False)):
+            gk = mul(is_m, f3(f3k))
+            adj_lo = mul(a31, lump("rs2v", True))
+            adj_hi = mul(a31, lump("rs2v", False))
+            if use_b31:
+                adj_lo = add(adj_lo, mul(b31, lump("rs1v", True)))
+                adj_hi = add(adj_hi, mul(b31, lump("rs1v", False)))
+            cs.append(mul(gk, sub_(add(lump("res", True), adj_lo),
+                                   add(lump_of("mulhi", True),
+                                       mul(two16c, k1)))))
+            cs.append(mul(gk, sub_(add(add(lump("res", False), adj_hi), k1),
+                                   add(lump_of("mulhi", False),
+                                       mul(two16c, k2)))))
         subf = m("sub")
         cs.append(sub_(subf, mul(mul(op_alu, f3(0)), m("insn", 30))))
 
