@@ -38,6 +38,8 @@ def test_muldiv_edge_cases():
     assert w[6] == 0xFFFFFFFF                                # div by 0
     assert w[7] == 0xFFFFFFFF                                # divu by 0
     assert w[8] == 0x80000000                                # remu by 0 = rs1
+    assert w[9] == 0xDEADBEEF // 0x1234                      # divu
+    assert w[10] == 0xDEADBEEF % 0x1234                      # remu
 
 
 def test_keccak_syscall_matches_reference():

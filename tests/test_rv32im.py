@@ -149,3 +149,19 @@ def test_forged_mul_result_detected():
     main[mrows[0], LAYOUT.idx("res", 5)] ^= 1
     assert check_constraints(air, ctrl, main, _aux(air, main),
                              pubs, CHAL) != {}
+
+
+def test_forged_divu_result_and_remainder_detected():
+    air, ctrl, main, pubs = _witness(guests.muldiv_check())
+    den = np.where(main[:, LAYOUT.idx("div_en")] == 1)[0]
+    dz = np.where(main[:, LAYOUT.idx("div0")] == 1)[0]
+    assert len(den) >= 2 and len(dz) >= 2
+    m2 = main.copy()
+    m2[den[0], LAYOUT.idx("res", 1)] ^= 1
+    assert check_constraints(air, ctrl, m2, _aux(air, m2), pubs, CHAL) != {}
+    m3 = main.copy()
+    m3[den[0], LAYOUT.idx("mdiv_r", 13)] ^= 1
+    assert check_constraints(air, ctrl, m3, _aux(air, m3), pubs, CHAL) != {}
+    m4 = main.copy()
+    m4[dz[0], LAYOUT.idx("res", 0)] ^= 1
+    assert check_constraints(air, ctrl, m4, _aux(air, m4), pubs, CHAL) != {}

@@ -25,8 +25,9 @@ with its memory/paging argument):
   argument needs executor-side access-event streaming for syscall
   memory effects — round 2).
 - MUL/MULH/MULHSU/MULHU are fully constrained (8-bit-limb partial
-  products with range-checked carries, signed-high adjustment);
-  DIV/DIVU/REM/REMU results remain unconstrained witness values.
+  products with range-checked carries, signed-high adjustment), and
+  DIVU/REMU verify q*b + r = a with r < b and the b == 0 special cases;
+  signed DIV/REM results remain unconstrained witness values.
 - ecall effects are unconstrained (journal/input binding via the claim
   is host-side only).
 
@@ -84,8 +85,14 @@ class Layout:
             ("ord_bits", 3 * ORD_BITS),
             # M-extension multiply unit: committed high word, 8-bit-limb
             # carry chain (7 carries x 12 bits), signed-adjust borrows
-            ("is_m", 1), ("mullo", 32), ("mulhi", 32),
+            ("is_m", 1), ("mula", 32), ("mullo", 32), ("mulhi", 32),
             ("mul_c", 7 * 12), ("madj_k", 4),
+            # DIVU/REMU unit: q, r, the range witness t = b-r-1, carries,
+            # b==0 detection, and committed gates
+            ("mdiv_q", 32), ("mdiv_r", 32), ("mdiv_t", 32),
+            ("mdiv_c1", 1), ("mdiv_e1", 1),
+            ("bz_lo_eq", 1), ("bz_lo_inv", 1), ("bz_hi_eq", 1),
+            ("bz_hi_inv", 1), ("div_en", 1), ("div0", 1),
         ]:
             self.slices[name] = slice(self.n, self.n + width)
             self.n += width
@@ -313,14 +320,47 @@ class Rv32imAir(Air):
         # M-extension multiply unit (MUL/MULH/MULHSU/MULHU: f3 in 0..3)
         is_m = (is_cls["OP"] & (b25 == 1)).astype(np.uint64)
         m[B:B + rows, L.idx("is_m")] = is_m
-        mul_rows = (is_m == 1) & (f3 <= 3)
+        div_rows = (is_m == 1) & ((f3 == 5) | (f3 == 7))
+        mul_rows = ((is_m == 1) & (f3 <= 3)) | div_rows
         if mul_rows.any():
-            a = rs1v[mul_rows]
-            b = rs2v[mul_rows]
+            b_all = rs2v[mul_rows]
+            dsel = div_rows[mul_rows]
+            bz = b_all == 0
+            q = np.where(bz, np.uint64(0xFFFFFFFF),
+                         rs1v[mul_rows] // np.maximum(b_all, 1))
+            r = np.where(bz, rs1v[mul_rows],
+                         rs1v[mul_rows] % np.maximum(b_all, 1))
+            # mul-unit A operand: rs1 for multiplies, q for divides
+            a = np.where(dsel, q, rs1v[mul_rows])
+            b = b_all
             full = a * b                       # < 2^64, fits uint64
             lo = full & np.uint64(0xFFFFFFFF)
             hi = full >> np.uint64(32)
             where = np.where(mul_rows)[0] + B
+            for j in range(32):
+                m[where, L.idx("mula", j)] = (a >> np.uint64(j)) & np.uint64(1)
+            # div side columns
+            t = np.where(bz | ~dsel, 0, (b - r - 1) & np.uint64(0xFFFFFFFF))
+            for j in range(32):
+                m[where, L.idx("mdiv_q", j)] = (q >> np.uint64(j)) & np.uint64(1)
+                m[where, L.idx("mdiv_r", j)] = (r >> np.uint64(j)) & np.uint64(1)
+                m[where, L.idx("mdiv_t", j)] = (t >> np.uint64(j)) & np.uint64(1)
+            # relation carries: qb_lo + r_lo = a_lo + 2^16 c1 (div rows, b!=0)
+            c1d = np.where(dsel & ~bz,
+                           ((lo & 0xFFFF) + (r & 0xFFFF)) >> np.uint64(16), 0)
+            m[where, L.idx("mdiv_c1")] = c1d
+            e1 = np.where(dsel & ~bz,
+                          ((r & 0xFFFF) + 1 + (t & 0xFFFF)) >> np.uint64(16), 0)
+            m[where, L.idx("mdiv_e1")] = e1
+            # b == 0 detection per limb
+            blo = b & np.uint64(0xFFFF)
+            bhi = b >> np.uint64(16)
+            m[where, L.idx("bz_lo_eq")] = blo == 0
+            m[where, L.idx("bz_hi_eq")] = bhi == 0
+            m[where, L.idx("bz_lo_inv")] = inv_or_zero(blo)
+            m[where, L.idx("bz_hi_inv")] = inv_or_zero(bhi)
+            m[where, L.idx("div_en")] = dsel & ~bz
+            m[where, L.idx("div0")] = dsel & bz
             for j in range(32):
                 m[where, L.idx("mullo", j)] = (lo >> np.uint64(j)) & np.uint64(1)
                 m[where, L.idx("mulhi", j)] = (hi >> np.uint64(j)) & np.uint64(1)
@@ -655,8 +695,10 @@ class Rv32imAir(Air):
                      + ["cmp_c1", "cmp_lt", "eq_lo", "eq_hi", "alu_c1",
                         "alu_c2", "npc_c1", "npc_c2", "jalr_lsb", "taken",
                         "sub", "op_alu", "rd_nz", "m_wr", "m_act", "m_same", "g_rw"]
-                     + ["ord_bits", "mullo", "mulhi", "mul_c", "madj_k",
-                        "is_m"])
+                     + ["ord_bits", "mula", "mullo", "mulhi", "mul_c", "madj_k",
+                        "is_m", "mdiv_q", "mdiv_r", "mdiv_t", "mdiv_c1",
+                        "mdiv_e1", "bz_lo_eq", "bz_hi_eq", "div_en",
+                        "div0"])
         for name in bool_cols:
             s = L.slices[name]
             for k in range(s.stop - s.start):
@@ -750,15 +792,19 @@ class Rv32imAir(Air):
             return lin([(1 << j, m(src_name, 8 * k + j)) for j in range(8)])
 
         def prod_limbs(k):
-            """sum of a_i*b_j with i+j=k (8-bit limbs of rs1v, rs2v)."""
+            """sum of A_i*b_j with i+j=k (8-bit limbs of mula, rs2v)."""
             acc = None
             for i in range(max(0, k - 3), min(3, k) + 1):
-                t2 = mul(limb8("rs1v", i), limb8("rs2v", k - i))
+                t2 = mul(limb8("mula", i), limb8("rs2v", k - i))
                 acc = t2 if acc is None else add(acc, t2)
             return acc
 
         def carry_lump(k):
             return lin([(1 << j, m("mul_c", 12 * k + j)) for j in range(12)])
+
+        def lump_of2(name, lo):
+            r = range(0, 16) if lo else range(16, 32)
+            return lin([(1 << (j % 16), m(name, j)) for j in r])
 
         def out_limb(k):
             if k < 4:
@@ -766,14 +812,22 @@ class Rv32imAir(Air):
             return limb8("mulhi", k - 4)
 
         gate_mul4 = mul(is_m, add(add(f3(0), f3(1)), add(f3(2), f3(3))))
+        gate_div = mul(is_m, add(f3(5), f3(7)))
+        gate_chain = add(gate_mul4, gate_div)
+        # mula operand binding: rs1 for multiplies, the quotient for divides
+        for lo_flag in (True, False):
+            cs.append(mul(gate_mul4, sub_(lump_of2("mula", lo_flag),
+                                          lump("rs1v", lo_flag))))
+            cs.append(mul(gate_div, sub_(lump_of2("mula", lo_flag),
+                                         lump_of2("mdiv_q", lo_flag))))
         for k in range(7):
             expr = prod_limbs(k)
             if k > 0:
                 expr = add(expr, carry_lump(k - 1))
             expr = sub_(expr, add(out_limb(k),
                                   mul(ops.const(256), carry_lump(k))))
-            cs.append(mul(gate_mul4, expr))
-        cs.append(mul(gate_mul4, sub_(carry_lump(6), out_limb(7))))
+            cs.append(mul(gate_chain, expr))
+        cs.append(mul(gate_chain, sub_(carry_lump(6), out_limb(7))))
 
         def lump_of(name, lo):
             r = range(0, 16) if lo else range(16, 32)
@@ -805,6 +859,61 @@ class Rv32imAir(Air):
             cs.append(mul(gk, sub_(add(add(lump("res", False), adj_hi), k1),
                                    add(lump_of("mulhi", False),
                                        mul(two16c, k2)))))
+
+        # --- DIVU / REMU ---------------------------------------------------
+        # b == 0 detection per limb (eq + inverse trick, gated by the unit)
+        blo = lump("rs2v", True)
+        bhi = lump("rs2v", False)
+        cs.append(mul(gate_div, mul(m("bz_lo_eq"), blo)))
+        cs.append(mul(gate_div, sub_(sub_(one, m("bz_lo_eq")),
+                                     mul(blo, m("bz_lo_inv")))))
+        cs.append(mul(gate_div, mul(m("bz_hi_eq"), bhi)))
+        cs.append(mul(gate_div, sub_(sub_(one, m("bz_hi_eq")),
+                                     mul(bhi, m("bz_hi_inv")))))
+        b_zero = mul(m("bz_lo_eq"), m("bz_hi_eq"))
+        # committed gates: div_en = div & b!=0, div0 = div & b==0
+        cs.append(sub_(m("div_en"), mul(gate_div, sub_(one, b_zero))))
+        cs.append(sub_(m("div0"), mul(gate_div, b_zero)))
+        den = m("div_en")
+        # q*b must not overflow 32 bits
+        cs.append(mul(den, lump_of("mulhi", True)))
+        cs.append(mul(den, lump_of("mulhi", False)))
+        # q*b + r = a (exactly; the top carry must be zero)
+        cs.append(mul(den, sub_(add(lump_of("mullo", True),
+                                    lump_of2("mdiv_r", True)),
+                                add(lump("rs1v", True),
+                                    mul(two16c, m("mdiv_c1"))))))
+        cs.append(mul(den, sub_(add(add(lump_of("mullo", False),
+                                        lump_of2("mdiv_r", False)),
+                                    m("mdiv_c1")),
+                                lump("rs1v", False))))
+        # r < b  via  r + 1 + t = b (t >= 0 committed in bits, no overflow)
+        cs.append(mul(den, sub_(add(add(lump_of2("mdiv_r", True), one),
+                                    lump_of2("mdiv_t", True)),
+                                add(lump("rs2v", True),
+                                    mul(two16c, m("mdiv_e1"))))))
+        cs.append(mul(den, sub_(add(add(lump_of2("mdiv_r", False),
+                                        lump_of2("mdiv_t", False)),
+                                    m("mdiv_e1")),
+                                lump("rs2v", False))))
+        # result binding: DIVU -> q, REMU -> r; b==0: q=0xFFFFFFFF, r=a
+        cs.append(mul(mul(den, f3(5)), sub_(lump("res", True),
+                                            lump_of2("mdiv_q", True))))
+        cs.append(mul(mul(den, f3(5)), sub_(lump("res", False),
+                                            lump_of2("mdiv_q", False))))
+        cs.append(mul(mul(den, f3(7)), sub_(lump("res", True),
+                                            lump_of2("mdiv_r", True))))
+        cs.append(mul(mul(den, f3(7)), sub_(lump("res", False),
+                                            lump_of2("mdiv_r", False))))
+        dz = m("div0")
+        cs.append(mul(mul(dz, f3(5)), sub_(lump("res", True),
+                                           ops.const(0xFFFF))))
+        cs.append(mul(mul(dz, f3(5)), sub_(lump("res", False),
+                                           ops.const(0xFFFF))))
+        cs.append(mul(mul(dz, f3(7)), sub_(lump("res", True),
+                                           lump("rs1v", True))))
+        cs.append(mul(mul(dz, f3(7)), sub_(lump("res", False),
+                                           lump("rs1v", False))))
         subf = m("sub")
         cs.append(sub_(subf, mul(mul(op_alu, f3(0)), m("insn", 30))))
 

@@ -73,8 +73,13 @@ def muldiv_check() -> bytes:
     a.div("t2", "t0", "t1");    a.sw("t2", "s0", 24)
     a.divu("t2", "t0", "t1");   a.sw("t2", "s0", 28)
     a.remu("t2", "t0", "t1");   a.sw("t2", "s0", 32)
+    # unsigned divide with a real divisor
+    a.li("t0", 0xDEADBEEF)
+    a.li("t1", 0x1234)
+    a.divu("t2", "t0", "t1");   a.sw("t2", "s0", 36)
+    a.remu("t2", "t0", "t1");   a.sw("t2", "s0", 40)
     a.mv("a0", "s0")
-    a.li("a1", 36)
+    a.li("a1", 44)
     a.li("a7", 2)
     a.ecall()
     a.li("a0", 0)
