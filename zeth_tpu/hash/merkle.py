@@ -49,24 +49,34 @@ class MerkleTree:
         return self.open_many([idx])[0]
 
     def open_many(self, indices: list) -> list:
-        """Sibling paths for many leaves with one device gather per layer
-        (avoids pulling whole layers to the host — they can be GBs)."""
+        """Sibling paths for many leaves in ONE device dispatch (gathers
+        only the needed digests — whole layers can be GBs)."""
         depth = len(self.layers) - 1
-        sib_per_layer = []   # bottom-up: (n_queries, 8) numpy
+        if depth == 0:
+            return [np.zeros((0, 8), dtype=np.uint64) for _ in indices]
+        idx_rows = []
         idxs = list(indices)
-        for layer in reversed(self.layers[1:]):
-            want = jnp.asarray(np.array([i ^ 1 for i in idxs], np.int32))
-            sib = np.asarray(F.from_monty(layer[want])).astype(np.uint64)
-            sib_per_layer.append(sib)
+        for _ in range(depth):
+            idx_rows.append([i ^ 1 for i in idxs])
             idxs = [i >> 1 for i in idxs]
-        out = []
-        for qi in range(len(indices)):
-            if depth == 0:
-                out.append(np.zeros((0, 8), dtype=np.uint64))
-            else:
-                out.append(np.stack([sib_per_layer[d][qi]
-                                     for d in range(depth)]))
-        return out
+        sibs = _gather_paths(self.layers,
+                             jnp.asarray(np.array(idx_rows, np.int32)))
+        sib_per_layer = [np.asarray(s).astype(np.uint64) for s in sibs]
+        return [np.stack([sib_per_layer[d][qi] for d in range(depth)])
+                for qi in range(len(indices))]
+
+
+@jax.jit
+def _gather_paths(layers, idx_mat):
+    """Gather sibling digests from every layer in one program.
+
+    idx_mat: (depth, n_queries) int32, bottom-up (row d indexes the d-th
+    layer above the leaves). Returns standard-form (n_queries, 8) arrays.
+    """
+    outs = []
+    for d, layer in enumerate(reversed(layers[1:])):
+        outs.append(F.from_monty(layer[idx_mat[d]]))
+    return outs
 
 
 @jax.jit
