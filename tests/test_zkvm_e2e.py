@@ -40,3 +40,17 @@ def test_dev_mode_receipt_rejected_without_dev_env(monkeypatch):
     monkeypatch.delenv("ZETH_DEV_MODE")
     with pytest.raises(zkvm.VerificationError):
         info.receipt.verify(compute_image_id(elf))
+
+
+def test_keccak_accelerator_prove_and_verify():
+    import numpy as np
+    from zeth_tpu.circuits.keccak import prove_batch, verify_batch
+
+    states = np.random.default_rng(9).integers(
+        0, 2**64, (2, 25), dtype=np.uint64)
+    seal, claims = prove_batch(states)
+    verify_batch(seal)
+    bad = seal.copy()
+    bad[2000] ^= 1
+    with pytest.raises(Exception):
+        verify_batch(bad)

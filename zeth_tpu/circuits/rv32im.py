@@ -486,7 +486,6 @@ class Rv32imAir(Air):
 
         # entries: (reg, ts, vlo, vhi, wr, act); ts = 3*row + unit
         ex_rows = B + np.arange(rows)
-        regs_col = [np.arange(32, dtype=np.uint64), rs1_f, rs2_f, w_reg]
         entries = []
         # init writes (rows 0..31, unit 2)
         entries.append(np.stack([
