@@ -81,10 +81,29 @@ def test_merkle_commit_open_verify():
     for idx in (0, 7, 15):
         path = tree.open(idx)
         assert path.shape == (4, 8)
-        assert merkle.verify_path(root, idx, rows_std[idx], path)
+        assert merkle.verify_path(root, idx, rows_std[idx], path,
+                                  depth=4, width=5)
         # tampered row fails
         bad = rows_std[idx].copy()
         bad[0] = (bad[0] + 1) % P
-        assert not merkle.verify_path(root, idx, bad, path)
+        assert not merkle.verify_path(root, idx, bad, path, depth=4, width=5)
         # wrong index fails
-        assert not merkle.verify_path(root, idx ^ 1, rows_std[idx], path)
+        assert not merkle.verify_path(root, idx ^ 1, rows_std[idx], path,
+                                      depth=4, width=5)
+        # truncated path / wrong expected depth fails
+        assert not merkle.verify_path(root, idx, rows_std[idx], path[:3],
+                                      depth=4, width=5)
+        assert not merkle.verify_path(root, idx, rows_std[idx], path,
+                                      depth=3, width=5)
+        # wrong width fails
+        assert not merkle.verify_path(root, idx, rows_std[idx], path,
+                                      depth=4, width=6)
+
+
+def test_merkle_leaf_node_domain_separation():
+    """A 16-element leaf row must not hash like an inner digest pair."""
+    import zeth_tpu.hash.poseidon2 as P2
+    row = rng.integers(0, P, size=(1, 16), dtype=np.uint64)
+    leaf = P2.hash_rows_np(row)[0]
+    pair = P2.hash_pairs_np(row[:, :8], row[:, 8:])[0]
+    assert not (leaf == pair).all()

@@ -83,7 +83,6 @@ class KeccakAir(Air):
     main_cols = N_MAIN
     aux_cols = 0
     n_challenges = 0
-    constraint_chunk = 600    # XLA compile time is superlinear in graph size
 
     def control_trace(self, po2: int) -> np.ndarray:
         n = 1 << po2

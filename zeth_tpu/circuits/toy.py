@@ -71,16 +71,21 @@ class PermutationAir(Air):
     def control_trace(self, po2: int) -> np.ndarray:
         return np.stack([is_first_column(po2), is_last_column(po2)], axis=1)
 
-    def build_aux(self, main_monty, challenges):
-        gamma = F.to_monty(jnp.asarray(np.uint32(int(challenges[0][0]) % P)))
-        a = main_monty[:, 0]
-        b = main_monty[:, 1]
-        ratio = F.mul(F.add(a, gamma), F.inv(F.add(b, gamma)))
-        z = jax.lax.associative_scan(F.mul, ratio)
+    def build_aux(self, main_std, challenges):
+        from .. import hostmath as H
+        gamma = np.uint64(int(challenges[0][0]) % P)
+        a = np.asarray(main_std[:, 0], np.uint64)
+        b = np.asarray(main_std[:, 1], np.uint64)
+        ratio = H.fmul(H.fadd(a, gamma), H.fbatch_inv(H.fadd(b, gamma)))
+        z = np.empty_like(ratio)
+        acc = np.uint64(1)
+        for i in range(ratio.shape[0]):
+            acc = acc * ratio[i] % H.PU
+            z[i] = acc
         return z[:, None]
 
     def constraints(self, v, ops, publics, challenges):
-        gamma = challenges[0]
+        gamma = challenges[0][0]    # toy: component 0 of the ext challenge
         a, b = v("main", 0), v("main", 1)
         an, bn = v("main", 0, 1), v("main", 1, 1)
         z, zn = v("aux", 0), v("aux", 0, 1)

@@ -79,24 +79,20 @@ def _gather_paths(layers, idx_mat):
     return outs
 
 
-@jax.jit
-def _build_layers(matrix):
-    """Leaf hash + all tree layers in ONE program (one device dispatch)."""
-    leaves = P2.hash_rows(matrix)
-    layers = [leaves]
-    cur = leaves
-    while cur.shape[0] > 1:
-        cur = P2.hash_pairs(cur[0::2], cur[1::2])
-        layers.append(cur)
-    layers.reverse()
-    return layers
-
-
 def commit_rows(matrix) -> MerkleTree:
-    """Commit a (rows, cols) Montgomery matrix. rows must be a power of two."""
+    """Commit a (rows, cols) Montgomery matrix. rows must be a power of two.
+
+    Two jits: the leaf hash (compiled per column width — a small sponge
+    scan) and the pair-tree reduction (compiled once per row count and
+    SHARED by every group/width). Keeping the tree build width-independent
+    matters: XLA compile time per program is the prover's dominant fixed
+    cost on the axon TPU path (round-1's single fused build recompiled the
+    whole tree for each of the 4 group widths).
+    """
     n = matrix.shape[0]
     assert n & (n - 1) == 0, "row count must be a power of two"
-    return MerkleTree(layers=_build_layers(matrix), n_leaves=n)
+    leaves = P2.hash_rows(matrix)
+    return MerkleTree(layers=_build_layers_from_digests(leaves), n_leaves=n)
 
 
 @jax.jit
@@ -128,9 +124,52 @@ def leaf_digest_np(row: np.ndarray) -> np.ndarray:
     return P2.hash_rows_np(np.asarray(row, dtype=np.uint64)[None])[0]
 
 
+def verify_many(root: np.ndarray, idxs, rows, paths, depth: int,
+                width: int) -> bool:
+    """Batched verify_path: all queries hash level-by-level together
+    (2 host permutations per level instead of 2 per level PER query)."""
+    rows = np.asarray(rows, dtype=np.uint64)
+    q = rows.shape[0]
+    if rows.shape != (q, width) or len(paths) != q or len(idxs) != q:
+        return False
+    pm = np.zeros((q, depth, P2.DIGEST_LEN), dtype=np.uint64)
+    for i, p in enumerate(paths):
+        p = np.asarray(p)
+        if p.shape != (depth, P2.DIGEST_LEN):
+            return False
+        pm[i] = p
+    idx = np.asarray(idxs, dtype=np.int64)
+    if ((idx < 0) | (idx >= (1 << depth))).any():
+        return False
+    digest = P2.hash_rows_np(rows)
+    for d in range(depth):
+        sib = pm[:, d]
+        odd = (idx & 1) == 1
+        left = np.where(odd[:, None], sib, digest)
+        right = np.where(odd[:, None], digest, sib)
+        digest = P2.hash_pairs_np(left, right)
+        idx >>= 1
+    return bool((digest == np.asarray(root, dtype=np.uint64)[None]).all())
+
+
 def verify_path(root: np.ndarray, idx: int, row: np.ndarray,
-                path: np.ndarray) -> bool:
-    """Check a row + sibling path against a root. All standard form."""
+                path: np.ndarray, depth: int, width: int) -> bool:
+    """Check a row + sibling path against a root. All standard form.
+
+    ``depth`` (= log2 of the committed leaf count) and ``width`` (= the
+    exact committed row width) are caller-supplied expectations: a path
+    of any other length or a row of any other width is rejected, so an
+    inner node can never be opened as a truncated-path "leaf"
+    (ADVICE.md r1 finding #2).
+    """
+    row = np.asarray(row)
+    path = np.asarray(path)
+    if row.ndim != 1 or row.shape[0] != width:
+        return False
+    if path.shape != (depth, P2.DIGEST_LEN):
+        return False
+    if not (0 <= idx < (1 << depth)):
+        return False
     digest = leaf_digest_np(row)
     for sibling in path:
         if idx & 1:

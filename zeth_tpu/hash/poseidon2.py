@@ -179,12 +179,21 @@ def hash_rows_np(rows: np.ndarray) -> np.ndarray:
     return state[:DIGEST_LEN].T.copy()
 
 
+# Domain-separation tag for 2-to-1 (inner node) compression: a sponge
+# leaf hash runs with an all-zero capacity, so tagging a capacity cell
+# makes an inner-node digest never collide with any leaf hash (a leaf
+# row equal to the concatenation of two child digests would otherwise
+# hash identically — ADVICE.md r1 finding #2).
+PAIR_TAG = 1
+
+
 def hash_pairs_np(left: np.ndarray, right: np.ndarray) -> np.ndarray:
     """Combine digest pairs: (n, 8) x (n, 8) -> (n, 8) in one permutation."""
     n = left.shape[0]
     state = np.zeros((CELLS, n), dtype=np.uint64)
     state[:DIGEST_LEN] = np.asarray(left, dtype=np.uint64).T % H.PU
     state[DIGEST_LEN:2 * DIGEST_LEN] = np.asarray(right, dtype=np.uint64).T % H.PU
+    state[2 * DIGEST_LEN] = PAIR_TAG
     return permute_np(state)[:DIGEST_LEN].T.copy()
 
 
@@ -310,4 +319,6 @@ def hash_pairs(left, right):
     state = jnp.zeros((CELLS, n), _U32)
     state = state.at[:DIGEST_LEN].set(left.T)
     state = state.at[DIGEST_LEN:2 * DIGEST_LEN].set(right.T)
+    state = state.at[2 * DIGEST_LEN].set(
+        jnp.full((n,), np.uint32((PAIR_TAG << 32) % P), _U32))
     return permute(state)[:DIGEST_LEN].T

@@ -99,14 +99,74 @@ def check_constraints(air, control_std, main_std, aux_std, publics,
         arr = cols[group][:, col]
         return np.roll(arr, -offset) if offset else arr
 
-    pubs = [np.uint64(int(p) % F.P) for p in publics]
-    chals = [np.uint64(int(c[0]) % F.P) for c in challenges]
+    challenges = np.asarray(challenges, np.uint64).reshape(-1, 4)
+    if getattr(air, "n_derived", 0):
+        derived = np.asarray(air.derived_challenges(publics, challenges),
+                             np.uint64).reshape(-1, 4)
+        challenges = np.concatenate([challenges, derived], axis=0)
+    n_ps = getattr(air, "n_public_scalars", None)
+    scalar_pubs = publics if n_ps is None else publics[:n_ps]
+    pubs = [np.uint64(int(p) % F.P) for p in scalar_pubs]
+    chals = [tuple(np.uint64(int(c[j]) % F.P) for j in range(4))
+             for c in challenges]
     out = {}
     for i, c in enumerate(air.constraints(v, HostVecOps, pubs, chals)):
         bad = int(np.count_nonzero(np.asarray(c, np.uint64) % H.PU))
         if bad:
             out[i] = bad
     return out
+
+
+# ---------------------------------------------------------------------------
+# Circuit-extension algebra: a degree-4 extension value *inside the
+# constraint system*, represented as a 4-tuple of base ops-values.
+#
+# Fiat-Shamir challenges are full Fp4 elements (a single ~31-bit base
+# challenge makes LogUp/permutation arguments grindable — ADVICE.md r1
+# finding #1). The AIR receives each challenge as a 4-tuple of its base
+# components; these helpers implement Fp4 arithmetic polymorphically over
+# any ops backend. Each ext-valued constraint contributes its 4 component
+# polynomials as 4 separate (base-valued) constraints.
+# ---------------------------------------------------------------------------
+
+from ..field import BETA
+
+
+def cext(ops, x):
+    """Lift a base ops-value (or int via ops.const) to a circuit-ext tuple."""
+    if isinstance(x, int):
+        x = ops.const(x)
+    z = ops.const(0)
+    return (x, z, z, z)
+
+
+def cadd(ops, a, b):
+    return tuple(ops.add(x, y) for x, y in zip(a, b))
+
+
+def csub(ops, a, b):
+    return tuple(ops.sub(x, y) for x, y in zip(a, b))
+
+
+def cmul_base(ops, a, s):
+    """Circuit-ext times base ops-value."""
+    return tuple(ops.mul(x, s) for x in a)
+
+
+def cmul(ops, a, b):
+    """Schoolbook quartic product with x^4 = BETA reduction."""
+    beta = ops.const(BETA)
+    a0, a1, a2, a3 = a
+    b0, b1, b2, b3 = b
+    add, mul = ops.add, ops.mul
+    c0 = add(mul(a0, b0),
+             mul(beta, add(add(mul(a1, b3), mul(a2, b2)), mul(a3, b1))))
+    c1 = add(add(mul(a0, b1), mul(a1, b0)),
+             mul(beta, add(mul(a2, b3), mul(a3, b2))))
+    c2 = add(add(mul(a0, b2), mul(a1, b1)),
+             add(mul(a2, b0), mul(beta, mul(a3, b3))))
+    c3 = add(add(mul(a0, b3), mul(a1, b2)), add(mul(a2, b1), mul(a3, b0)))
+    return (c0, c1, c2, c3)
 
 
 class Air:
@@ -117,15 +177,24 @@ class Air:
     main_cols = 0
     aux_cols = 0
     n_challenges = 0        # ext challenges sampled before aux witgen
+    n_derived = 0           # derived challenge-like scalars (see below)
+    n_public_scalars = None  # publics entering constraints (None = all)
+
+    def derived_challenges(self, publics, challenges):
+        """Challenge-dependent scalars both sides compute from the publics
+        (e.g. expected LogUp sums over public lists). Appended to the
+        sampled challenges as entries [n_challenges:]. (k, 4) standard."""
+        return np.zeros((0, 4), dtype=np.uint64)
 
     def control_trace(self, po2: int) -> np.ndarray:
         """Deterministic (n, control_cols) standard-form columns."""
         return np.zeros((1 << po2, self.control_cols), dtype=np.uint64)
 
-    def build_aux(self, main_monty, challenges: np.ndarray):
-        """Device witgen for aux columns: (n, main_cols) -> (n, aux_cols).
+    def build_aux(self, main_std: np.ndarray, challenges: np.ndarray):
+        """Aux-column witgen: host standard-form (n, main_cols) ->
+        standard-form (n, aux_cols) numpy.
 
-        challenges: (n_challenges, 4) standard-form numpy.
+        challenges: (n_challenges [+ n_derived], 4) standard-form numpy.
         """
         raise NotImplementedError
 

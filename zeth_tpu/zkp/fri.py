@@ -31,6 +31,7 @@ FRI_FOLD = 16
 BLOWUP = 4
 QUERIES = 50
 FRI_MIN_DEGREE = 256
+POW_BITS = 20       # Fiat-Shamir grinding before query sampling
 
 _U32 = jnp.uint32
 
@@ -80,6 +81,7 @@ class FriProof:
     layer_roots: list       # list of (8,) digests
     final_coeffs: np.ndarray  # (d, 4) ext coefficients, standard form
     openings: list = dfield(default_factory=list)  # [query][layer] -> FriLayerOpening
+    pow_nonce: int = 0      # grinding nonce (POW_BITS)
 
 
 def _inv_x0_table(shift: int, n: int) -> np.ndarray:
@@ -126,11 +128,13 @@ def prove(evals, shift: int, degree: int, transcript: Transcript):
     final_coeffs = coeffs[:deg].copy()
     transcript.mix_values(final_coeffs.reshape(-1))
 
-    # Queries
+    # PoW grinding, then queries
+    nonce = transcript.grind(POW_BITS)
     qs = [transcript.sample_index(n0) for _ in range(QUERIES)]
     proof = FriProof(
         layer_roots=[t.root for (t, _, _, _) in layers],
         final_coeffs=final_coeffs,
+        pow_nonce=nonce,
     )
     # per-layer positions for every query, then one device gather per layer
     pos_per_layer = []       # [layer][query] -> g
@@ -200,20 +204,44 @@ def verify(proof: FriProof, degree: int, shift: int, transcript: Transcript,
         raise ValueError("fri: layer count mismatch")
     if proof.final_coeffs.shape[0] != deg:
         raise ValueError("fri: final degree mismatch")
+    if proof.final_coeffs.ndim != 2 or proof.final_coeffs.shape[1] != 4:
+        raise ValueError("fri: final coeff shape")
     transcript.mix_values(np.asarray(proof.final_coeffs, np.uint64).reshape(-1))
+    if not transcript.check_grind(POW_BITS, proof.pow_nonce):
+        raise ValueError("fri: proof-of-work grinding check failed")
     qs = [transcript.sample_index(n0) for _ in range(QUERIES)]
+    if len(proof.openings) != len(qs):
+        raise ValueError("fri: opening count mismatch")
+
+    # batched Merkle verification: all queries per layer at once
+    for ell in range(len(domains)):
+        n_l = domains[ell][0]
+        m = n_l // FRI_FOLD
+        gl, rows_l, paths_l = [], [], []
+        for qi, q in enumerate(qs):
+            if len(proof.openings[qi]) != len(domains):
+                raise ValueError("fri: layer opening count mismatch")
+            pos = q
+            for e2 in range(ell):
+                pos = pos % (domains[e2][0] // FRI_FOLD)
+            gl.append(pos % m)
+            rows_l.append(np.asarray(proof.openings[qi][ell].row))
+            paths_l.append(proof.openings[qi][ell].path)
+        if not merkle.verify_many(proof.layer_roots[ell], gl, rows_l,
+                                  paths_l, depth=m.bit_length() - 1,
+                                  width=FRI_FOLD * 4):
+            raise ValueError(f"fri: bad merkle path (layer {ell})")
 
     for qi, q in enumerate(qs):
         pos = q
         value = np.asarray(inner(q), dtype=np.uint64)
+        if len(proof.openings[qi]) != len(domains):
+            raise ValueError("fri: layer opening count mismatch")
         for ell, ((n_l, h_l), phi) in enumerate(zip(domains, phis)):
             opening = proof.openings[qi][ell]
             m = n_l // FRI_FOLD
             g = pos % m
             k = pos // m
-            if not merkle.verify_path(proof.layer_roots[ell], g,
-                                      opening.row, opening.path):
-                raise ValueError(f"fri: bad merkle path (query {qi} layer {ell})")
             vals = opening.row.reshape(FRI_FOLD, 4)
             if not (vals[k] == value).all():
                 raise ValueError(f"fri: layer value mismatch (query {qi} layer {ell})")

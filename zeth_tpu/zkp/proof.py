@@ -53,6 +53,8 @@ class Reader:
         self.pos = 0
 
     def u32(self) -> int:
+        if self.pos >= self.w.shape[0]:
+            raise ValueError("seal truncated")
         v = int(self.w[self.pos])
         self.pos += 1
         return v
@@ -60,14 +62,20 @@ class Reader:
     def string(self) -> str:
         nbytes = self.u32()
         nwords = (nbytes + 3) // 4
+        if nwords > self.w.shape[0] - self.pos:
+            raise ValueError("seal truncated")
         raw = self.w[self.pos:self.pos + nwords].astype("<u4").tobytes()
         self.pos += nwords
         return raw[:nbytes].decode()
 
     def array(self) -> np.ndarray:
         ndim = self.u32()
+        if ndim > 4:
+            raise ValueError("seal array rank too large")
         shape = tuple(self.u32() for _ in range(ndim))
         count = int(np.prod(shape)) if shape else 1
+        if count > self.w.shape[0] - self.pos:
+            raise ValueError("seal array exceeds seal length")
         flat = self.w[self.pos:self.pos + count].astype(np.uint64)
         self.pos += count
         return flat.reshape(shape)
@@ -95,6 +103,7 @@ def encode(proof: StarkProof) -> np.ndarray:
     for r in fp.layer_roots:
         w.array(r)
     w.array(fp.final_coeffs)
+    w.u32(int(fp.pow_nonce) & 0xFFFFFFFF)
     w.u32(len(fp.openings))
     for per_layer in fp.openings:
         w.u32(len(per_layer))
@@ -129,18 +138,28 @@ def decode(seal: np.ndarray) -> StarkProof:
         if r.u32():
             roots[g] = r.array()
     taps = r.array()
-    layer_roots = [r.array() for _ in range(r.u32())]
+    n_layers = r.u32()
+    if n_layers > 16:
+        raise ValueError("seal: too many FRI layers")
+    layer_roots = [r.array() for _ in range(n_layers)]
     final_coeffs = r.array()
+    pow_nonce = r.u32()
+    n_open = r.u32()
+    if n_open != fri_mod.QUERIES:
+        raise ValueError("seal: bad FRI opening count")
     openings = []
-    for _ in range(r.u32()):
+    for _ in range(n_open):
         per_layer = []
-        for _ in range(r.u32()):
+        n_per = r.u32()
+        if n_per != n_layers:
+            raise ValueError("seal: bad per-query layer count")
+        for _ in range(n_per):
             row = r.array()
             path = r.array()
             per_layer.append(FriLayerOpening(row=row, path=path))
         openings.append(per_layer)
     fp = FriProof(layer_roots=layer_roots, final_coeffs=final_coeffs,
-                  openings=openings)
+                  openings=openings, pow_nonce=pow_nonce)
     group_ops = {}
     for g in groups:
         if r.u32():

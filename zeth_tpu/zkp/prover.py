@@ -27,8 +27,8 @@ from .. import hostmath as H
 from .. import ntt
 from ..field import GENERATOR, P
 from ..hash import merkle
-from . import fri
-from .air import Air, DeviceOps
+from . import fri, tape
+from .air import Air
 from .transcript import Transcript
 
 BLOWUP = fri.BLOWUP
@@ -101,6 +101,13 @@ def _lde_group(trace_monty):
     return coeffs, lde
 
 
+@jax.jit
+def _lde_group_std(trace_std_u32):
+    """Same as _lde_group but takes standard-form uint32 and converts on
+    device (uint64 modular reduction is slow in host numpy)."""
+    return _lde_group(F.to_monty(trace_std_u32))
+
+
 def _zinv_table(n: int) -> np.ndarray:
     """Montgomery (BLOWUP,) table of 1/(x^n - 1) on the LDE coset (4-periodic)."""
     gn = pow(GENERATOR, n, P)
@@ -109,44 +116,41 @@ def _zinv_table(n: int) -> np.ndarray:
     return _to_monty_np([pow(v, P - 2, P) for v in vals])
 
 
-# Air registry + cached chunked constraint evaluators. Constraint chunks
-# compile as separate (cached) jits: XLA compile time is superlinear in
-# graph size, and publics/challenges enter as traced arguments so that a
-# new segment/proof does NOT recompile.
+# Air registry + cached constraint tapes. ``air.constraints()`` is
+# captured ONCE into a linear tape (zeth_tpu.zkp.tape); the device then
+# interprets the tape with a tiny fixed program, so XLA compile time is
+# O(1) in circuit size (round-1's chunked-jit approach took ~33 min to
+# compile the rv32im circuit — VERDICT.md).
 _AIRS: dict[str, Air] = {}
-CONSTRAINT_CHUNK = 180
 
 
 def register_air(air: Air) -> None:
     _AIRS[air.name] = air
 
 
-def _device_pubs_chals(publics, challenges):
-    """Lift publics + challenge component-0 values to Montgomery scalars."""
-    pubs = tuple(jnp.asarray(_to_monty_np(int(p) % P)) for p in publics)
-    chals = tuple(jnp.asarray(_to_monty_np(int(c[0]) % P)) for c in challenges)
-    return pubs, chals
-
-
 @functools.lru_cache(maxsize=None)
-def _chunk_fn(air_name: str, start: int, end: int):
+def _tape_program(air_name: str, n_publics: int):
     air = _AIRS[air_name]
+    n_chal = air.n_challenges + getattr(air, "n_derived", 0)
+    return tape.capture(
+        air, n_publics,
+        lambda cap: [tuple(cap.scalar(("chal", i, c)) for c in range(4))
+                     for i in range(n_chal)])
 
-    def run(ldes, pubs, chals, ap):
-        def v(group, col, offset=0):
-            lde = ldes[group]
-            if offset == 0:
-                return lde[:, col]
-            # next trace row: x*w_n is index +BLOWUP in natural LDE order
-            return jnp.roll(lde[:, col], -BLOWUP, axis=0)
 
-        cs = air.constraints(v, DeviceOps, list(pubs), list(chals))[start:end]
-        acc = jnp.zeros((ldes["main"].shape[0], 4), _U32)
-        for i, c in enumerate(cs):
-            acc = F.ext_add(acc, F.ext_mul_base(ap[i], c))
-        return acc
+def scalar_publics(air: Air, publics):
+    """The leading publics that enter constraints as scalars."""
+    n_ps = getattr(air, "n_public_scalars", None)
+    return publics if n_ps is None else publics[:n_ps]
 
-    return jax.jit(run)
+
+def all_challenges(air: Air, publics, sampled: np.ndarray) -> np.ndarray:
+    """Sampled challenges + the AIR's derived challenge-like scalars."""
+    if not getattr(air, "n_derived", 0):
+        return sampled
+    derived = np.asarray(air.derived_challenges(publics, sampled),
+                         np.uint64).reshape(-1, 4)
+    return np.concatenate([sampled.reshape(-1, 4), derived], axis=0)
 
 
 @jax.jit
@@ -167,40 +171,23 @@ def _check_group(air: Air, ldes: dict, alpha: np.ndarray, publics, challenges,
                  n: int):
     """Build the check group: Q = mix(C_i)/Z split into 16 base columns."""
     register_air(air)
-    ncs = len(_count_constraints(air, publics, challenges))
-    alpha_pows = jnp.asarray(_to_monty_np(
-        np.stack([np.asarray(H.ext_pow(alpha, i)) for i in range(ncs)])))
-    pubs, chals = _device_pubs_chals(publics, challenges)
-
-    chunk = getattr(air, "constraint_chunk", None) or CONSTRAINT_CHUNK
-    acc = jnp.zeros((BLOWUP * n, 4), _U32)
-    for s in range(0, ncs, chunk):
-        e = min(s + chunk, ncs)
-        with _Stage(f"constraint chunk {s}:{e}"):
-            acc = F.ext_add(acc, _chunk_fn(air.name, s, e)(
-                ldes, pubs, chals, alpha_pows[s:e]))
-            acc.block_until_ready()
+    pubs_s = scalar_publics(air, publics)
+    tp = _tape_program(air.name, len(pubs_s))
+    # committed columns have degree <= n-1, so a total constraint degree
+    # D gives deg(Q) <= D(n-1) - n <= 4n-1 exactly when D <= BLOWUP+1
+    assert tp.max_degree <= BLOWUP + 1, \
+        f"constraint degree {tp.max_degree} exceeds blowup+1 = {BLOWUP + 1}"
+    alpha_pows = H.ext_powers(alpha, tp.n_stage)
+    with _Stage(f"constraint tape ({tp.ops.shape[0]} ops, "
+                f"{tp.n_stage} constraints)"):
+        acc = tape.eval_check(tp, ldes, pubs_s, challenges, alpha_pows)
+        acc.block_until_ready()
 
     zinv = jnp.asarray(np.tile(_zinv_table(n), n))
     sinv = base_power_series(
         jnp.asarray(np.uint32((pow(GENERATOR, P - 2, P) << 32) % P)),
         BLOWUP * n)
     return _finish_check(acc, zinv, sinv)
-
-
-def _count_constraints(air: Air, publics, challenges):
-    """Count constraints cheaply: evaluate on tiny numpy arrays (no jax)."""
-    from .air import HostVecOps
-    dummy = {g: np.zeros((BLOWUP, max(air.group_cols(g), 1)), np.uint64)
-             for g in ("control", "main", "aux")}
-
-    def v(group, col, offset=0):
-        arr = dummy[group][:, col]
-        return np.roll(arr, -offset) if offset else arr
-
-    pubs = [np.uint64(int(p) % P) for p in publics]
-    chals = [np.uint64(int(c[0]) % P) for c in challenges]
-    return air.constraints(v, HostVecOps, pubs, chals)
 
 
 @jax.jit
@@ -270,19 +257,22 @@ def prove(air: Air, main_std: np.ndarray, publics: list[int]) -> StarkProof:
     control_std = air.control_trace(po2)
     for gname, std in (("control", control_std), ("main", main_std)):
         with _Stage(f"commit {gname}"):
-            monty = jnp.asarray(_to_monty_np(std))
-            coeffs[gname], ldes[gname] = _lde_group(monty)
+            dev = jnp.asarray(np.asarray(std, np.uint64).astype(np.uint32))
+            coeffs[gname], ldes[gname] = _lde_group_std(dev)
             trees[gname] = merkle.commit_rows(ldes[gname])
             roots[gname] = trees[gname].root
         t.mix(roots[gname])
 
     # --- aux group -------------------------------------------------------
-    challenges = np.stack([t.sample_ext() for _ in range(air.n_challenges)]) \
+    sampled = np.stack([t.sample_ext() for _ in range(air.n_challenges)]) \
         if air.n_challenges else np.zeros((0, 4), dtype=np.uint64)
+    challenges = all_challenges(air, publics, sampled)
     if air.aux_cols:
         with _Stage("commit aux"):
-            aux_monty = air.build_aux(jnp.asarray(_to_monty_np(main_std)), challenges)
-            coeffs["aux"], ldes["aux"] = _lde_group(aux_monty)
+            aux_std = air.build_aux(np.asarray(main_std, np.uint64),
+                                    challenges)
+            dev = jnp.asarray(np.asarray(aux_std, np.uint64).astype(np.uint32))
+            coeffs["aux"], ldes["aux"] = _lde_group_std(dev)
             trees["aux"] = merkle.commit_rows(ldes["aux"])
             roots["aux"] = trees["aux"].root
         t.mix(roots["aux"])

@@ -70,6 +70,81 @@ class Transcript:
         return self.sample_vec(4)
 
     def sample_index(self, n: int) -> int:
-        """Uniform index in [0, n) for power-of-two n <= 2^27."""
+        """Uniform index in [0, n) for power-of-two n <= 2^27.
+
+        Rejection-sampled: draws >= the largest multiple of n below p are
+        discarded, so the index is exactly uniform (the plain ``% n``
+        had a ~n/p bias — VERDICT.md r1 weak #10).
+        """
         assert n & (n - 1) == 0 and n <= (1 << 27)
-        return self.sample() % n
+        limit = P - P % n
+        while True:
+            v = self.sample()
+            if v < limit:
+                return v % n
+
+    # -- proof-of-work grinding ---------------------------------------------
+    #
+    # The prover searches a nonce whose transcript-mix makes the next
+    # sampled element end in `bits` zero bits; the verifier replays the
+    # mix and checks. Sampled *before* the FRI query indices, this adds
+    # `bits` of grinding security to the query phase (the reference's
+    # ~100-bit figure includes PoW grinding — SURVEY.md §2.2 risc0-zkp).
+
+    def grind(self, bits: int) -> int:
+        """Find, mix, and return a PoW nonce (device batch search)."""
+        mask = (1 << bits) - 1
+        batch = 1 << 16
+        base = 0
+        while True:
+            hit = int(_grind_batch(jnp_pool(self.pool),
+                                   np.uint32(base), bits))
+            if hit != 0xFFFFFFFF:
+                nonce = base + hit
+                self.mix_values(np.array([nonce], dtype=np.uint64))
+                v = self.sample()
+                assert v & mask == 0
+                return nonce
+            base += batch
+
+    def check_grind(self, bits: int, nonce: int) -> bool:
+        """Verifier side: replay the nonce mix; True iff the PoW holds."""
+        self.mix_values(np.array([int(nonce)], dtype=np.uint64))
+        return self.sample() & ((1 << bits) - 1) == 0
+
+
+# -- device grind kernel ------------------------------------------------------
+
+
+def jnp_pool(pool: np.ndarray):
+    import jax.numpy as jnp
+    return jnp.asarray(
+        ((np.asarray(pool, np.uint64) << np.uint64(32)) % np.uint64(P))
+        .astype(np.uint32))
+
+
+def _grind_batch_impl(pool_monty, base, bits: int):
+    import jax.numpy as jnp
+    from .. import field as F
+    batch = 1 << 16
+    nonces = base + jnp.arange(batch, dtype=jnp.uint32)
+    nonce_m = F.to_monty(nonces)
+    # emulate mix_values([nonce]) + the first squeeze block, batched
+    digests = P2.hash_rows(nonce_m[:, None])                       # (b, 8)
+    pools = P2.hash_pairs(jnp.broadcast_to(pool_monty, (batch, 8)), digests)
+    state = jnp.zeros((P2.CELLS, batch), jnp.uint32).at[:8].set(pools.T)
+    first = F.from_monty(P2.permute(state)[0])
+    ok = (first & jnp.uint32((1 << bits) - 1)) == 0
+    return jnp.where(ok.any(), jnp.argmax(ok).astype(jnp.uint32),
+                     jnp.uint32(0xFFFFFFFF))
+
+
+_GRIND_JIT = None
+
+
+def _grind_batch(pool_monty, base, bits: int):
+    global _GRIND_JIT
+    if _GRIND_JIT is None:
+        import jax
+        _GRIND_JIT = jax.jit(_grind_batch_impl, static_argnames=("bits",))
+    return _GRIND_JIT(pool_monty, base, bits)

@@ -48,11 +48,31 @@ def _ensure(cond, msg):
 
 
 def verify(air: Air, proof: StarkProof, publics: list[int]) -> None:
-    """Raise VerificationError unless the proof is valid for (air, publics)."""
+    """Raise VerificationError unless the proof is valid for (air, publics).
+
+    Any structural malformation of an untrusted seal (wrong shapes,
+    short arrays, bad counts) raises VerificationError too, never a bare
+    IndexError/ValueError (ADVICE.md r1 finding #4).
+    """
+    try:
+        _verify_inner(air, proof, publics)
+    except VerificationError:
+        raise
+    except (IndexError, ValueError, KeyError, AssertionError, TypeError,
+            AttributeError) as e:
+        raise VerificationError(f"malformed proof: {type(e).__name__}: {e}") \
+            from e
+
+
+def _verify_inner(air: Air, proof: StarkProof, publics: list[int]) -> None:
     n = 1 << proof.po2
+    _ensure(isinstance(proof.po2, int) and 2 <= proof.po2 <= 27,
+            "po2 out of range")
     _ensure(proof.air_name == air.name, "air name mismatch")
     _ensure([int(p) for p in proof.publics] == [int(p) for p in publics],
             "public values mismatch")
+    for g, root in proof.roots.items():
+        _ensure(np.asarray(root).shape == (8,), f"bad root shape: {g}")
 
     t = Transcript()
     t.mix_values(np.array([proof.po2] + [int(p) for p in publics],
@@ -67,8 +87,10 @@ def verify(air: Air, proof: StarkProof, publics: list[int]) -> None:
                 "control root mismatch")
     t.mix(proof.roots["control"])
     t.mix(proof.roots["main"])
-    challenges = np.stack([t.sample_ext() for _ in range(air.n_challenges)]) \
+    sampled = np.stack([t.sample_ext() for _ in range(air.n_challenges)]) \
         if air.n_challenges else np.zeros((0, 4), dtype=np.uint64)
+    from .prover import all_challenges, scalar_publics
+    challenges = all_challenges(air, publics, sampled)
     if air.aux_cols:
         t.mix(proof.roots["aux"])
     alpha = t.sample_ext()
@@ -95,8 +117,11 @@ def verify(air: Air, proof: StarkProof, publics: list[int]) -> None:
     def v(gname, col, offset=0):
         return tap(gname, col, offset)
 
-    pubs_ops = [H.ext(int(p) % P) for p in publics]
-    chals_ops = [H.ext(int(c[0]) % P) for c in challenges]
+    pubs_ops = [H.ext(int(p) % P) for p in scalar_publics(air, publics)]
+    # challenges reach the AIR as 4-tuples of components, each embedded
+    # into the DEEP field (circuit-ext algebra — see zkp.air.cmul)
+    chals_ops = [tuple(H.ext(int(c[j]) % P) for j in range(4))
+                 for c in challenges]
     cs = air.constraints(v, HostExtOps, pubs_ops, chals_ops)
     c_at_z = np.zeros(4, dtype=np.uint64)
     for i, c in enumerate(cs):
@@ -160,12 +185,18 @@ def verify(air: Air, proof: StarkProof, publics: list[int]) -> None:
     _ensure(qs == proof.query_indices, "query index mismatch")
 
     # --- Merkle openings of every group at every query ------------------
+    # Path depth is pinned to log2(LDE rows) and row width to the exact
+    # group column count, so inner nodes can't be opened as leaves.
+    depth = proof.po2 + 2           # log2(BLOWUP * n)
     for gname in ("control", "main", "aux", "check"):
         if sizes[gname] == 0 or (gname == "aux" and air.aux_cols == 0):
             continue
         op = proof.openings[gname]
-        for qi, q in enumerate(qs):
-            _ensure(
-                merkle.verify_path(proof.roots[gname], q, op.rows[qi],
-                                   op.paths[qi]),
-                f"bad merkle path: group {gname} query {qi}")
+        _ensure(np.asarray(op.rows).shape == (len(qs), sizes[gname]),
+                f"bad opening rows shape: group {gname}")
+        _ensure(len(op.paths) == len(qs),
+                f"bad opening path count: group {gname}")
+        _ensure(
+            merkle.verify_many(proof.roots[gname], qs, op.rows, op.paths,
+                               depth=depth, width=sizes[gname]),
+            f"bad merkle path: group {gname}")
