@@ -13,8 +13,10 @@ from zeth_tpu.circuits.rv32im import LAYOUT, Rv32imAir, choose_po2
 from zeth_tpu.executor import Executor, guests, load_image
 from zeth_tpu.zkp.air import check_constraints
 
-CHAL = np.array([[999999937, 3, 0, 0], [123456789, 7, 0, 0],
-                 [55555333, 0, 0, 0], [77777177, 0, 0, 0]], dtype=np.uint64)
+CHAL = np.array([[999999937, 3, 1, 4], [123456789, 7, 2, 1],
+                 [55555333, 11, 5, 8], [77777177, 2, 9, 3],
+                 [44440443, 17, 6, 2], [31313131, 5, 1, 7],
+                 [27272727, 13, 4, 9]], dtype=np.uint64)
 
 
 def _witness(elf, inp=b""):
@@ -22,20 +24,22 @@ def _witness(elf, inp=b""):
     res = Executor(elf, input_bytes=inp, trace=True).run()
     seg = res.segments[0]
     air = Rv32imAir(ia, iw)
-    po2 = choose_po2(seg.trace.shape[0], len(ia))
-    main, pubs = air.witgen(seg.trace, po2, seg.exit_pc, seg.entry_regs)
+    po2 = choose_po2(seg, len(ia))
+    main, pubs = air.witgen(seg, po2)
     ctrl = air.control_trace(po2)
     return air, ctrl, main, pubs
 
 
-def _aux(air, main):
-    monty = ((main.astype(np.uint64) << np.uint64(32)) % np.uint64(P)).astype(np.uint32)
-    return np.asarray(F.from_monty(air.build_aux(jnp.asarray(monty), CHAL))
-                      ).astype(np.uint64)
+def _aux(air, main, pubs):
+    chal_all = np.concatenate(
+        [CHAL, np.asarray(air.derived_challenges(pubs, CHAL), np.uint64)])
+    return air.build_aux(main.astype(np.uint64), chal_all)
 
 
-def _check(air, ctrl, main, pubs):
-    return check_constraints(air, ctrl, main, _aux(air, main), pubs, CHAL)
+def _check(air, ctrl, main, pubs, aux=None):
+    if aux is None:
+        aux = _aux(air, main, pubs)
+    return check_constraints(air, ctrl, main, aux, pubs, CHAL)
 
 
 @pytest.mark.parametrize("name,elf,inp", [
@@ -72,7 +76,8 @@ def test_tampered_insn_detected_by_rom_lookup():
 
 def test_wrong_exit_pc_public_detected():
     air, ctrl, main, pubs = _witness(guests.sum_loop(50))
-    bad = [pubs[0], pubs[1], (pubs[2] + 4) & 0xFFFF, pubs[3]]
+    bad = list(pubs)
+    bad[2] = (bad[2] + 4) & 0xFFFF
     assert _check(air, ctrl, main, bad) != {}
 
 
@@ -94,11 +99,11 @@ def test_multisegment_continuation_with_live_registers():
     assert len(res.segments) >= 3
     for seg in res.segments[1:3]:   # continuation segments: nonzero regs
         air = Rv32imAir(ia, iw)
-        po2 = choose_po2(seg.trace.shape[0], len(ia))
-        main, pubs = air.witgen(seg.trace, po2, seg.exit_pc, seg.entry_regs)
+        po2 = choose_po2(seg, len(ia))
+        main, pubs = air.witgen(seg, po2)
         ctrl = air.control_trace(po2)
         assert (seg.entry_regs != 0).any()
-        assert check_constraints(air, ctrl, main, _aux(air, main),
+        assert check_constraints(air, ctrl, main, _aux(air, main, pubs),
                                  pubs, CHAL) == {}
 
 
@@ -106,7 +111,7 @@ def test_forged_register_read_detected():
     air, ctrl, main, pubs = _witness(guests.sum_loop(50))
     from zeth_tpu.circuits.rv32im import N_INIT_ROWS
     main[N_INIT_ROWS + 10, LAYOUT.idx("rs1v", 0)] ^= 1
-    assert check_constraints(air, ctrl, main, _aux(air, main),
+    assert check_constraints(air, ctrl, main, _aux(air, main, pubs),
                              pubs, CHAL) != {}
 
 
@@ -114,14 +119,14 @@ def test_forged_register_write_detected():
     air, ctrl, main, pubs = _witness(guests.sum_loop(50))
     op_rows = np.where(main[:, LAYOUT.idx("sel", 8)] == 1)[0]
     main[op_rows[0], LAYOUT.idx("res", 2)] ^= 1
-    assert check_constraints(air, ctrl, main, _aux(air, main),
+    assert check_constraints(air, ctrl, main, _aux(air, main, pubs),
                              pubs, CHAL) != {}
 
 
 def test_forged_init_register_detected():
     air, ctrl, main, pubs = _witness(guests.sum_loop(50))
     main[5, LAYOUT.idx("res", 0)] ^= 1   # init row of x5
-    assert check_constraints(air, ctrl, main, _aux(air, main),
+    assert check_constraints(air, ctrl, main, _aux(air, main, pubs),
                              pubs, CHAL) != {}
 
 
@@ -129,7 +134,7 @@ def test_dropped_sorted_write_detected():
     air, ctrl, main, pubs = _witness(guests.sum_loop(50))
     done = False
     for r in range(main.shape[0]):
-        for u in range(3):
+        for u in range(4):
             if (main[r, LAYOUT.idx("m_act", u)] == 1
                     and main[r, LAYOUT.idx("m_wr", u)] == 1):
                 main[r, LAYOUT.idx("m_act", u)] = 0
@@ -138,7 +143,7 @@ def test_dropped_sorted_write_detected():
         if done:
             break
     assert done
-    assert check_constraints(air, ctrl, main, _aux(air, main),
+    assert check_constraints(air, ctrl, main, _aux(air, main, pubs),
                              pubs, CHAL) != {}
 
 
@@ -147,8 +152,110 @@ def test_forged_mul_result_detected():
     mrows = np.where(main[:, LAYOUT.idx("is_m")] == 1)[0]
     assert len(mrows) >= 4
     main[mrows[0], LAYOUT.idx("res", 5)] ^= 1
-    assert check_constraints(air, ctrl, main, _aux(air, main),
+    assert check_constraints(air, ctrl, main, _aux(air, main, pubs),
                              pubs, CHAL) != {}
+
+
+# -- RAM (data-memory) argument ----------------------------------------------
+
+
+def _first_class_row(main, name):
+    from zeth_tpu.circuits.rv32im import CLASS_IDX
+    rows = np.where(main[:, LAYOUT.idx("sel", CLASS_IDX[name])] == 1)[0]
+    assert len(rows), f"no {name} rows"
+    return rows[0]
+
+
+def test_load_store_guest_satisfies_constraints():
+    air, ctrl, main, pubs = _witness(guests.load_store(4))
+    assert _check(air, ctrl, main, pubs) == {}
+
+
+def test_forged_load_value_detected():
+    # flip one loaded word bit (and the dependent result bit) — the
+    # sorted-trace read rule must reject it
+    air, ctrl, main, pubs = _witness(guests.load_store(4))
+    r = _first_class_row(main, "LOAD")
+    main[r, LAYOUT.idx("mword", 3)] ^= 1
+    main[r, LAYOUT.idx("res", 3)] ^= 1
+    assert _check(air, ctrl, main, pubs) != {}
+
+
+def test_forged_store_merge_detected():
+    air, ctrl, main, pubs = _witness(guests.sum_loop(20))
+    r = _first_class_row(main, "STORE")
+    main[r, LAYOUT.idx("mwnew", 5)] ^= 1
+    assert _check(air, ctrl, main, pubs) != {}
+
+
+def test_forged_syscall_write_detected():
+    # flip one input-stream SYSMEM write value without fixing the sorted
+    # trace: the memory multiset argument must reject it
+    air, ctrl, main, pubs = _witness(guests.echo_input(8), bytes(range(8)))
+    r = _first_class_row(main, "SYSMEM")
+    main[r, LAYOUT.idx("mwnew", 0)] ^= 1
+    assert _check(air, ctrl, main, pubs) != {}
+
+
+def test_forged_meminit_value_detected():
+    # tamper a MEMINIT row's value AND the matching public list entry:
+    # the sorted trace still carries the honest first-read, so the
+    # multiset argument must reject the forged entry value
+    air, ctrl, main, pubs = _witness(guests.echo_input(8), bytes(range(8)))
+    r = _first_class_row(main, "MEMINIT")
+    main[r, LAYOUT.idx("mwnew", 1)] ^= 1
+    bad = list(pubs)
+    bad[11 + 2] ^= 2   # first meminit entry's value lo limb
+    assert _check(air, ctrl, main, bad) != {}
+
+
+def test_forged_journal_public_detected():
+    # commit guest: tampering the public journal words changes the
+    # derived RLC, which no longer matches the in-circuit chain
+    air, ctrl, main, pubs = _witness(guests.sum_loop(20))
+    pp_bad = list(pubs)
+    n_init, n_fin = pp_bad[7], pp_bad[8]
+    joff = 11 + 4 * (n_init + n_fin)
+    assert pp_bad[9] > 0    # journal word count
+    pp_bad[joff] ^= 1
+    assert _check(air, ctrl, main, pp_bad) != {}
+
+
+def test_forged_halted_flag_detected():
+    air, ctrl, main, pubs = _witness(guests.sum_loop(20))
+    bad = list(pubs)
+    bad[4] = 0          # claim "did not halt"
+    assert _check(air, ctrl, main, bad) != {}
+
+
+def test_forged_exit_code_detected():
+    air, ctrl, main, pubs = _witness(guests.sum_loop(20))
+    bad = list(pubs)
+    bad[5] = (bad[5] + 1) & 0xFFFF
+    assert _check(air, ctrl, main, bad) != {}
+
+
+def test_forged_signed_div_result_detected():
+    from zeth_tpu.circuits.rv32im import CLASS_IDX
+    air, ctrl, main, pubs = _witness(guests.muldiv_check())
+    f3_4 = LAYOUT.idx("f3_sel", 4)
+    rows = np.where((main[:, LAYOUT.idx("is_m")] == 1)
+                    & (main[:, f3_4] == 1)
+                    & (main[:, LAYOUT.idx("div_en")] == 1))[0]
+    assert len(rows)   # DIV INT_MIN / -1
+    main[rows[0], LAYOUT.idx("res", 7)] ^= 1
+    assert _check(air, ctrl, main, pubs) != {}
+
+
+def test_parse_publics_roundtrip():
+    from zeth_tpu.circuits.rv32im import parse_publics
+    air, ctrl, main, pubs = _witness(guests.echo_input(8), bytes(range(8)))
+    pp = parse_publics(pubs)
+    assert pp["halted"] == 1 and pp["exit_code"] == 0
+    assert len(pp["mem_init"]) == len(pp["mem_fin"])
+    assert len(pp["journal_words"]) == 2   # 8 bytes committed
+    with pytest.raises(ValueError):
+        parse_publics(pubs[:-1])
 
 
 def test_forged_divu_result_and_remainder_detected():
@@ -158,10 +265,10 @@ def test_forged_divu_result_and_remainder_detected():
     assert len(den) >= 2 and len(dz) >= 2
     m2 = main.copy()
     m2[den[0], LAYOUT.idx("res", 1)] ^= 1
-    assert check_constraints(air, ctrl, m2, _aux(air, m2), pubs, CHAL) != {}
+    assert check_constraints(air, ctrl, m2, _aux(air, m2, pubs), pubs, CHAL) != {}
     m3 = main.copy()
     m3[den[0], LAYOUT.idx("mdiv_r", 13)] ^= 1
-    assert check_constraints(air, ctrl, m3, _aux(air, m3), pubs, CHAL) != {}
+    assert check_constraints(air, ctrl, m3, _aux(air, m3, pubs), pubs, CHAL) != {}
     m4 = main.copy()
     m4[dz[0], LAYOUT.idx("res", 0)] ^= 1
-    assert check_constraints(air, ctrl, m4, _aux(air, m4), pubs, CHAL) != {}
+    assert check_constraints(air, ctrl, m4, _aux(air, m4, pubs), pubs, CHAL) != {}

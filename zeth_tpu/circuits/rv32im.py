@@ -50,15 +50,26 @@ CLASSES = [
     ("LUI", 0x37), ("AUIPC", 0x17), ("JAL", 0x6F), ("JALR", 0x67),
     ("BRANCH", 0x63), ("LOAD", 0x03), ("STORE", 0x23), ("OPIMM", 0x13),
     ("OP", 0x33), ("SYSTEM", 0x73), ("FENCE", 0x0F), ("PAD", 0x00),
-    ("INIT", 0x00),   # rows 0..31: register-file init writes (one per reg)
+    ("INIT", 0x00),    # rows 0..31: register-file init writes (one per reg)
+    ("SYSMEM", 0x00),  # syscall IO phantom rows (one word each)
+    ("MEMINIT", 0x00), # RAM argument: segment-entry value of a touched word
+    ("MEMFIN", 0x00),  # RAM argument: segment-exit read of a touched word
 ]
 NCLASS = len(CLASSES)
 CLASS_IDX = {name: i for i, (name, _) in enumerate(CLASSES)}
 
 N_INIT_ROWS = 32     # one register-init write row per register
-ORD_BITS = 24        # sorted-order diffs (ts = 3*cycle+unit < 3*2^21)
+N_REG_UNITS = 4      # r1/a0, r2/a1, rd-write, a7 (ecall rows)
+ORD_BITS = 24        # sorted-order diffs (reg arg: ts = 4*cycle+unit < 2^23)
+N_MEM_UNITS = 2      # word read unit, word write unit
+MS_ORD_BITS = 30     # mem arg: word-address diffs < 2^30
 # classes whose result is written back to rd
 WB_CLASSES = ("LUI", "AUIPC", "JAL", "JALR", "OPIMM", "OP", "LOAD")
+# syscall numbers (one-hot "sk" selector order; zkVM ABI in executor)
+SYSCALLS = ("HALT", "READ", "COMMIT", "LOG", "CYCLE", "KECCAK")
+# SYSMEM stream one-hot order: input write / journal read / keccak read /
+# keccak write (trace stream tags SM_* in the executor)
+SM_STREAMS = ("in_w", "j_r", "k_r", "k_w")
 
 
 class Layout:
@@ -80,13 +91,40 @@ class Layout:
             # register-file memory argument: rd != 0 helper + the sorted
             # access trace (3 units per row, sorted by (reg, cycle, unit))
             ("rd_nz", 1), ("rd_inv", 1),
-            ("m_reg", 3), ("m_cyc", 3), ("m_vlo", 3), ("m_vhi", 3),
-            ("m_wr", 3), ("m_act", 3), ("m_same", 3), ("g_rw", 3),
-            ("ord_bits", 3 * ORD_BITS),
-            # M-extension multiply unit: committed high word, 8-bit-limb
-            # carry chain (7 carries x 12 bits), signed-adjust borrows
-            ("is_m", 1), ("mula", 32), ("mullo", 32), ("mulhi", 32),
+            ("m_reg", N_REG_UNITS), ("m_cyc", N_REG_UNITS),
+            ("m_vlo", N_REG_UNITS), ("m_vhi", N_REG_UNITS),
+            ("m_wr", N_REG_UNITS), ("m_act", N_REG_UNITS),
+            ("m_same", N_REG_UNITS),
+            ("ord_bits", N_REG_UNITS * ORD_BITS),
+            # data-memory unit (RAM argument): byte address (adder output;
+            # a7 value on SYSTEM rows), loaded/old word, written word,
+            # byte-select one-hot, addr-adder carries
+            ("maddr", 32), ("madd_c1", 1), ("madd_c2", 1),
+            ("mword", 32), ("mwnew", 32), ("bsel", 4),
+            # SYSMEM run structure: stream one-hot, base addr (a0 of the
+            # initiating ecall), +4 chain carry, words-remaining counter,
+            # rem==1 / rem==51 indicators (keccak pre->post switch)
+            ("sm_str", 4), ("sm_base_l", 1), ("sm_base_h", 1), ("sm_c", 1),
+            ("sm_rem", 20), ("sm_eq1", 1), ("sm_eq1i", 1),
+            ("sm_eq51", 1), ("sm_eq51i", 1),
+            # syscall selector one-hot (SYSTEM rows; bound to a7)
+            ("sk", len(SYSCALLS)),
+            # sorted data-memory access trace: 2 units per row, sorted by
+            # (word address, timestamp); kind: 0=normal 1=init 2=fin
+            ("ms_wa", N_MEM_UNITS), ("ms_ts", N_MEM_UNITS),
+            ("ms_vlo", N_MEM_UNITS), ("ms_vhi", N_MEM_UNITS),
+            ("ms_wr", N_MEM_UNITS), ("ms_act", N_MEM_UNITS),
+            ("ms_same", N_MEM_UNITS), ("ms_kind", N_MEM_UNITS),
+            ("ms_ord", N_MEM_UNITS * MS_ORD_BITS),
+            # M-extension multiply unit: committed operands/products,
+            # 8-bit-limb carry chain (7 carries x 12 bits), signed-adjust
+            # borrows; abs_a/abs_b + negation carries back the signed
+            # DIV/REM path (divide unit runs on magnitudes)
+            ("is_m", 1), ("mula", 32), ("mulb", 32),
+            ("mullo", 32), ("mulhi", 32),
             ("mul_c", 7 * 12), ("madj_k", 4),
+            ("abs_a", 32), ("abs_b", 32), ("abs_ca1", 1), ("abs_cb1", 1),
+            ("sneg_c1", 1), ("sneg_c2", 1),
             # DIVU/REMU unit: q, r, the range witness t = b-r-1, carries,
             # b==0 detection, and committed gates
             ("mdiv_q", 32), ("mdiv_r", 32), ("mdiv_t", 32),
@@ -112,12 +150,25 @@ C_CYCLE, C_IS_INIT = 6, 7
 N_CONTROL = 8
 
 # aux columns (LogUp): t = fetch term, u = rom term, acc = running sum;
-# register argument: 3 unsorted + 3 sorted access terms + running sum
+# register argument: 3 unsorted + 3 sorted access terms + running sum.
+# Every aux value is a full Fp4 extension element stored as 4 base
+# columns (slot k -> columns 4k..4k+3): LogUp denominators use full
+# extension challenges (ADVICE.md r1 finding #1 — a single base-field
+# challenge is grindable).
 A_T, A_U, A_ACC = 0, 1, 2
-A_RU = 3          # unsorted access terms (3)
-A_RS = 6          # sorted access terms (3)
-A_RACC = 9
-N_AUX = 10
+A_RU = 3           # register unsorted access terms (4 units)
+A_RS = 7           # register sorted access terms (4 units)
+A_RACC = 11
+A_MU = 12          # memory unsorted terms (R, W)
+A_MS = 14          # memory sorted terms (2 units)
+A_MACC = 16
+A_LI, A_LF = 17, 18      # MEMINIT / MEMFIN list-binding terms
+A_LIA, A_LFA = 19, 20    # their running sums (bound to derived scalars)
+A_RJ, A_RK = 21, 22      # journal / keccak-IO RLC chains
+# (SYS_READ input words are nondeterministic witness, as in the
+# reference zkVM — they are NOT exposed or bound in publics)
+N_AUX_SLOTS = 23
+N_AUX = 4 * N_AUX_SLOTS
 
 # bit lists for immediates: entry is ("b", insn_bit_index) or 0
 def _imm_bits(kind: str):
@@ -132,6 +183,9 @@ def _imm_bits(kind: str):
     if kind == "b":
         return ([0] + [b(8 + j) for j in range(4)]
                 + [b(25 + j) for j in range(6)] + [b(7)] + [b(31)] * 20)
+    if kind == "s":
+        return ([b(7 + j) for j in range(5)]
+                + [b(25 + j) for j in range(6)] + [b(31)] * 21)
     raise ValueError(kind)
 
 
@@ -151,7 +205,16 @@ class Rv32imAir(Air):
     control_cols = N_CONTROL
     main_cols = LAYOUT.n
     aux_cols = N_AUX
-    n_challenges = 4     # g0/g1: fetch LogUp; g2/g3: register argument
+    # g0/g1: fetch LogUp; g2/g3: register argument; g4/g5: RAM argument;
+    # g6: IO RLC chains
+    n_challenges = 7
+    # derived (not sampled) challenge-like scalars, computed by prover AND
+    # verifier from the public lists + sampled challenges:
+    # d0/d1 = MEMINIT/MEMFIN LogUp sums, d2/d3 = journal/keccak RLCs
+    n_derived = 4
+    # publics beyond index 6 are the variable-length lists; only the first
+    # 7 scalars enter constraints directly
+    n_public_scalars = 7
 
     def __init__(self, image_addrs: np.ndarray, image_words: np.ndarray):
         """image_*: the initial memory image (sorted by address)."""
@@ -191,23 +254,38 @@ class Rv32imAir(Air):
 
     # -- witgen ------------------------------------------------------------
 
-    def witgen(self, trace: np.ndarray, po2: int, exit_pc: int,
-               entry_regs: np.ndarray | None = None) -> tuple[np.ndarray, list]:
-        """Expand executor trace records -> (main_std (n, main_cols), publics).
+    def witgen(self, seg, po2: int) -> tuple[np.ndarray, list]:
+        """Expand an executor segment -> (main_std (n, main_cols), publics).
 
-        trace: (cycles, 8) uint32 [pc, insn, rs1v, rs2v, rdv, maddr, mval, fl]
-        exit_pc: machine pc after the segment's last instruction (from the
-        executor) — becomes the frozen padding-row pc and the exit public.
-        entry_regs: (32,) register file at segment entry (zeros if omitted);
-        written by the N_INIT_ROWS leading init rows.
+        seg: SegmentInfo-like with .trace (cycles, 8) uint32 records
+        [pc, insn, rs1v, rs2v, rdv, maddr, mword, flags], .exit_pc,
+        .entry_regs, .mem_addrs/.mem_pre/.mem_post (the RAM argument's
+        segment-boundary lists), .halted, .exit_code.
 
-        Row layout: [0, 32) = register init rows; [32, 32+cycles) = executed
-        instructions; rest = padding.
+        Row layout: [0, 32) register init; [32, 32+n_mem) MEMINIT;
+        then the executed records (instructions + SYSMEM phantom rows);
+        then n_mem MEMFIN rows; rest padding.
         """
+        from ..executor import (SM_INPUT, SM_JOURNAL, SM_KECCAK_R,
+                                SM_KECCAK_W, TR_ECALL, TR_MEM_LOAD,
+                                TR_MEM_STORE, TR_SYSMEM)
+        trace = seg.trace
+        exit_pc = int(seg.exit_pc)
+        entry_regs = seg.entry_regs
+        mem_addrs = (np.asarray(seg.mem_addrs, np.uint64)
+                     if seg.mem_addrs is not None else np.zeros(0, np.uint64))
+        mem_pre = (np.asarray(seg.mem_pre, np.uint64)
+                   if seg.mem_pre is not None else np.zeros(0, np.uint64))
+        mem_post = (np.asarray(seg.mem_post, np.uint64)
+                    if seg.mem_post is not None else np.zeros(0, np.uint64))
+        n_mem = len(mem_addrs)
+
         n = 1 << po2
         rows = trace.shape[0]
-        B = N_INIT_ROWS
-        assert B + rows < n, "need at least one padding row"
+        B0 = N_INIT_ROWS
+        B = B0 + n_mem                   # first executed row
+        BF = B + rows                    # first MEMFIN row
+        assert BF + n_mem < n, "segment does not fit (need a padding row)"
         if entry_regs is None:
             entry_regs = np.zeros(32, dtype=np.uint64)
         entry_regs = np.asarray(entry_regs, dtype=np.uint64)
@@ -220,9 +298,16 @@ class Rv32imAir(Air):
         rs1v = trace[:, 2].astype(np.uint64)
         rs2v = trace[:, 3].astype(np.uint64)
         rdv = trace[:, 4].astype(np.uint64)
+        maddr_rec = trace[:, 5].astype(np.uint64)
+        mword_rec = trace[:, 6].astype(np.uint64)
+        flags = trace[:, 7].astype(np.uint64)
 
-        opcode = insn & np.uint64(0x7F)
-        f3 = (insn >> np.uint64(12)) & np.uint64(7)
+        is_sm = (flags & np.uint64(TR_SYSMEM)) != 0
+        sm_stream = (flags >> np.uint64(8)) & np.uint64(7)
+        is_instr = ~is_sm
+
+        opcode = np.where(is_instr, insn & np.uint64(0x7F), np.uint64(0))
+        f3 = np.where(is_instr, (insn >> np.uint64(12)) & np.uint64(7), 0)
         b30 = (insn >> np.uint64(30)) & np.uint64(1)
         b25 = (insn >> np.uint64(25)) & np.uint64(1)
 
@@ -240,29 +325,34 @@ class Rv32imAir(Air):
         put_bits("rs1v", rs1v)
         put_bits("rs2v", rs2v)
         put_bits("res", rdv)
-        m[B + rows:, L.slices["pc"].start:L.slices["pc"].stop] = (
+        m[BF:, L.slices["pc"].start:L.slices["pc"].stop] = (
             (pad_pc >> np.arange(32).astype(np.uint64)) & 1)
-        # init rows: pc frozen at the entry pc; res carries the incoming
-        # register value written by that row's init unit
-        entry_pc = np.uint64(int(trace[0, 0]) if rows else int(exit_pc))
+        # init + meminit rows: pc frozen at the entry pc; init rows' res
+        # carries the incoming register value written by that row's unit
+        first_instr = np.nonzero(is_instr)[0]
+        entry_pc = np.uint64(int(trace[first_instr[0], 0])
+                             if first_instr.size else int(exit_pc))
         m[:B, L.slices["pc"].start:L.slices["pc"].stop] = (
             (entry_pc >> np.arange(32).astype(np.uint64)) & 1)
-        put_bits("res", entry_regs, where=slice(0, B))
+        put_bits("res", entry_regs, where=slice(0, B0))
 
-        # class selectors
+        # class selectors (flags decide SYSMEM; opcode decides the rest)
         class_of = np.full(rows, CLASS_IDX["PAD"], dtype=np.int64)
         for name, opc in CLASSES:
-            if name == "PAD":
+            if name in ("PAD", "SYSMEM", "MEMINIT", "MEMFIN", "INIT"):
                 continue
-            class_of[opcode == opc] = CLASS_IDX[name]
+            class_of[(opcode == opc) & is_instr] = CLASS_IDX[name]
+        class_of[is_sm] = CLASS_IDX["SYSMEM"]
         m[B + np.arange(rows), L.idx("sel") + class_of] = 1
-        m[B + rows:, L.idx("sel", CLASS_IDX["PAD"])] = 1
-        m[:B, L.idx("sel", CLASS_IDX["INIT"])] = 1
+        m[BF + n_mem:, L.idx("sel", CLASS_IDX["PAD"])] = 1
+        m[:B0, L.idx("sel", CLASS_IDX["INIT"])] = 1
+        m[B0:B, L.idx("sel", CLASS_IDX["MEMINIT"])] = 1
+        m[BF:BF + n_mem, L.idx("sel", CLASS_IDX["MEMFIN"])] = 1
 
-        # f3 one-hot (padding rows: f3 = 0)
+        # f3 one-hot (non-instruction rows: f3 = 0)
         m[B + np.arange(rows), L.idx("f3_sel") + f3.astype(np.int64)] = 1
-        m[B + rows:, L.idx("f3_sel", 0)] = 1
-        m[:B, L.idx("f3_sel", 0)] = 1
+        for sl in (slice(0, B), slice(BF, n)):
+            m[sl, L.idx("f3_sel", 0)] = 1
 
         is_cls = {name: class_of == CLASS_IDX[name] for name, _ in CLASSES}
 
@@ -298,10 +388,9 @@ class Rv32imAir(Air):
         m[B:B + rows, L.idx("eq_hi")] = dhi_f == 0
         m[B:B + rows, L.idx("eq_inv_lo")] = inv_or_zero(dlo_f)
         m[B:B + rows, L.idx("eq_inv_hi")] = inv_or_zero(dhi_f)
-        m[B + rows:, L.idx("eq_lo")] = 1
-        m[:B, L.idx("eq_lo")] = 1
-        m[B + rows:, L.idx("eq_hi")] = 1
-        m[:B, L.idx("eq_hi")] = 1
+        for sl in (slice(0, B), slice(BF, n)):
+            m[sl, L.idx("eq_lo")] = 1
+            m[sl, L.idx("eq_hi")] = 1
 
         # shift unit
         shamt = np.where(is_cls["OPIMM"], (insn >> np.uint64(20)) & np.uint64(31),
@@ -310,8 +399,8 @@ class Rv32imAir(Air):
                     & ((f3 == 1) | (f3 == 5)))
         shamt = np.where(is_shift, shamt, 0)
         m[B + np.arange(rows), L.idx("sh_sel") + shamt.astype(np.int64)] = 1
-        m[B + rows:, L.idx("sh_sel", 0)] = 1
-        m[:B, L.idx("sh_sel", 0)] = 1
+        for sl in (slice(0, B), slice(BF, n)):
+            m[sl, L.idx("sh_sel", 0)] = 1
 
         # OP-class ALU selector: excludes the M extension (funct7 bit 25)
         op_alu = (is_cls["OP"] & (b25 == 0)).astype(np.uint64)
@@ -320,18 +409,28 @@ class Rv32imAir(Air):
         # M-extension multiply unit (MUL/MULH/MULHSU/MULHU: f3 in 0..3)
         is_m = (is_cls["OP"] & (b25 == 1)).astype(np.uint64)
         m[B:B + rows, L.idx("is_m")] = is_m
-        div_rows = (is_m == 1) & ((f3 == 5) | (f3 == 7))
+        sdiv_rows = (is_m == 1) & ((f3 == 4) | (f3 == 6))
+        div_rows = ((is_m == 1) & ((f3 == 5) | (f3 == 7))) | sdiv_rows
         mul_rows = ((is_m == 1) & (f3 <= 3)) | div_rows
         if mul_rows.any():
-            b_all = rs2v[mul_rows]
+            ssel = sdiv_rows[mul_rows]
+            # signed rows run the divide unit on absolute values
+            neg32 = lambda x: (~x + np.uint64(1)) & np.uint64(0xFFFFFFFF)
+            a_raw = rs1v[mul_rows]
+            b_raw = rs2v[mul_rows]
+            a_sign = (a_raw >> np.uint64(31)) & np.uint64(1)
+            b_sign = (b_raw >> np.uint64(31)) & np.uint64(1)
+            abs_a = np.where(ssel & (a_sign == 1), neg32(a_raw), a_raw)
+            abs_b = np.where(ssel & (b_sign == 1), neg32(b_raw), b_raw)
+            dvd = np.where(ssel, abs_a, a_raw)
+            b_all = np.where(ssel, abs_b, b_raw)
             dsel = div_rows[mul_rows]
-            bz = b_all == 0
+            bz = b_raw == 0
             q = np.where(bz, np.uint64(0xFFFFFFFF),
-                         rs1v[mul_rows] // np.maximum(b_all, 1))
-            r = np.where(bz, rs1v[mul_rows],
-                         rs1v[mul_rows] % np.maximum(b_all, 1))
+                         dvd // np.maximum(b_all, 1))
+            r = np.where(bz, dvd, dvd % np.maximum(b_all, 1))
             # mul-unit A operand: rs1 for multiplies, q for divides
-            a = np.where(dsel, q, rs1v[mul_rows])
+            a = np.where(dsel, q, a_raw)
             b = b_all
             full = a * b                       # < 2^64, fits uint64
             lo = full & np.uint64(0xFFFFFFFF)
@@ -339,6 +438,30 @@ class Rv32imAir(Air):
             where = np.where(mul_rows)[0] + B
             for j in range(32):
                 m[where, L.idx("mula", j)] = (a >> np.uint64(j)) & np.uint64(1)
+                m[where, L.idx("mulb", j)] = (b >> np.uint64(j)) & np.uint64(1)
+                m[where, L.idx("abs_a", j)] = (abs_a >> np.uint64(j)) & np.uint64(1)
+                m[where, L.idx("abs_b", j)] = (abs_b >> np.uint64(j)) & np.uint64(1)
+            # two's-complement relation carries (x + abs(x) = 2^32)
+            sa = ssel & (a_sign == 1)
+            sb = ssel & (b_sign == 1)
+            m[where, L.idx("abs_ca1")] = np.where(
+                sa, ((a_raw & 0xFFFF) + (abs_a & 0xFFFF)) >> np.uint64(16), 0)
+            m[where, L.idx("abs_cb1")] = np.where(
+                sb, ((b_raw & 0xFFFF) + (abs_b & 0xFFFF)) >> np.uint64(16), 0)
+            # signed result negation carries (res + abs_res = 2^32 or 0)
+            res_row = rdv[mul_rows]
+            f3r_all = f3[mul_rows]
+            abs_res = np.where(f3r_all == 4, q, r)
+            s_neg = ssel & ~bz & np.where(
+                f3r_all == 4, (a_sign ^ b_sign) == 1, a_sign == 1)
+            sc1 = np.where(s_neg,
+                           ((res_row & 0xFFFF) + (abs_res & 0xFFFF))
+                           >> np.uint64(16), 0)
+            sc2 = np.where(s_neg,
+                           ((res_row >> np.uint64(16)) + (abs_res >> np.uint64(16))
+                            + sc1) >> np.uint64(16), 0)
+            m[where, L.idx("sneg_c1")] = sc1
+            m[where, L.idx("sneg_c2")] = sc2
             # div side columns
             t = np.where(bz | ~dsel, 0, (b - r - 1) & np.uint64(0xFFFFFFFF))
             for j in range(32):
@@ -352,9 +475,9 @@ class Rv32imAir(Air):
             e1 = np.where(dsel & ~bz,
                           ((r & 0xFFFF) + 1 + (t & 0xFFFF)) >> np.uint64(16), 0)
             m[where, L.idx("mdiv_e1")] = e1
-            # b == 0 detection per limb
-            blo = b & np.uint64(0xFFFF)
-            bhi = b >> np.uint64(16)
+            # b == 0 detection per limb (on the RAW rs2, not |rs2|)
+            blo = b_raw & np.uint64(0xFFFF)
+            bhi = b_raw >> np.uint64(16)
             m[where, L.idx("bz_lo_eq")] = blo == 0
             m[where, L.idx("bz_hi_eq")] = bhi == 0
             m[where, L.idx("bz_lo_inv")] = inv_or_zero(blo)
@@ -460,10 +583,11 @@ class Rv32imAir(Air):
         m[B:B + rows, L.idx("npc_c1")] = nc1
         m[B:B + rows, L.idx("npc_c2")] = (nhi >> 16) & 1
 
-        # ROM multiplicities: fetch counts per image address
+        # ROM multiplicities: fetch counts per image address (instruction
+        # records only — SYSMEM phantom rows do not fetch)
         rom_m = np.zeros(n, dtype=np.uint64)
         addr_to_row = {int(a): i for i, a in enumerate(self.image_addrs)}
-        pcs, counts = np.unique(pc, return_counts=True)
+        pcs, counts = np.unique(pc[is_instr], return_counts=True)
         for a, c in zip(pcs, counts):
             row = addr_to_row.get(int(a))
             if row is None:
@@ -471,178 +595,472 @@ class Rv32imAir(Air):
             rom_m[row] = c
         m[:, L.idx("rom_m")] = rom_m
 
+        # --- data-memory unit columns + syscall machinery ----------------
+        is_load = is_cls["LOAD"]
+        is_store = is_cls["STORE"]
+        is_sys = is_cls["SYSTEM"]
+        put_bits("maddr", np.where(is_load | is_store | is_sm | is_sys,
+                                   maddr_rec, 0))
+        # addr-adder carries (loads: rs1+imm_i; stores: rs1+imm_s)
+        imm_s = _imm_value("s", insn)
+        mem_imm = np.where(is_load, imm_i, np.where(is_store, imm_s, 0))
+        mc1 = np.where(is_load | is_store,
+                       ((rs1v & 0xFFFF) + (mem_imm & 0xFFFF)) >> np.uint64(16),
+                       0)
+        mc2 = np.where(
+            is_load | is_store,
+            ((rs1v >> np.uint64(16)) + (mem_imm >> np.uint64(16)) + mc1)
+            >> np.uint64(16), 0)
+        m[B:B + rows, L.idx("madd_c1")] = mc1
+        m[B:B + rows, L.idx("madd_c2")] = mc2 & np.uint64(1)
+        # loaded/old word; byte-select one-hot
+        sm_read = is_sm & ((sm_stream == SM_JOURNAL) | (sm_stream == SM_KECCAK_R))
+        sm_write = is_sm & ((sm_stream == SM_INPUT) | (sm_stream == SM_KECCAK_W))
+        put_bits("mword", np.where(is_load | is_store | sm_read,
+                                   mword_rec, 0))
+        bsel_rows = np.nonzero(is_load | is_store)[0]
+        m[B + bsel_rows,
+          L.idx("bsel") + (maddr_rec[bsel_rows] & 3).astype(np.int64)] = 1
+        # merged store word
+        sh_b = (maddr_rec & np.uint64(3)) * np.uint64(8)
+        sh_h = (maddr_rec & np.uint64(2)) * np.uint64(8)
+        mask_b = np.uint64(0xFF) << sh_b
+        mask_h = np.uint64(0xFFFF) << sh_h
+        store_new = np.select(
+            [is_store & (f3 == 0), is_store & (f3 == 1), is_store & (f3 == 2)],
+            [(mword_rec & ~mask_b) | ((rs2v & np.uint64(0xFF)) << sh_b),
+             (mword_rec & ~mask_h) | ((rs2v & np.uint64(0xFFFF)) << sh_h),
+             rs2v],
+            default=np.uint64(0)) & np.uint64(0xFFFFFFFF)
+        put_bits("mwnew", np.where(is_store, store_new,
+                                   np.where(sm_write, mword_rec, 0)))
+        # syscall one-hot on SYSTEM rows (maddr field carries a7)
+        sys_rows = np.nonzero(is_sys)[0]
+        a7 = maddr_rec[sys_rows]
+        assert (a7 < len(SYSCALLS)).all(), "unknown syscall in trace"
+        m[B + sys_rows, L.idx("sk") + a7.astype(np.int64)] = 1
+        # SYSMEM stream one-hot + run structure (base/rem/carry/eq flags)
+        stream_slot = {SM_INPUT: 0, SM_JOURNAL: 1, SM_KECCAK_R: 2,
+                       SM_KECCAK_W: 3}
+        sm_rows = np.nonzero(is_sm)[0]
+        for i in sm_rows:
+            m[B + i, L.idx("sm_str", stream_slot[int(sm_stream[i])])] = 1
+        # runs are maximal blocks of consecutive SYSMEM records
+        i = 0
+        while i < rows:
+            if not is_sm[i]:
+                i += 1
+                continue
+            j = i
+            while j < rows and is_sm[j]:
+                j += 1
+            run = np.arange(i, j)
+            base = int(maddr_rec[i])
+            run_len = len(run)
+            rem = run_len - np.arange(run_len)          # run_len .. 1
+            m[B + run, L.idx("sm_base_l")] = base & 0xFFFF
+            m[B + run, L.idx("sm_base_h")] = base >> 16
+            for jbit in range(20):
+                m[B + run, L.idx("sm_rem", jbit)] = (rem >> jbit) & 1
+            eq1 = (rem == 1).astype(np.uint64)
+            eq51 = (rem == 51).astype(np.uint64)
+            m[B + run, L.idx("sm_eq1")] = eq1
+            m[B + run, L.idx("sm_eq51")] = eq51
+            m[B + run, L.idx("sm_eq1i")] = inv_or_zero(
+                (rem.astype(np.int64) - 1) % P)
+            m[B + run, L.idx("sm_eq51i")] = inv_or_zero(
+                np.mod(rem.astype(np.int64) - 51, P).astype(np.uint64))
+            # +4 address chain carries (on the successor row)
+            for k in range(1, run_len):
+                prev_a = int(maddr_rec[i + k - 1])
+                if int(sm_stream[i + k]) == SM_KECCAK_W and \
+                        int(sm_stream[i + k - 1]) == SM_KECCAK_R:
+                    continue    # switch row: addr resets to base
+                m[B + i + k, L.idx("sm_c")] = ((prev_a & 0xFFFF) + 4) >> 16
+            i = j
+
+        # MEMINIT / MEMFIN rows
+        if n_mem:
+            put_bits("maddr", mem_addrs, where=slice(B0, B))
+            put_bits("mwnew", mem_pre, where=slice(B0, B))
+            put_bits("maddr", mem_addrs, where=slice(BF, BF + n_mem))
+            put_bits("mword", mem_post, where=slice(BF, BF + n_mem))
+
         # --- register-file access log + sorted trace ---------------------
-        rd_f = (insn >> np.uint64(7)) & np.uint64(31)
-        rs1_f = (insn >> np.uint64(15)) & np.uint64(31)
-        rs2_f = (insn >> np.uint64(20)) & np.uint64(31)
+        rd_f = np.where(is_instr, (insn >> np.uint64(7)) & np.uint64(31), 0)
+        rs1_f = np.where(is_instr, (insn >> np.uint64(15)) & np.uint64(31), 0)
+        rs2_f = np.where(is_instr, (insn >> np.uint64(20)) & np.uint64(31), 0)
         m[B:B + rows, L.idx("rd_nz")] = rd_f != 0
         m[B:B + rows, L.idx("rd_inv")] = inv_or_zero(rd_f)
 
         wb_mask = np.zeros(rows, dtype=bool)
         for name in WB_CLASSES:
             wb_mask |= is_cls[name]
-        w_act = (wb_mask & (rd_f != 0)) | is_cls["SYSTEM"]
-        w_reg = np.where(is_cls["SYSTEM"], 10, rd_f)
+        w_act = (wb_mask & (rd_f != 0)) | is_sys
+        w_reg = np.where(is_sys, 10, rd_f)
+        # ecall rows read a0/a1 through units 0/1 and a7 through unit 3
+        r1_reg = np.where(is_sys, 10, rs1_f)
+        r2_reg = np.where(is_sys, 11, rs2_f)
 
-        # entries: (reg, ts, vlo, vhi, wr, act); ts = 3*row + unit
+        # entries: (reg, ts, vlo, vhi, wr, act); ts = N_REG_UNITS*row + unit
         ex_rows = B + np.arange(rows)
+        K = np.uint64(N_REG_UNITS)
         entries = []
         # init writes (rows 0..31, unit 2)
         entries.append(np.stack([
             np.arange(32, dtype=np.uint64),
-            3 * np.arange(32, dtype=np.uint64) + 2,
+            K * np.arange(32, dtype=np.uint64) + 2,
             entry_regs & np.uint64(0xFFFF), entry_regs >> np.uint64(16),
             np.ones(32, dtype=np.uint64), np.ones(32, dtype=np.uint64)],
             axis=1))
         if rows:
+            act_i = is_instr.astype(np.uint64)
             entries.append(np.stack([
-                rs1_f, 3 * ex_rows.astype(np.uint64),
+                r1_reg, K * ex_rows.astype(np.uint64),
                 rs1v & np.uint64(0xFFFF), rs1v >> np.uint64(16),
-                np.zeros(rows, dtype=np.uint64),
-                np.ones(rows, dtype=np.uint64)], axis=1))
+                np.zeros(rows, dtype=np.uint64), act_i], axis=1))
             entries.append(np.stack([
-                rs2_f, 3 * ex_rows.astype(np.uint64) + 1,
+                r2_reg, K * ex_rows.astype(np.uint64) + 1,
                 rs2v & np.uint64(0xFFFF), rs2v >> np.uint64(16),
-                np.zeros(rows, dtype=np.uint64),
-                np.ones(rows, dtype=np.uint64)], axis=1))
+                np.zeros(rows, dtype=np.uint64), act_i], axis=1))
             entries.append(np.stack([
-                w_reg, 3 * ex_rows.astype(np.uint64) + 2,
+                w_reg, K * ex_rows.astype(np.uint64) + 2,
                 rdv & np.uint64(0xFFFF), rdv >> np.uint64(16),
                 np.ones(rows, dtype=np.uint64),
                 w_act.astype(np.uint64)], axis=1))
+            entries.append(np.stack([
+                np.full(rows, 17, dtype=np.uint64) * is_sys,
+                K * ex_rows.astype(np.uint64) + 3,
+                maddr_rec & np.uint64(0xFFFF), maddr_rec >> np.uint64(16),
+                np.zeros(rows, dtype=np.uint64),
+                is_sys.astype(np.uint64)], axis=1))
         log = np.concatenate(entries, axis=0)
         log = log[log[:, 5] == 1]                     # active only
         order = np.lexsort((log[:, 1], log[:, 0]))    # by (reg, ts)
         log = log[order]
         ne = log.shape[0]
-        assert ne <= 3 * n
+        assert ne <= N_REG_UNITS * n
         for col, name in ((0, "m_reg"), (1, "m_cyc"), (2, "m_vlo"),
                           (3, "m_vhi"), (4, "m_wr"), (5, "m_act")):
-            flat = np.zeros(3 * n, dtype=np.uint64)
+            flat = np.zeros(N_REG_UNITS * n, dtype=np.uint64)
             flat[:ne] = log[:, col]
-            for u in range(3):
-                m[:, L.idx(name, u)] = flat[u::3]
-        same = np.zeros(3 * n, dtype=np.uint64)
+            for u in range(N_REG_UNITS):
+                m[:, L.idx(name, u)] = flat[u::N_REG_UNITS]
+        same = np.zeros(N_REG_UNITS * n, dtype=np.uint64)
         if ne > 1:
             same[1:ne] = log[1:, 0] == log[:-1, 0]
-        ordb = np.zeros(3 * n, dtype=np.uint64)
+        ordb = np.zeros(N_REG_UNITS * n, dtype=np.uint64)
         if ne > 1:
             d = np.where(same[1:ne] == 1,
                          log[1:, 1] - log[:-1, 1] - 1,
                          log[1:, 0] - log[:-1, 0] - 1)
             ordb[1:ne] = d
-        for u in range(3):
-            m[:, L.idx("m_same", u)] = same[u::3]
+        for u in range(N_REG_UNITS):
+            m[:, L.idx("m_same", u)] = same[u::N_REG_UNITS]
             for j in range(ORD_BITS):
-                m[:, L.idx("ord_bits", u * ORD_BITS + j)] =                     (ordb[u::3] >> np.uint64(j)) & np.uint64(1)
+                m[:, L.idx("ord_bits", u * ORD_BITS + j)] = \
+                    (ordb[u::N_REG_UNITS] >> np.uint64(j)) & np.uint64(1)
 
+        # --- data-memory sorted access trace (2 units/row) ---------------
+        # entries: (wa, ts, vlo, vhi, wr, kind); ts = 2*row + unit
+        mem_entries = []
+
+        def mem_entry(row_idx, unit, wa, val, wr, kind):
+            mem_entries.append((int(wa), 2 * int(row_idx) + unit, int(val),
+                                int(wr), int(kind)))
+
+        for i in np.nonzero(is_load)[0]:
+            mem_entry(B + i, 0, maddr_rec[i] >> 2, mword_rec[i], 0, 0)
+        for i in np.nonzero(is_store)[0]:
+            mem_entry(B + i, 0, maddr_rec[i] >> 2, mword_rec[i], 0, 0)
+            mem_entry(B + i, 1, maddr_rec[i] >> 2, store_new[i], 1, 0)
+        for i in np.nonzero(sm_read)[0]:
+            mem_entry(B + i, 0, maddr_rec[i] >> 2, mword_rec[i], 0, 0)
+        for i in np.nonzero(sm_write)[0]:
+            mem_entry(B + i, 1, maddr_rec[i] >> 2, mword_rec[i], 1, 0)
+        for k in range(n_mem):
+            mem_entry(B0 + k, 1, mem_addrs[k] >> np.uint64(2), mem_pre[k],
+                      1, 1)
+            mem_entry(BF + k, 0, mem_addrs[k] >> np.uint64(2), mem_post[k],
+                      0, 2)
+        mem_entries.sort(key=lambda e: (e[0], e[1]))
+        nm = len(mem_entries)
+        assert nm <= N_MEM_UNITS * n
+        ml = np.array(mem_entries, dtype=np.uint64).reshape(nm, 5) \
+            if nm else np.zeros((0, 5), dtype=np.uint64)
+        for col, name in ((0, "ms_wa"), (1, "ms_ts"), (3, "ms_wr"),
+                          (4, "ms_kind")):
+            flat = np.zeros(N_MEM_UNITS * n, dtype=np.uint64)
+            flat[:nm] = ml[:, col]
+            for u in range(N_MEM_UNITS):
+                m[:, L.idx(name, u)] = flat[u::N_MEM_UNITS]
+        for part, name in ((ml[:, 2] & np.uint64(0xFFFF), "ms_vlo"),
+                           ((ml[:, 2] >> np.uint64(16)), "ms_vhi")):
+            flat = np.zeros(N_MEM_UNITS * n, dtype=np.uint64)
+            flat[:nm] = part
+            for u in range(N_MEM_UNITS):
+                m[:, L.idx(name, u)] = flat[u::N_MEM_UNITS]
+        flat = np.zeros(N_MEM_UNITS * n, dtype=np.uint64)
+        flat[:nm] = 1
+        for u in range(N_MEM_UNITS):
+            m[:, L.idx("ms_act", u)] = flat[u::N_MEM_UNITS]
+        msame = np.zeros(N_MEM_UNITS * n, dtype=np.uint64)
+        if nm > 1:
+            msame[1:nm] = ml[1:, 0] == ml[:-1, 0]
+        mordb = np.zeros(N_MEM_UNITS * n, dtype=np.uint64)
+        if nm > 1:
+            d = np.where(msame[1:nm] == 1,
+                         ml[1:, 1] - ml[:-1, 1] - 1,
+                         ml[1:, 0] - ml[:-1, 0] - 1)
+            mordb[1:nm] = d
+        for u in range(N_MEM_UNITS):
+            m[:, L.idx("ms_same", u)] = msame[u::N_MEM_UNITS]
+            for j in range(MS_ORD_BITS):
+                m[:, L.idx("ms_ord", u * MS_ORD_BITS + j)] = \
+                    (mordb[u::N_MEM_UNITS] >> np.uint64(j)) & np.uint64(1)
+
+        # --- publics ------------------------------------------------------
         entry_pc_i = int(entry_pc)
+        halted = 1 if getattr(seg, "halted", False) else 0
+        exit_code = int(getattr(seg, "exit_code", 0))
+        journal_words = [int(w) for w in mword_rec[is_sm & (sm_stream == SM_JOURNAL)]]
+        keccak_words = [int(w) for w in mword_rec[
+            is_sm & ((sm_stream == SM_KECCAK_R) | (sm_stream == SM_KECCAK_W))]]
         publics = [entry_pc_i & 0xFFFF, entry_pc_i >> 16,
-                   int(pad_pc) & 0xFFFF, int(pad_pc) >> 16]
+                   int(pad_pc) & 0xFFFF, int(pad_pc) >> 16,
+                   halted, exit_code & 0xFFFF, exit_code >> 16,
+                   n_mem, n_mem, len(journal_words), len(keccak_words)]
+        for a, v in zip(mem_addrs, mem_pre):
+            publics += [int(a) & 0xFFFF, int(a) >> 16,
+                        int(v) & 0xFFFF, int(v) >> 16]
+        for a, v in zip(mem_addrs, mem_post):
+            publics += [int(a) & 0xFFFF, int(a) >> 16,
+                        int(v) & 0xFFFF, int(v) >> 16]
+        for w in journal_words + keccak_words:
+            publics += [w & 0xFFFF, w >> 16]
         return m, publics
 
     # -- aux (LogUp) -------------------------------------------------------
 
-    def build_aux(self, main_monty, challenges):
-        import jax.numpy as jnp
-        from .. import field as Fdev
-        g0 = int(challenges[0][0]) % P
-        g1 = int(challenges[1][0]) % P
-        main_std = np.asarray(Fdev.from_monty(main_monty)).astype(np.uint64)
+    def build_aux(self, main_std, challenges):
+        g0 = H.ext(np.asarray(challenges[0], np.uint64))
+        g1 = H.ext(np.asarray(challenges[1], np.uint64))
+        main_std = np.asarray(main_std, np.uint64)
         n = main_std.shape[0]
         L = LAYOUT
+        PU = np.uint64(P)
 
         def lump(name, lo=True):
             s = L.slices[name]
             bits = main_std[:, s.start:s.stop]
             r = range(0, 16) if lo else range(16, 32)
-            return sum((bits[:, j].astype(object) << (j % 16)) for j in r)
+            out = np.zeros(n, dtype=np.uint64)
+            for j in r:
+                out += bits[:, j] << np.uint64(j % 16)
+            return out
 
-        pc_lo = np.array(lump("pc", True), dtype=np.uint64)
-        pc_hi = np.array(lump("pc", False), dtype=np.uint64)
-        in_lo = np.array(lump("insn", True), dtype=np.uint64)
-        in_hi = np.array(lump("insn", False), dtype=np.uint64)
-        key_f = (pc_lo + g1 * pc_hi % P + pow(g1, 2, P) * in_lo % P
-                 + pow(g1, 3, P) * in_hi % P) % P
+        def key4(vals, g):
+            """sum_k g^k * vals[k] -> (n, 4) ext array (vals: base vectors)."""
+            gp = H.ext_powers(g, 4)
+            out = np.zeros((n, 4), dtype=np.uint64)
+            for k in range(4):
+                out = (out + vals[k][:, None] * gp[k][None, :]) % PU
+            return out
 
+        key_f = key4([lump("pc", True), lump("pc", False),
+                      lump("insn", True), lump("insn", False)], g1)
         ctrl = self.control_trace(int(np.log2(n)))
-        key_r = (ctrl[:, C_ROM_ALO] + g1 * ctrl[:, C_ROM_AHI] % P
-                 + pow(g1, 2, P) * ctrl[:, C_ROM_WLO] % P
-                 + pow(g1, 3, P) * ctrl[:, C_ROM_WHI] % P) % P
+        key_r = key4([ctrl[:, C_ROM_ALO], ctrl[:, C_ROM_AHI],
+                      ctrl[:, C_ROM_WLO], ctrl[:, C_ROM_WHI]], g1)
 
         active = (1 - main_std[:, L.idx("sel", CLASS_IDX["PAD"])]
-                  - main_std[:, L.idx("sel", CLASS_IDX["INIT"])])
+                  - main_std[:, L.idx("sel", CLASS_IDX["INIT"])]
+                  - main_std[:, L.idx("sel", CLASS_IDX["SYSMEM"])]
+                  - main_std[:, L.idx("sel", CLASS_IDX["MEMINIT"])]
+                  - main_std[:, L.idx("sel", CLASS_IDX["MEMFIN"])])
         rom_m = main_std[:, L.idx("rom_m")]
 
-        inv_f = _vec_modinv((np.uint64(g0) + np.uint64(P) - key_f) % np.uint64(P))
-        inv_r = _vec_modinv((np.uint64(g0) + np.uint64(P) - key_r) % np.uint64(P))
-        t = active * inv_f % P
-        u = rom_m * inv_r % P
-        acc = np.cumsum((t.astype(object) - u) % P) % P
+        inv_f = H.ext_inv((g0[None, :] + PU - key_f) % PU)
+        inv_r = H.ext_inv((g0[None, :] + PU - key_r) % PU)
+        t = active[:, None] * inv_f % PU
+        u = rom_m[:, None] * inv_r % PU
+        # running sums: values < p < 2^31, n <= 2^21 -> fits uint64
+        acc = np.cumsum((t + PU - u) % PU, axis=0) % PU
 
         # --- register-file argument terms (challenges g2, g3) -------------
-        g2 = int(challenges[2][0]) % P
-        g3 = int(challenges[3][0]) % P
-        g3p = [1, g3, g3 * g3 % P, pow(g3, 3, P), pow(g3, 4, P)]
+        g2 = H.ext(np.asarray(challenges[2], np.uint64))
+        g3 = H.ext(np.asarray(challenges[3], np.uint64))
+        g3p = H.ext_powers(g3, 5)
         cyc = np.arange(n, dtype=np.uint64)
         sel = lambda nm: main_std[:, L.idx("sel", CLASS_IDX[nm])]
         bits = lambda nm, lo, hi: sum(
             (main_std[:, L.idx(nm, j)] << np.uint64(j - lo))
             for j in range(lo, hi))
 
-        def fp(reg, ts, vlo, vhi, wr):
-            return (reg + g3p[1] * ts % P + g3p[2] * vlo % P
-                    + g3p[3] * vhi % P + g3p[4] * wr % P) % np.uint64(P)
+        def fingerprint(parts, gp):
+            out = np.zeros((n, 4), dtype=np.uint64)
+            for k, base in enumerate(parts):
+                b = (np.broadcast_to(base, (n,)) % PU).astype(np.uint64)
+                out = (out + b[:, None] * gp[k][None, :]) % PU
+            return out
 
-        def term(fp_vals, act):
-            inv = _vec_modinv((np.uint64(g2) + np.uint64(P)
-                               - fp_vals % np.uint64(P)) % np.uint64(P))
-            return act % np.uint64(P) * inv % np.uint64(P)
+        def term(gamma, fp_vals, act):
+            inv = H.ext_inv((gamma[None, :] + PU - fp_vals % PU) % PU)
+            return (act % PU)[:, None] * inv % PU
+
+        def fp(reg, ts, vlo, vhi, wr):
+            return fingerprint((reg, ts, vlo, vhi, wr), g3p)
 
         is_init = sel("INIT")
+        is_sys = sel("SYSTEM")
+        K = np.uint64(N_REG_UNITS)
         rs1_f = bits("insn", 15, 20)
         rs2_f = bits("insn", 20, 25)
         rd_f = bits("insn", 7, 12)
-        rs1v_lo, rs1v_hi = bits("rs1v", 0, 16), bits("rs1v", 16, 32)
-        rs2v_lo, rs2v_hi = bits("rs2v", 0, 16), bits("rs2v", 16, 32)
-        res_lo, res_hi = bits("res", 0, 16), bits("res", 16, 32)
         rd_nz = main_std[:, L.idx("rd_nz")]
+        maddr_lo = bits("maddr", 0, 16)
+        maddr_hi = bits("maddr", 16, 32)
         wb = sum(sel(nm) for nm in WB_CLASSES)
-        w_act = (wb * rd_nz + sel("SYSTEM")) % np.uint64(P)
-        w_reg = (wb * rd_nz % P * rd_f + sel("SYSTEM") * 10
-                 + is_init * cyc) % np.uint64(P)
-        w_act_all = (w_act + is_init) % np.uint64(P)
+        w_act = (wb * rd_nz + is_sys) % PU
+        w_reg = (wb * rd_nz % P * rd_f + is_sys * 10 + is_init * cyc) % PU
+        w_act_all = (w_act + is_init) % PU
+        r1_reg = (rs1_f + is_sys * 10) % PU      # ecall rows read a0
+        r2_reg = (rs2_f + is_sys * 11) % PU      # ecall rows read a1
 
-        t_r1 = term(fp(rs1_f, 3 * cyc, rs1v_lo, rs1v_hi, 0), active)
-        t_r2 = term(fp(rs2_f, 3 * cyc + 1, rs2v_lo, rs2v_hi, 0), active)
-        t_w = term(fp(w_reg, 3 * cyc + 2, res_lo, res_hi, 1), w_act_all)
+        t_r1 = term(g2, fp(r1_reg, K * cyc, bits("rs1v", 0, 16),
+                           bits("rs1v", 16, 32), 0), active)
+        t_r2 = term(g2, fp(r2_reg, K * cyc + 1, bits("rs2v", 0, 16),
+                           bits("rs2v", 16, 32), 0), active)
+        t_w = term(g2, fp(w_reg, K * cyc + 2, bits("res", 0, 16),
+                          bits("res", 16, 32), 1), w_act_all)
+        t_a7 = term(g2, fp(17 * is_sys, K * cyc + 3, maddr_lo, maddr_hi, 0),
+                    is_sys)
         s_terms = []
-        for u2 in range(3):
+        for u2 in range(N_REG_UNITS):
             s_terms.append(term(
+                g2,
                 fp(main_std[:, L.idx("m_reg", u2)],
                    main_std[:, L.idx("m_cyc", u2)],
                    main_std[:, L.idx("m_vlo", u2)],
                    main_std[:, L.idx("m_vhi", u2)],
                    main_std[:, L.idx("m_wr", u2)]),
                 main_std[:, L.idx("m_act", u2)]))
-        delta = (t_r1.astype(object) + t_r2 + t_w
-                 - s_terms[0] - s_terms[1] - s_terms[2]) % P
-        racc = np.cumsum(delta) % P
+        delta = (t_r1 + t_r2 + t_w + t_a7 + 4 * PU
+                 - s_terms[0] - s_terms[1] - s_terms[2] - s_terms[3]) % PU
+        racc = np.cumsum(delta, axis=0) % PU
 
-        aux = np.stack([t, u, np.array(acc, dtype=np.uint64),
-                        t_r1, t_r2, t_w,
-                        s_terms[0], s_terms[1], s_terms[2],
-                        np.array(racc, dtype=np.uint64)], axis=1)
-        monty = ((aux.astype(np.uint64) << np.uint64(32)) % np.uint64(P)).astype(np.uint32)
-        return jnp.asarray(monty)
+        # --- data-memory argument terms (challenges g4, g5) ---------------
+        g4 = H.ext(np.asarray(challenges[4], np.uint64))
+        g5 = H.ext(np.asarray(challenges[5], np.uint64))
+        g5p = H.ext_powers(g5, 6)
+        is_load = sel("LOAD")
+        is_store = sel("STORE")
+        is_meminit = sel("MEMINIT")
+        is_memfin = sel("MEMFIN")
+        smc = lambda k: main_std[:, L.idx("sm_str", k)]
+        in_w, j_r, k_r, k_w = smc(0), smc(1), smc(2), smc(3)
+        wa = bits("maddr", 2, 32)
+        mword_lo, mword_hi = bits("mword", 0, 16), bits("mword", 16, 32)
+        mwnew_lo, mwnew_hi = bits("mwnew", 0, 16), bits("mwnew", 16, 32)
+
+        def fpm(wav, ts, vlo, vhi, wr, kind):
+            return fingerprint((wav, ts, vlo, vhi, wr, kind), g5p)
+
+        act_r = (is_load + is_store + is_memfin + j_r + k_r) % PU
+        act_w = (is_store + is_meminit + in_w + k_w) % PU
+        mu_r = term(g4, fpm(wa, 2 * cyc, mword_lo, mword_hi, 0,
+                            2 * is_memfin), act_r)
+        mu_w = term(g4, fpm(wa, 2 * cyc + 1, mwnew_lo, mwnew_hi, 1,
+                            is_meminit), act_w)
+        msort = []
+        for u2 in range(N_MEM_UNITS):
+            msort.append(term(
+                g4,
+                fpm(main_std[:, L.idx("ms_wa", u2)],
+                    main_std[:, L.idx("ms_ts", u2)],
+                    main_std[:, L.idx("ms_vlo", u2)],
+                    main_std[:, L.idx("ms_vhi", u2)],
+                    main_std[:, L.idx("ms_wr", u2)],
+                    main_std[:, L.idx("ms_kind", u2)]),
+                main_std[:, L.idx("ms_act", u2)]))
+        mdelta = (mu_r + mu_w + 2 * PU - msort[0] - msort[1]) % PU
+        macc = np.cumsum(mdelta, axis=0) % PU
+
+        # --- MEMINIT/MEMFIN list-binding sums -----------------------------
+        fp2_i = fingerprint((wa, mwnew_lo, mwnew_hi), g5p)
+        fp2_f = fingerprint((wa, mword_lo, mword_hi), g5p)
+        li = term(g4, fp2_i, is_meminit)
+        lf = term(g4, fp2_f, is_memfin)
+        liacc = np.cumsum(li, axis=0) % PU
+        lfacc = np.cumsum(lf, axis=0) % PU
+
+        # --- IO RLC chains (challenge g6) ---------------------------------
+        g6 = H.ext(np.asarray(challenges[6], np.uint64))
+        g6sq = H.ext_mul(g6, g6)
+
+        def rlc_chain(act_mask, lo_vals, hi_vals):
+            col = np.zeros((n, 4), dtype=np.uint64)
+            r = np.zeros(4, dtype=np.uint64)
+            idxs = np.nonzero(np.asarray(act_mask, np.uint64))[0]
+            prev = 0
+            for i in idxs:
+                col[prev:i] = r
+                r = H.ext_add(H.ext_mul(r, g6sq),
+                              H.ext_add(H.ext_mul(H.ext(int(lo_vals[i])), g6),
+                                        H.ext(int(hi_vals[i]))))
+                prev = i
+                col[i] = r
+                prev = i + 1
+            col[prev:] = r
+            return col
+
+        r_j = rlc_chain(j_r, mword_lo, mword_hi)
+        kact = (k_r + k_w) % PU
+        k_lo = (k_r * mword_lo + k_w * mwnew_lo) % PU
+        k_hi = (k_r * mword_hi + k_w * mwnew_hi) % PU
+        r_k = rlc_chain(kact, k_lo, k_hi)
+
+        aux = np.concatenate(
+            [t, u, acc, t_r1, t_r2, t_w, t_a7,
+             s_terms[0], s_terms[1], s_terms[2], s_terms[3], racc,
+             mu_r, mu_w, msort[0], msort[1], macc,
+             li, lf, liacc, lfacc, r_j, r_k], axis=1)
+        assert aux.shape == (n, N_AUX)
+        return aux
+
+    # -- derived challenge scalars ----------------------------------------
+
+    def derived_challenges(self, publics, challenges):
+        """d0/d1: MEMINIT/MEMFIN list sums; d2/d3: journal/keccak RLCs.
+
+        Computed identically by prover and verifier from the public lists
+        and the sampled challenges; they appear to the constraint system
+        as extra challenge entries (indices 7..10).
+        """
+        pp = parse_publics(publics)
+        g4 = H.ext(np.asarray(challenges[4], np.uint64))
+        g5 = H.ext(np.asarray(challenges[5], np.uint64))
+        g6 = H.ext(np.asarray(challenges[6], np.uint64))
+        g5p = H.ext_powers(g5, 3)
+        return np.stack([
+            _list_sum(pp["mem_init"], g4, g5p),
+            _list_sum(pp["mem_fin"], g4, g5p),
+            _rlc(pp["journal_words"], g6),
+            _rlc(pp["keccak_words"], g6),
+        ])
 
     # -- constraints -------------------------------------------------------
 
     def constraints(self, v, ops, publics, challenges):
+        from ..zkp.air import cadd, cext, cmul, cmul_base, csub
         L = LAYOUT
         one = ops.const(1)
-        g0 = challenges[0]
+        g0 = challenges[0]      # 4-tuples: full Fp4 challenges
         g1v = challenges[1]
+
+        def aux(k, off=0):
+            """Aux slot k as a circuit-ext 4-tuple."""
+            return tuple(v("aux", 4 * k + c, off) for c in range(4))
 
         def m(name, k=0, off=0):
             return v("main", L.idx(name, k), off)
@@ -693,11 +1111,16 @@ class Rv32imAir(Air):
                       "sel", "f3_sel"]
                      + ["cmp_c1", "cmp_lt", "eq_lo", "eq_hi", "alu_c1",
                         "alu_c2", "npc_c1", "npc_c2", "jalr_lsb", "taken",
-                        "sub", "op_alu", "rd_nz", "m_wr", "m_act", "m_same", "g_rw"]
-                     + ["ord_bits", "mula", "mullo", "mulhi", "mul_c", "madj_k",
-                        "is_m", "mdiv_q", "mdiv_r", "mdiv_t", "mdiv_c1",
-                        "mdiv_e1", "bz_lo_eq", "bz_hi_eq", "div_en",
-                        "div0"])
+                        "sub", "op_alu", "rd_nz", "m_wr", "m_act", "m_same"]
+                     + ["ord_bits", "mula", "mulb", "mullo", "mulhi",
+                        "mul_c", "madj_k", "is_m", "mdiv_q", "mdiv_r",
+                        "mdiv_t", "mdiv_c1", "mdiv_e1", "bz_lo_eq",
+                        "bz_hi_eq", "div_en", "div0", "abs_a", "abs_b",
+                        "abs_ca1", "abs_cb1", "sneg_c1", "sneg_c2"]
+                     + ["maddr", "madd_c1", "madd_c2", "mword", "mwnew",
+                        "bsel", "sm_str", "sm_c", "sm_rem", "sm_eq1",
+                        "sm_eq51", "sk", "ms_wr", "ms_act", "ms_same",
+                        "ms_ord"])
         for name in bool_cols:
             s = L.slices[name]
             for k in range(s.stop - s.start):
@@ -712,10 +1135,14 @@ class Rv32imAir(Air):
             if nm == "PAD":
                 continue
             cs.append(mul(sel(nm), sub_(opc_val, ops.const(opc))))
-        cs.append(mul(sel("PAD"), lump("insn", True)))
-        cs.append(mul(sel("PAD"), lump("insn", False)))
-        cs.append(mul(sel("INIT"), lump("insn", True)))
-        cs.append(mul(sel("INIT"), lump("insn", False)))
+        for nm in ("PAD", "INIT", "SYSMEM", "MEMINIT", "MEMFIN"):
+            cs.append(mul(sel(nm), lump("insn", True)))
+            cs.append(mul(sel(nm), lump("insn", False)))
+        # SYSTEM rows carry exactly the ecall encoding 0x00000073 (the
+        # circuit reads a0/a1/a7, so rs1/rs2/rd fields must be zero)
+        cs.append(mul(sel("SYSTEM"), sub_(lump("insn", True),
+                                          ops.const(0x73))))
+        cs.append(mul(sel("SYSTEM"), lump("insn", False)))
         # init rows are exactly the control-designated leading rows
         cs.append(sub_(sel("INIT"), ctl(C_IS_INIT)))
         # padding is terminal (until last row)
@@ -791,10 +1218,10 @@ class Rv32imAir(Air):
             return lin([(1 << j, m(src_name, 8 * k + j)) for j in range(8)])
 
         def prod_limbs(k):
-            """sum of A_i*b_j with i+j=k (8-bit limbs of mula, rs2v)."""
+            """sum of A_i*B_j with i+j=k (8-bit limbs of mula, mulb)."""
             acc = None
             for i in range(max(0, k - 3), min(3, k) + 1):
-                t2 = mul(limb8("mula", i), limb8("rs2v", k - i))
+                t2 = mul(limb8("mula", i), limb8("mulb", k - i))
                 acc = t2 if acc is None else add(acc, t2)
             return acc
 
@@ -811,14 +1238,37 @@ class Rv32imAir(Air):
             return limb8("mulhi", k - 4)
 
         gate_mul4 = mul(is_m, add(add(f3(0), f3(1)), add(f3(2), f3(3))))
-        gate_div = mul(is_m, add(f3(5), f3(7)))
+        gate_divu = mul(is_m, add(f3(5), f3(7)))
+        gate_sdiv = mul(is_m, add(f3(4), f3(6)))
+        gate_div = add(gate_divu, gate_sdiv)
         gate_chain = add(gate_mul4, gate_div)
-        # mula operand binding: rs1 for multiplies, the quotient for divides
+        # operand binding: A = rs1 for multiplies / the quotient for
+        # divides; B = rs2 except signed divides use |rs2|
         for lo_flag in (True, False):
             cs.append(mul(gate_mul4, sub_(lump_of2("mula", lo_flag),
                                           lump("rs1v", lo_flag))))
             cs.append(mul(gate_div, sub_(lump_of2("mula", lo_flag),
                                          lump_of2("mdiv_q", lo_flag))))
+            cs.append(mul(add(gate_mul4, gate_divu),
+                          sub_(lump_of2("mulb", lo_flag),
+                               lump("rs2v", lo_flag))))
+            cs.append(mul(gate_sdiv, sub_(lump_of2("mulb", lo_flag),
+                                          lump_of2("abs_b", lo_flag))))
+        # |x| relations: sign=0 -> abs = x; sign=1 -> x + abs = 2^32
+        two16m2 = ops.const(1 << 16)
+        for src, absn, sbit, cn in (("rs1v", "abs_a", m("rs1v", 31), "abs_ca1"),
+                                    ("rs2v", "abs_b", m("rs2v", 31), "abs_cb1")):
+            for lo_flag in (True, False):
+                cs.append(mul(mul(gate_sdiv, sub_(one, sbit)),
+                              sub_(lump_of2(absn, lo_flag),
+                                   lump(src, lo_flag))))
+            cs.append(mul(mul(gate_sdiv, sbit),
+                          sub_(add(lump(src, True), lump_of2(absn, True)),
+                               mul(two16m2, m(cn)))))
+            cs.append(mul(mul(gate_sdiv, sbit),
+                          sub_(add(add(lump(src, False),
+                                       lump_of2(absn, False)), m(cn)),
+                               two16m2)))
         for k in range(7):
             expr = prod_limbs(k)
             if k > 0:
@@ -877,24 +1327,34 @@ class Rv32imAir(Air):
         # q*b must not overflow 32 bits
         cs.append(mul(den, lump_of("mulhi", True)))
         cs.append(mul(den, lump_of("mulhi", False)))
-        # q*b + r = a (exactly; the top carry must be zero)
+        # q*b + r = dividend (exactly; the top carry must be zero).
+        # unsigned divides run on rs1/rs2; signed on |rs1|/|rs2|.
+        f3u = add(f3(5), f3(7))
+        f3s = add(f3(4), f3(6))
+
+        def dvd(lo_flag):
+            return add(mul(f3u, lump("rs1v", lo_flag)),
+                       mul(f3s, lump_of2("abs_a", lo_flag)))
+
         cs.append(mul(den, sub_(add(lump_of("mullo", True),
                                     lump_of2("mdiv_r", True)),
-                                add(lump("rs1v", True),
+                                add(dvd(True),
                                     mul(two16c, m("mdiv_c1"))))))
         cs.append(mul(den, sub_(add(add(lump_of("mullo", False),
                                         lump_of2("mdiv_r", False)),
                                     m("mdiv_c1")),
-                                lump("rs1v", False))))
-        # r < b  via  r + 1 + t = b (t >= 0 committed in bits, no overflow)
+                                dvd(False))))
+        # r < b  via  r + 1 + t = b (t >= 0 committed in bits, no
+        # overflow); b is the divide unit's B operand (mulb = |rs2| for
+        # signed rows)
         cs.append(mul(den, sub_(add(add(lump_of2("mdiv_r", True), one),
                                     lump_of2("mdiv_t", True)),
-                                add(lump("rs2v", True),
+                                add(lump_of2("mulb", True),
                                     mul(two16c, m("mdiv_e1"))))))
         cs.append(mul(den, sub_(add(add(lump_of2("mdiv_r", False),
                                         lump_of2("mdiv_t", False)),
                                     m("mdiv_e1")),
-                                lump("rs2v", False))))
+                                lump_of2("mulb", False))))
         # result binding: DIVU -> q, REMU -> r; b==0: q=0xFFFFFFFF, r=a
         cs.append(mul(mul(den, f3(5)), sub_(lump("res", True),
                                             lump_of2("mdiv_q", True))))
@@ -904,15 +1364,39 @@ class Rv32imAir(Air):
                                             lump_of2("mdiv_r", True))))
         cs.append(mul(mul(den, f3(7)), sub_(lump("res", False),
                                             lump_of2("mdiv_r", False))))
+        # signed result binding: res = sign ? -abs_res : abs_res where
+        # abs_res is the unit's q (DIV) or r (REM); negation mod 2^32 via
+        # committed carries (res + abs_res in {0, 2^32})
+        a31d = m("rs1v", 31)
+        b31d = m("rs2v", 31)
+        sign_q = sub_(add(a31d, b31d), mul(ops.const(2), mul(a31d, b31d)))
+        for f3k, absn, sgn in ((4, "mdiv_q", sign_q), (6, "mdiv_r", a31d)):
+            gk = mul(den, f3(f3k))
+            pos = sub_(one, sgn)
+            cs.append(mul(mul(gk, pos), sub_(lump("res", True),
+                                             lump_of2(absn, True))))
+            cs.append(mul(mul(gk, pos), sub_(lump("res", False),
+                                             lump_of2(absn, False))))
+            cs.append(mul(mul(gk, sgn),
+                          sub_(add(lump("res", True), lump_of2(absn, True)),
+                               mul(two16c, m("sneg_c1")))))
+            cs.append(mul(mul(gk, sgn),
+                          sub_(add(add(lump("res", False),
+                                       lump_of2(absn, False)),
+                                   m("sneg_c1")),
+                               mul(two16c, m("sneg_c2")))))
         dz = m("div0")
-        cs.append(mul(mul(dz, f3(5)), sub_(lump("res", True),
-                                           ops.const(0xFFFF))))
-        cs.append(mul(mul(dz, f3(5)), sub_(lump("res", False),
-                                           ops.const(0xFFFF))))
-        cs.append(mul(mul(dz, f3(7)), sub_(lump("res", True),
-                                           lump("rs1v", True))))
-        cs.append(mul(mul(dz, f3(7)), sub_(lump("res", False),
-                                           lump("rs1v", False))))
+        # division by zero: DIV/DIVU -> all-ones, REM/REMU -> rs1
+        for f3k in (4, 5):
+            cs.append(mul(mul(dz, f3(f3k)), sub_(lump("res", True),
+                                                 ops.const(0xFFFF))))
+            cs.append(mul(mul(dz, f3(f3k)), sub_(lump("res", False),
+                                                 ops.const(0xFFFF))))
+        for f3k in (6, 7):
+            cs.append(mul(mul(dz, f3(f3k)), sub_(lump("res", True),
+                                                 lump("rs1v", True))))
+            cs.append(mul(mul(dz, f3(f3k)), sub_(lump("res", False),
+                                                 lump("rs1v", False))))
         subf = m("sub")
         cs.append(sub_(subf, mul(mul(op_alu, f3(0)), m("insn", 30))))
 
@@ -1027,41 +1511,52 @@ class Rv32imAir(Air):
         cs.append(mul(isl, sub_(lump("pc", True), publics[2])))
         cs.append(mul(isl, sub_(lump("pc", False), publics[3])))
 
-        # --- LogUp program binding ----------------------------------------
-        g1_2 = mul(g1v, g1v)
-        g1_3 = mul(g1_2, g1v)
-        key_f = add(add(lump("pc", True), mul(g1v, lump("pc", False))),
-                    add(mul(g1_2, lump("insn", True)),
-                        mul(g1_3, lump("insn", False))))
-        key_r = add(add(ctl(C_ROM_ALO), mul(g1v, ctl(C_ROM_AHI))),
-                    add(mul(g1_2, ctl(C_ROM_WLO)),
-                        mul(g1_3, ctl(C_ROM_WHI))))
-        t = v("aux", A_T)
-        u = v("aux", A_U)
-        acc = v("aux", A_ACC)
-        active = sub_(sub_(one, sel("PAD")), sel("INIT"))
-        cs.append(sub_(mul(sub_(g0, key_f), t), active))
-        cs.append(sub_(mul(sub_(g0, key_r), u), m("rom_m")))
-        cs.append(mul(isf, sub_(acc, sub_(t, u))))
-        cs.append(mul(not_last,
-                      sub_(v("aux", A_ACC, 1),
-                           add(acc, sub_(v("aux", A_T, 1), v("aux", A_U, 1))))))
-        cs.append(mul(isl, acc))
+        # --- LogUp program binding (full Fp4 challenges) -------------------
+        g1_2 = cmul(ops, g1v, g1v)
+        g1_3 = cmul(ops, g1_2, g1v)
+
+        def fetch_key(vlo, vhi, wlo, whi):
+            out = cext(ops, vlo)
+            out = cadd(ops, out, cmul_base(ops, g1v, vhi))
+            out = cadd(ops, out, cmul_base(ops, g1_2, wlo))
+            return cadd(ops, out, cmul_base(ops, g1_3, whi))
+
+        key_f = fetch_key(lump("pc", True), lump("pc", False),
+                          lump("insn", True), lump("insn", False))
+        key_r = fetch_key(ctl(C_ROM_ALO), ctl(C_ROM_AHI),
+                          ctl(C_ROM_WLO), ctl(C_ROM_WHI))
+        t = aux(A_T)
+        u = aux(A_U)
+        acc = aux(A_ACC)
+        active = sub_(sub_(sub_(sub_(sub_(one, sel("PAD")), sel("INIT")),
+                           sel("SYSMEM")), sel("MEMINIT")), sel("MEMFIN"))
+        cs.extend(csub(ops, cmul(ops, csub(ops, g0, key_f), t),
+                       cext(ops, active)))
+        cs.extend(csub(ops, cmul(ops, csub(ops, g0, key_r), u),
+                       cext(ops, m("rom_m"))))
+        cs.extend(cmul_base(ops, csub(ops, acc, csub(ops, t, u)), isf))
+        cs.extend(cmul_base(
+            ops,
+            csub(ops, aux(A_ACC, 1),
+                 cadd(ops, acc, csub(ops, aux(A_T, 1), aux(A_U, 1)))),
+            not_last))
+        cs.extend(cmul_base(ops, acc, isl))
 
         # --- register-file memory argument (challenges g2, g3) ------------
         g2 = challenges[2]
         g3 = challenges[3]
-        g3_2 = mul(g3, g3)
-        g3_3 = mul(g3_2, g3)
-        g3_4 = mul(g3_3, g3)
+        g3_2 = cmul(ops, g3, g3)
+        g3_3 = cmul(ops, g3_2, g3)
+        g3_4 = cmul(ops, g3_3, g3)
         cyc = ctl(C_CYCLE)
-        three_cyc = mul(ops.const(3), cyc)
+        four_cyc = mul(ops.const(N_REG_UNITS), cyc)
 
         def fp(reg, ts, vlo, vhi, wr):
-            out = add(reg, mul(g3, ts))
-            out = add(out, mul(g3_2, vlo))
-            out = add(out, mul(g3_3, vhi))
-            return add(out, mul(g3_4, wr))
+            out = cext(ops, reg)
+            out = cadd(ops, out, cmul_base(ops, g3, ts))
+            out = cadd(ops, out, cmul_base(ops, g3_2, vlo))
+            out = cadd(ops, out, cmul_base(ops, g3_3, vhi))
+            return cadd(ops, out, cmul_base(ops, g3_4, wr))
 
         rs1_f = lin([(1 << (i - 15), m("insn", i)) for i in range(15, 20)])
         rs2_f = lin([(1 << (i - 20), m("insn", i)) for i in range(20, 25)])
@@ -1071,43 +1566,56 @@ class Rv32imAir(Air):
         cs.append(sub_(rd_nz, mul(rd_f, m("rd_inv"))))
         cs.append(mul(sub_(one, rd_nz), rd_f))
 
+        sys = sel("SYSTEM")
         wb = lin([(1, sel(nm)) for nm in WB_CLASSES])
-        w_act = add(mul(wb, rd_nz), sel("SYSTEM"))
+        w_act = add(mul(wb, rd_nz), sys)
         w_reg = add(add(mul(mul(wb, rd_nz), rd_f),
-                        mul(sel("SYSTEM"), ops.const(10))),
+                        mul(sys, ops.const(10))),
                     mul(sel("INIT"), cyc))
         w_act_all = add(w_act, sel("INIT"))
+        # ecall rows read a0/a1/a7 (rs1/rs2 fields are forced zero there)
+        r1_reg = add(rs1_f, mul(sys, ops.const(10)))
+        r2_reg = add(rs2_f, mul(sys, ops.const(11)))
 
-        fp_r1 = fp(rs1_f, three_cyc, lump("rs1v", True), lump("rs1v", False),
+        fp_r1 = fp(r1_reg, four_cyc, lump("rs1v", True), lump("rs1v", False),
                    ops.const(0))
-        fp_r2 = fp(rs2_f, add(three_cyc, one), lump("rs2v", True),
+        fp_r2 = fp(r2_reg, add(four_cyc, one), lump("rs2v", True),
                    lump("rs2v", False), ops.const(0))
-        fp_w = fp(w_reg, add(three_cyc, ops.const(2)), lump("res", True),
+        fp_w = fp(w_reg, add(four_cyc, ops.const(2)), lump("res", True),
                   lump("res", False), one)
-        t_r1, t_r2, t_w = v("aux", A_RU), v("aux", A_RU + 1), v("aux", A_RU + 2)
-        cs.append(sub_(mul(sub_(g2, fp_r1), t_r1), active))
-        cs.append(sub_(mul(sub_(g2, fp_r2), t_r2), active))
-        cs.append(sub_(mul(sub_(g2, fp_w), t_w), w_act_all))
-        for u in range(3):
+        fp_a7 = fp(mul(sys, ops.const(17)), add(four_cyc, ops.const(3)),
+                   lump("maddr", True), lump("maddr", False), ops.const(0))
+        t_r1, t_r2, t_w = aux(A_RU), aux(A_RU + 1), aux(A_RU + 2)
+        t_a7 = aux(A_RU + 3)
+        cs.extend(csub(ops, cmul(ops, csub(ops, g2, fp_r1), t_r1),
+                       cext(ops, active)))
+        cs.extend(csub(ops, cmul(ops, csub(ops, g2, fp_r2), t_r2),
+                       cext(ops, active)))
+        cs.extend(csub(ops, cmul(ops, csub(ops, g2, fp_w), t_w),
+                       cext(ops, w_act_all)))
+        cs.extend(csub(ops, cmul(ops, csub(ops, g2, fp_a7), t_a7),
+                       cext(ops, sys)))
+        for u in range(N_REG_UNITS):
             fp_s = fp(m("m_reg", u), m("m_cyc", u), m("m_vlo", u),
                       m("m_vhi", u), m("m_wr", u))
-            cs.append(sub_(mul(sub_(g2, fp_s), v("aux", A_RS + u)),
-                           m("m_act", u)))
+            cs.extend(csub(ops, cmul(ops, csub(ops, g2, fp_s), aux(A_RS + u)),
+                           cext(ops, m("m_act", u))))
         # running sum over (unsorted - sorted)
         def rdelta(off=0):
-            d = add(add(v("aux", A_RU, off), v("aux", A_RU + 1, off)),
-                    v("aux", A_RU + 2, off))
-            for u in range(3):
-                d = sub_(d, v("aux", A_RS + u, off))
+            d = aux(A_RU, off)
+            for u in range(1, N_REG_UNITS):
+                d = cadd(ops, d, aux(A_RU + u, off))
+            for u in range(N_REG_UNITS):
+                d = csub(ops, d, aux(A_RS + u, off))
             return d
-        racc = v("aux", A_RACC)
-        cs.append(mul(isf, sub_(racc, rdelta())))
-        cs.append(mul(not_last, sub_(v("aux", A_RACC, 1),
-                                     add(racc, rdelta(1)))))
-        cs.append(mul(isl, racc))
+        racc = aux(A_RACC)
+        cs.extend(cmul_base(ops, csub(ops, racc, rdelta()), isf))
+        cs.extend(cmul_base(
+            ops, csub(ops, aux(A_RACC, 1), cadd(ops, racc, rdelta(1))),
+            not_last))
+        cs.extend(cmul_base(ops, racc, isl))
 
-        # sorted-trace consistency: 3 boundaries per row
-        # boundary (prev=(u-1 or prev row u2), next=u)
+        # sorted-trace consistency: N_REG_UNITS boundaries per row
         def ord_lump(u, off=0):
             return lin([(1 << j, m("ord_bits", u * ORD_BITS + j, off))
                         for j in range(ORD_BITS)])
@@ -1138,13 +1646,413 @@ class Rv32imAir(Air):
                     "same": m("m_same", u, off),
                     "ord": ord_lump(u, off)}
 
-        boundary(unit(0), unit(1))
-        boundary(unit(1), unit(2))
-        # cross-row: (row r, u2) -> (row r+1, u0), gated not_last
-        nxt0 = unit(0, 1)
-        boundary(unit(2), nxt0, gate_extra=not_last)
+        for u in range(N_REG_UNITS - 1):
+            boundary(unit(u), unit(u + 1))
+        # cross-row: (row r, last unit) -> (row r+1, u0), gated not_last
+        boundary(unit(N_REG_UNITS - 1), unit(0, 1), gate_extra=not_last)
         # the very first sorted entry has no predecessor
         cs.append(mul(isf, m("m_same", 0)))
+
+        # ==================================================================
+        # Data-memory (RAM) argument
+        # ==================================================================
+        g4 = challenges[4]
+        g5 = challenges[5]
+        g5_2 = cmul(ops, g5, g5)
+        g5_3 = cmul(ops, g5_2, g5)
+        g5_4 = cmul(ops, g5_3, g5)
+        g5_5 = cmul(ops, g5_4, g5)
+        is_load = sel("LOAD")
+        is_store = sel("STORE")
+        is_meminit = sel("MEMINIT")
+        is_memfin = sel("MEMFIN")
+        is_sm = sel("SYSMEM")
+        in_w, j_r, k_r, k_w = (m("sm_str", k) for k in range(4))
+        # stream one-hot sums to the SYSMEM selector
+        cs.append(sub_(add(add(in_w, j_r), add(k_r, k_w)), is_sm))
+
+        # --- load/store address adder + alignment + byte select -----------
+        two16m = ops.const(1 << 16)
+        mem_gate = add(is_load, is_store)
+        b_mem_lo = add(mul(is_load, imm_lump("i", True)),
+                       mul(is_store, imm_lump("s", True)))
+        b_mem_hi = add(mul(is_load, imm_lump("i", False)),
+                       mul(is_store, imm_lump("s", False)))
+        cs.append(mul(mem_gate,
+                      sub_(add(lump("rs1v", True), b_mem_lo),
+                           add(lump("maddr", True),
+                               mul(two16m, m("madd_c1"))))))
+        cs.append(mul(mem_gate,
+                      sub_(add(add(lump("rs1v", False), b_mem_hi),
+                               m("madd_c1")),
+                           add(lump("maddr", False),
+                               mul(two16m, m("madd_c2"))))))
+        # byte-select one-hot bound to the low address bits
+        bsel_sum = lin([(1, m("bsel", k)) for k in range(4)])
+        cs.append(sub_(bsel_sum, mem_gate))
+        cs.append(sub_(add(m("bsel", 1), m("bsel", 3)),
+                       mul(mem_gate, m("maddr", 0))))
+        cs.append(sub_(add(m("bsel", 2), m("bsel", 3)),
+                       mul(mem_gate, m("maddr", 1))))
+        # alignment: words need addr%4==0, halfwords addr%2==0
+        word_gate = add(mul(is_load, f3(2)), mul(is_store, f3(2)))
+        cs.append(mul(word_gate, m("maddr", 0)))
+        cs.append(mul(word_gate, m("maddr", 1)))
+        half_gate = add(mul(is_load, add(f3(1), f3(5))),
+                        mul(is_store, f3(1)))
+        cs.append(mul(half_gate, m("maddr", 0)))
+        # SYSMEM addresses are word-aligned
+        cs.append(mul(is_sm, m("maddr", 0)))
+        cs.append(mul(is_sm, m("maddr", 1)))
+
+        # --- load extraction ----------------------------------------------
+        def wbyte(k):
+            return lin([(1 << j, m("mword", 8 * k + j)) for j in range(8)])
+
+        byteval = lin([(1, mul(m("bsel", k), wbyte(k))) for k in range(4)])
+        bsign = lin([(1, mul(m("bsel", k), m("mword", 8 * k + 7)))
+                     for k in range(4)])
+        a1b = m("maddr", 1)
+        halfval = add(mul(sub_(one, a1b), lump("mword", True)),
+                      mul(a1b, lump("mword", False)))
+        hsign = add(mul(sub_(one, a1b), m("mword", 15)),
+                    mul(a1b, m("mword", 31)))
+        # LB (f3=0): res = sign-extended byte
+        g = mul(is_load, f3(0))
+        cs.append(mul(g, sub_(lump("res", True),
+                              add(byteval, mul(bsign, ops.const(0xFF00))))))
+        cs.append(mul(g, sub_(lump("res", False),
+                              mul(bsign, ops.const(0xFFFF)))))
+        # LBU (f3=4)
+        g = mul(is_load, f3(4))
+        cs.append(mul(g, sub_(lump("res", True), byteval)))
+        cs.append(mul(g, lump("res", False)))
+        # LH (f3=1)
+        g = mul(is_load, f3(1))
+        cs.append(mul(g, sub_(lump("res", True), halfval)))
+        cs.append(mul(g, sub_(lump("res", False),
+                              mul(hsign, ops.const(0xFFFF)))))
+        # LHU (f3=5)
+        g = mul(is_load, f3(5))
+        cs.append(mul(g, sub_(lump("res", True), halfval)))
+        cs.append(mul(g, lump("res", False)))
+        # LW (f3=2)
+        g = mul(is_load, f3(2))
+        cs.append(mul(g, sub_(lump("res", True), lump("mword", True))))
+        cs.append(mul(g, sub_(lump("res", False), lump("mword", False))))
+
+        # --- store merge ---------------------------------------------------
+        def nbyte(k):
+            return lin([(1 << j, m("mwnew", 8 * k + j)) for j in range(8)])
+
+        def r2byte0():
+            return lin([(1 << j, m("rs2v", j)) for j in range(8)])
+
+        g = mul(is_store, f3(0))      # SB
+        for k in range(4):
+            cs.append(mul(g, sub_(nbyte(k),
+                                  add(mul(m("bsel", k), r2byte0()),
+                                      mul(sub_(one, m("bsel", k)),
+                                          wbyte(k))))))
+        g = mul(is_store, f3(1))      # SH
+        cs.append(mul(g, sub_(lump("mwnew", True),
+                              add(mul(sub_(one, a1b), lump("rs2v", True)),
+                                  mul(a1b, lump("mword", True))))))
+        cs.append(mul(g, sub_(lump("mwnew", False),
+                              add(mul(a1b, lump("rs2v", True)),
+                                  mul(sub_(one, a1b),
+                                      lump("mword", False))))))
+        g = mul(is_store, f3(2))      # SW
+        cs.append(mul(g, sub_(lump("mwnew", True), lump("rs2v", True))))
+        cs.append(mul(g, sub_(lump("mwnew", False), lump("rs2v", False))))
+
+        # --- syscall selector (SYSTEM rows; maddr carries a7) --------------
+        sk = lambda i: m("sk", i)
+        sk_sum = lin([(1, sk(i)) for i in range(len(SYSCALLS))])
+        cs.append(sub_(sk_sum, sys))
+        sk_idx = lin([(i, sk(i)) for i in range(1, len(SYSCALLS))])
+        cs.append(sub_(sk_idx, mul(sys, lump("maddr", True))))
+        cs.append(mul(sys, lump("maddr", False)))
+
+        # --- SYSMEM run structure ------------------------------------------
+        sm_next = sel("SYSMEM", 1)
+        sys_here = sys
+        sm_here = is_sm
+        # a SYSMEM row follows an ecall or another SYSMEM row
+        cs.append(mul(mul(sm_next, not_last),
+                      sub_(one, add(sys_here, sm_here))))
+        # run-start stream must match the initiating syscall
+        SK_READ, SK_COMMIT, SK_KECCAK = 1, 2, 5
+        for str_col, sk_i in ((m("sm_str", 0, 1), SK_READ),
+                              (m("sm_str", 1, 1), SK_COMMIT),
+                              (m("sm_str", 2, 1), SK_KECCAK)):
+            cs.append(mul(mul(str_col, sys_here),
+                          sub_(one, sk(sk_i))))
+        cs.append(mul(m("sm_str", 3, 1), sys_here))   # k_w can't start a run
+        # continuation keeps the stream (keccak r->w switches at rem==51)
+        cs.append(mul(mul(m("sm_str", 0, 1), sm_here), sub_(one, in_w)))
+        cs.append(mul(mul(m("sm_str", 1, 1), sm_here), sub_(one, j_r)))
+        cs.append(mul(mul(m("sm_str", 2, 1), sm_here), sub_(one, k_r)))
+        cs.append(mul(mul(m("sm_str", 3, 1), sm_here),
+                      sub_(one, add(k_w, mul(k_r, m("sm_eq51"))))))
+        cs.append(mul(mul(m("sm_str", 2, 1), k_r), m("sm_eq51")))
+        # rem bookkeeping
+        rem = lin([(1 << j, m("sm_rem", j)) for j in range(20)])
+        rem_next = lin([(1 << j, m("sm_rem", j, 1)) for j in range(20)])
+        # eq flags (inverse trick, forced zero off SYSMEM rows)
+        for eqn, eqi, delta in (("sm_eq1", "sm_eq1i", 1),
+                                ("sm_eq51", "sm_eq51i", 51)):
+            x = sub_(rem, ops.const(delta))
+            cs.append(mul(m(eqn), x))
+            cs.append(mul(is_sm, sub_(sub_(one, m(eqn)), mul(x, m(eqi)))))
+            cs.append(mul(sub_(one, is_sm), m(eqn)))
+        # a run ends exactly at rem==1 and continues only when rem>1
+        cs.append(mul(mul(sm_here, sub_(one, mul(sm_next, not_last))),
+                      sub_(rem, ops.const(1))))
+        cs.append(mul(mul(sm_here, sm_next), m("sm_eq1")))
+        # rem decrements along a run
+        cs.append(mul(mul(sm_here, sm_next),
+                      sub_(rem_next, sub_(rem, one))))
+        # rem at run start: READ -> a0_out/4 (the ecall result), COMMIT ->
+        # a1/4, KECCAK -> 100; high result bits are forced zero so the
+        # word-count relation cannot alias mod p
+        start_gate = mul(sys_here, sm_next)
+        cs.append(mul(mul(start_gate, sk(SK_READ)),
+                      sub_(mul(ops.const(4), rem_next), lump("res", True))))
+        cs.append(mul(mul(start_gate, sk(SK_READ)), lump("res", False)))
+        cs.append(mul(mul(start_gate, sk(SK_COMMIT)),
+                      sub_(mul(ops.const(4), rem_next), lump("rs2v", True))))
+        cs.append(mul(mul(start_gate, sk(SK_COMMIT)), lump("rs2v", False)))
+        cs.append(mul(mul(start_gate, sk(SK_KECCAK)),
+                      sub_(rem_next, ops.const(100))))
+        # absent runs force zero IO counts (and keccak always runs)
+        no_run = mul(sys_here, sub_(one, mul(sm_next, not_last)))
+        cs.append(mul(mul(no_run, sk(SK_READ)), lump("res", True)))
+        cs.append(mul(mul(no_run, sk(SK_READ)), lump("res", False)))
+        cs.append(mul(mul(no_run, sk(SK_COMMIT)), lump("rs2v", True)))
+        cs.append(mul(mul(no_run, sk(SK_COMMIT)), lump("rs2v", False)))
+        cs.append(mul(no_run, sk(SK_KECCAK)))
+        # base address: a0 of the ecall, propagated through the run
+        cs.append(mul(start_gate, sub_(m("sm_base_l", 0, 1),
+                                       lump("rs1v", True))))
+        cs.append(mul(start_gate, sub_(m("sm_base_h", 0, 1),
+                                       lump("rs1v", False))))
+        cont_gate = mul(sm_here, sm_next)
+        cs.append(mul(cont_gate, sub_(m("sm_base_l", 0, 1),
+                                      m("sm_base_l"))))
+        cs.append(mul(cont_gate, sub_(m("sm_base_h", 0, 1),
+                                      m("sm_base_h"))))
+        # address chain: run start and keccak pre->post switch reset to
+        # base; stream continuations advance by 4
+        maddr_lo_n = lump("maddr", True, 1)
+        maddr_hi_n = lump("maddr", False, 1)
+        cs.append(mul(mul(sm_next, sys_here),
+                      sub_(maddr_lo_n, m("sm_base_l", 0, 1))))
+        cs.append(mul(mul(sm_next, sys_here),
+                      sub_(maddr_hi_n, m("sm_base_h", 0, 1))))
+        cs.append(mul(mul(m("sm_str", 3, 1), k_r),
+                      sub_(maddr_lo_n, m("sm_base_l", 0, 1))))
+        cs.append(mul(mul(m("sm_str", 3, 1), k_r),
+                      sub_(maddr_hi_n, m("sm_base_h", 0, 1))))
+        for s_i in range(4):
+            prev_same = in_w if s_i == 0 else (j_r if s_i == 1 else
+                                               (k_r if s_i == 2 else k_w))
+            gate = mul(m("sm_str", s_i, 1), prev_same)
+            cs.append(mul(gate,
+                          sub_(add(lump("maddr", True), ops.const(4)),
+                               add(maddr_lo_n,
+                                   mul(two16m, m("sm_c", 0, 1))))))
+            cs.append(mul(gate,
+                          sub_(add(lump("maddr", False), m("sm_c", 0, 1)),
+                               maddr_hi_n)))
+
+        # --- memory access multiset (unsorted vs sorted) -------------------
+        def fpm(wav, ts, vlo, vhi, wr, kind):
+            out = cext(ops, wav)
+            out = cadd(ops, out, cmul_base(ops, g5, ts))
+            out = cadd(ops, out, cmul_base(ops, g5_2, vlo))
+            out = cadd(ops, out, cmul_base(ops, g5_3, vhi))
+            out = cadd(ops, out, cmul_base(ops, g5_4, wr))
+            return cadd(ops, out, cmul_base(ops, g5_5, kind))
+
+        wa_lo = lin([(1 << (j - 2), m("maddr", j)) for j in range(2, 18)])
+        wa_hi = lin([(1 << (j - 18), m("maddr", j)) for j in range(18, 32)])
+        wa = add(wa_lo, mul(ops.const(1 << 16), wa_hi))
+        two_cyc = mul(ops.const(2), cyc)
+        act_r = add(add(is_load, is_store), add(is_memfin, add(j_r, k_r)))
+        act_w = add(add(is_store, is_meminit), add(in_w, k_w))
+        fp_mr = fpm(wa, two_cyc, lump("mword", True), lump("mword", False),
+                    ops.const(0), mul(ops.const(2), is_memfin))
+        fp_mw = fpm(wa, add(two_cyc, one), lump("mwnew", True),
+                    lump("mwnew", False), one, is_meminit)
+        mu_r, mu_w = aux(A_MU), aux(A_MU + 1)
+        cs.extend(csub(ops, cmul(ops, csub(ops, g4, fp_mr), mu_r),
+                       cext(ops, act_r)))
+        cs.extend(csub(ops, cmul(ops, csub(ops, g4, fp_mw), mu_w),
+                       cext(ops, act_w)))
+        for u in range(N_MEM_UNITS):
+            fp_ms = fpm(m("ms_wa", u), m("ms_ts", u), m("ms_vlo", u),
+                        m("ms_vhi", u), m("ms_wr", u), m("ms_kind", u))
+            cs.extend(csub(ops,
+                           cmul(ops, csub(ops, g4, fp_ms), aux(A_MS + u)),
+                           cext(ops, m("ms_act", u))))
+
+        def mdelta(off=0):
+            d = cadd(ops, aux(A_MU, off), aux(A_MU + 1, off))
+            for u in range(N_MEM_UNITS):
+                d = csub(ops, d, aux(A_MS + u, off))
+            return d
+        macc = aux(A_MACC)
+        cs.extend(cmul_base(ops, csub(ops, macc, mdelta()), isf))
+        cs.extend(cmul_base(
+            ops, csub(ops, aux(A_MACC, 1), cadd(ops, macc, mdelta(1))),
+            not_last))
+        cs.extend(cmul_base(ops, macc, isl))
+
+        # --- sorted memory trace ordering + consistency --------------------
+        inv2 = pow(2, P - 2, P)
+
+        def is_kind2(k):
+            # 1 iff kind == 2 (for kind in {0,1,2})
+            return mul(ops.const(inv2), mul(k, sub_(k, one)))
+
+        def is_kind1(k):
+            # 1 iff kind == 1
+            return mul(k, sub_(ops.const(2), k))
+
+        def ms_ord_lump(u, off=0):
+            return lin([(1 << j, m("ms_ord", u * MS_ORD_BITS + j, off))
+                        for j in range(MS_ORD_BITS)])
+
+        def ms_unit(u, off=0):
+            return {"wa": m("ms_wa", u, off), "ts": m("ms_ts", u, off),
+                    "vlo": m("ms_vlo", u, off), "vhi": m("ms_vhi", u, off),
+                    "wr": m("ms_wr", u, off), "act": m("ms_act", u, off),
+                    "same": m("ms_same", u, off),
+                    "kind": m("ms_kind", u, off),
+                    "ord": ms_ord_lump(u, off)}
+
+        for u in range(N_MEM_UNITS):
+            k = m("ms_kind", u)
+            cs.append(mul(mul(k, sub_(k, one)), sub_(k, ops.const(2))))
+
+        def mem_boundary(prev, nxt, gate_extra=None):
+            actN = nxt["act"]
+            if gate_extra is not None:
+                actN = mul(gate_extra, actN)
+            sameN = nxt["same"]
+            cs.append(mul(actN, sub_(one, prev["act"])))          # prefix
+            cs.append(mul(sameN, sub_(one, prev["act"])))         # same=>act
+            cs.append(mul(sameN, sub_(nxt["wa"], prev["wa"])))
+            d = add(mul(sameN, sub_(sub_(nxt["ts"], prev["ts"]), one)),
+                    mul(sub_(one, sameN),
+                        sub_(sub_(nxt["wa"], prev["wa"]), one)))
+            cs.append(mul(actN, sub_(d, nxt["ord"])))
+            # reads preserve the previous value
+            rd_gate = mul(actN, mul(sub_(one, nxt["wr"]), sameN))
+            cs.append(mul(rd_gate, sub_(nxt["vlo"], prev["vlo"])))
+            cs.append(mul(rd_gate, sub_(nxt["vhi"], prev["vhi"])))
+            # first access of an address must be a write (init or store)
+            cs.append(mul(actN, mul(sub_(one, sameN),
+                                    sub_(one, nxt["wr"]))))
+            # init entries only open an address run
+            cs.append(mul(sameN, is_kind1(nxt["kind"])))
+            # fin entries only close one: a non-final entry can't be fin...
+            cs.append(mul(sameN, is_kind2(prev["kind"])))
+            # ...and the final entry of a run must be fin
+            cs.append(mul(mul(prev["act"], sub_(one, sameN)),
+                          sub_(prev["kind"], ops.const(2))))
+
+        for u in range(N_MEM_UNITS - 1):
+            mem_boundary(ms_unit(u), ms_unit(u + 1))
+        mem_boundary(ms_unit(N_MEM_UNITS - 1), ms_unit(0, 1),
+                     gate_extra=not_last)
+        cs.append(mul(isf, m("ms_same", 0)))
+        # on the very last row, any trailing active unit must be fin
+        lastu = ms_unit(N_MEM_UNITS - 1)
+        cs.append(mul(isl, mul(lastu["act"],
+                               sub_(lastu["kind"], ops.const(2)))))
+        u0 = ms_unit(0)
+        cs.append(mul(isl, mul(mul(u0["act"], sub_(one, lastu["act"])),
+                               sub_(u0["kind"], ops.const(2)))))
+
+        # --- MEMINIT/MEMFIN list binding (derived scalars d0/d1) -----------
+        d_init = challenges[7]
+        d_fin = challenges[8]
+        fp2_i = cadd(ops, cext(ops, wa),
+                     cadd(ops, cmul_base(ops, g5, lump("mwnew", True)),
+                          cmul_base(ops, g5_2, lump("mwnew", False))))
+        fp2_f = cadd(ops, cext(ops, wa),
+                     cadd(ops, cmul_base(ops, g5, lump("mword", True)),
+                          cmul_base(ops, g5_2, lump("mword", False))))
+        li, lf = aux(A_LI), aux(A_LF)
+        cs.extend(csub(ops, cmul(ops, csub(ops, g4, fp2_i), li),
+                       cext(ops, is_meminit)))
+        cs.extend(csub(ops, cmul(ops, csub(ops, g4, fp2_f), lf),
+                       cext(ops, is_memfin)))
+        liacc, lfacc = aux(A_LIA), aux(A_LFA)
+        cs.extend(cmul_base(ops, csub(ops, liacc, li), isf))
+        cs.extend(cmul_base(ops, csub(ops, lfacc, lf), isf))
+        cs.extend(cmul_base(
+            ops, csub(ops, aux(A_LIA, 1), cadd(ops, liacc, aux(A_LI, 1))),
+            not_last))
+        cs.extend(cmul_base(
+            ops, csub(ops, aux(A_LFA, 1), cadd(ops, lfacc, aux(A_LF, 1))),
+            not_last))
+        cs.extend(cmul_base(ops, csub(ops, liacc, d_init), isl))
+        cs.extend(cmul_base(ops, csub(ops, lfacc, d_fin), isl))
+
+        # --- IO RLC chains (challenge g6; derived finals d2/d3/d4) ---------
+        g6 = challenges[6]
+        g6sq = cmul(ops, g6, g6)
+
+        def rlc_constraints(slot, act_expr, act_next, lo, lo_next,
+                            hi, hi_next, final):
+            r = aux(slot)
+            rn = aux(slot, 1)
+            absorb0 = cadd(ops, cmul_base(ops, g6, lo), cext(ops, hi))
+            cs.extend(cmul_base(ops, csub(ops, r, cmul_base(ops, absorb0,
+                                                            act_expr)), isf))
+            absorb_n = cadd(ops, cmul(ops, r, g6sq),
+                            cadd(ops, cmul_base(ops, g6, lo_next),
+                                 cext(ops, hi_next)))
+            keep = csub(ops, rn, r)
+            step = csub(ops, rn, absorb_n)
+            mix = cadd(ops, cmul_base(ops, step, act_next),
+                       cmul_base(ops, keep, sub_(one, act_next)))
+            cs.extend(cmul_base(ops, mix, not_last))
+            cs.extend(cmul_base(ops, csub(ops, r, final), isl))
+
+        rlc_constraints(A_RJ, j_r, m("sm_str", 1, 1),
+                        lump("mword", True), lump("mword", True, 1),
+                        lump("mword", False), lump("mword", False, 1),
+                        challenges[9])
+        k_act = add(k_r, k_w)
+        k_act_n = add(m("sm_str", 2, 1), m("sm_str", 3, 1))
+        k_lo = add(mul(k_r, lump("mword", True)),
+                   mul(k_w, lump("mwnew", True)))
+        k_lo_n = add(mul(m("sm_str", 2, 1), lump("mword", True, 1)),
+                     mul(m("sm_str", 3, 1), lump("mwnew", True, 1)))
+        k_hi = add(mul(k_r, lump("mword", False)),
+                   mul(k_w, lump("mwnew", False)))
+        k_hi_n = add(mul(m("sm_str", 2, 1), lump("mword", False, 1)),
+                     mul(m("sm_str", 3, 1), lump("mwnew", False, 1)))
+        rlc_constraints(A_RK, k_act, k_act_n, k_lo, k_lo_n, k_hi, k_hi_n,
+                        challenges[10])
+
+        # --- halt / exit-code binding --------------------------------------
+        # publics[4] = halted, publics[5:7] = exit code limbs
+        cs.append(mul(sk(0), sub_(lump("rs1v", True), publics[5])))
+        cs.append(mul(sk(0), sub_(lump("rs1v", False), publics[6])))
+        # segment tail = MEMFIN/PAD rows; a halt row enters the tail, the
+        # tail never returns to execution, and the row entering the tail
+        # is a halt exactly when the halted public says so
+        tail = add(sel("MEMFIN"), sel("PAD"))
+        tail_next = add(sel("MEMFIN", 1), sel("PAD", 1))
+        cs.append(mul(mul(sk(0), not_last), sub_(one, tail_next)))
+        cs.append(mul(mul(tail, not_last), sub_(one, tail_next)))
+        cs.append(mul(mul(sub_(one, tail), tail_next),
+                      sub_(publics[4], sk(0))))
 
         return cs
 
@@ -1171,6 +2079,80 @@ def _vec_modinv(x: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Publics layout + derived scalars
+# ---------------------------------------------------------------------------
+
+
+def parse_publics(pubs):
+    """Decode the flat segment publics (see witgen) into a dict."""
+    p = [int(x) for x in pubs]
+    if len(p) < 11:
+        raise ValueError("publics too short")
+    out = {
+        "entry_pc": p[0] | (p[1] << 16),
+        "exit_pc": p[2] | (p[3] << 16),
+        "halted": p[4],
+        "exit_code": p[5] | (p[6] << 16),
+    }
+    n_init, n_fin, n_j, n_k = p[7], p[8], p[9], p[10]
+    need = 11 + 4 * (n_init + n_fin) + 2 * (n_j + n_k)
+    if len(p) != need:
+        raise ValueError("bad publics length")
+    off = 11
+
+    def entries(cnt):
+        nonlocal off
+        o = []
+        for _ in range(cnt):
+            o.append((p[off] | (p[off + 1] << 16),
+                      p[off + 2] | (p[off + 3] << 16)))
+            off += 4
+        return o
+
+    def words(cnt):
+        nonlocal off
+        o = []
+        for _ in range(cnt):
+            o.append(p[off] | (p[off + 1] << 16))
+            off += 2
+        return o
+
+    out["mem_init"] = entries(n_init)
+    out["mem_fin"] = entries(n_fin)
+    out["journal_words"] = words(n_j)
+    out["keccak_words"] = words(n_k)
+    return out
+
+
+def _list_sum(entries, g4, g5p):
+    """sum over (addr, value) of 1/(g4 - (wa + g5*vlo + g5^2*vhi))."""
+    if not entries:
+        return np.zeros(4, dtype=np.uint64)
+    a = np.array([e[0] for e in entries], dtype=np.uint64)
+    v = np.array([e[1] for e in entries], dtype=np.uint64)
+    fp = ((a >> np.uint64(2))[:, None] * g5p[0][None, :]
+          + (v & np.uint64(0xFFFF))[:, None] * g5p[1][None, :]
+          + (v >> np.uint64(16))[:, None] * g5p[2][None, :]) % H.PU
+    inv = H.ext_inv((g4[None, :] + H.PU - fp % H.PU) % H.PU)
+    return inv.sum(axis=0) % H.PU
+
+
+def _rlc(words, g6):
+    """Order-binding RLC over the 16-bit limb stream of `words`."""
+    if not words:
+        return np.zeros(4, dtype=np.uint64)
+    limbs = []
+    for w in words:
+        limbs += [w & 0xFFFF, (w >> 16) & 0xFFFF]
+    k = len(limbs)
+    gp = H.ext_powers(g6, k)
+    acc = np.zeros(4, dtype=np.uint64)
+    for i, limb in enumerate(limbs):
+        acc = (acc + np.uint64(limb) * gp[k - 1 - i]) % H.PU
+    return acc
+
+
+# ---------------------------------------------------------------------------
 # Segment prove / verify (zkvm.LocalProver entry points)
 # ---------------------------------------------------------------------------
 
@@ -1179,34 +2161,89 @@ def _air_for_image(image_addrs, image_words) -> Rv32imAir:
     return Rv32imAir(image_addrs, image_words)
 
 
-def choose_po2(rows: int, image_len: int) -> int:
-    need = max(rows + N_INIT_ROWS + 1, image_len, 64)
+def choose_po2(seg, image_len: int) -> int:
+    rows = seg.trace.shape[0]
+    n_mem = 0 if seg.mem_addrs is None else len(seg.mem_addrs)
+    need = max(rows + N_INIT_ROWS + 2 * n_mem + 1, image_len, 64)
     return max(int(np.ceil(np.log2(need))), 6)
 
 
 def prove_segment(seg, image_addrs, image_words):
     """Prove one executor segment; returns the encoded seal (np.uint32)."""
     air = _air_for_image(image_addrs, image_words)
-    po2 = choose_po2(seg.trace.shape[0], len(image_addrs))
-    main, publics = air.witgen(seg.trace, po2, seg.exit_pc, seg.entry_regs)
+    po2 = choose_po2(seg, len(image_addrs))
+    main, publics = air.witgen(seg, po2)
     proof = prover_mod.prove(air, main, publics)
     return proof_mod.encode(proof)
 
 
 def verify_segments(seals, claim, image_addrs, image_words, entry_pc: int):
-    """Verify a chain of segment seals: each proof valid + pc continuity."""
+    """Verify a chain of segment seals.
+
+    Checks, per segment: the STARK itself; pc continuity; RAM continuity
+    (each segment's public MEMINIT list must match the memory state
+    replayed from the image through the previous segments' MEMFIN lists);
+    keccak accelerator IO (recomputed host-side from the bound pre-states
+    — the in-circuit accelerator-proof resolution is a later round); and,
+    across the chain: exactly the final segment halts, with the claim's
+    exit code, and the concatenated journal words hash to the claim's
+    journal digest (the reference's journal commitment,
+    guests/stateless-client/src/lib.rs:33).
+    """
+    import hashlib
+
+    from ..hash.keccak import permute_np as keccak_permute
     from ..zkvm import VerificationError
     air = _air_for_image(image_addrs, image_words)
     expect_pc = int(entry_pc)
     if not seals:
         raise VerificationError("no segment seals")
+    # memory replay state: word addr -> value (image; zero elsewhere)
+    state = {int(a): int(w) for a, w in zip(image_addrs, image_words)}
+    journal_words: list[int] = []
     for i, seal in enumerate(seals):
         proof = proof_mod.decode(seal)
         pubs = [int(p) for p in proof.publics]
-        if pubs[0] != expect_pc & 0xFFFF or pubs[1] != expect_pc >> 16:
+        try:
+            pp = parse_publics(pubs)
+        except ValueError as e:
+            raise VerificationError(f"segment {i}: {e}") from e
+        if pp["entry_pc"] != expect_pc:
             raise VerificationError(f"segment {i}: entry pc mismatch")
+        last = i == len(seals) - 1
+        if bool(pp["halted"]) != last:
+            raise VerificationError(
+                f"segment {i}: halt flag mismatch (only the final segment "
+                "halts)")
+        if last and pp["exit_code"] != int(claim.exit_code):
+            raise VerificationError("exit code does not match claim")
         try:
             verifier_mod.verify(air, proof, pubs)
         except verifier_mod.VerificationError as e:
             raise VerificationError(f"segment {i}: {e}") from e
-        expect_pc = pubs[2] | (pubs[3] << 16)
+        # RAM continuity: entry values must match the replayed state
+        for a, v in pp["mem_init"]:
+            if state.get(a, 0) != v:
+                raise VerificationError(
+                    f"segment {i}: MEMINIT value mismatch at 0x{a:08x}")
+        for a, v in pp["mem_fin"]:
+            state[a] = v
+        # keccak accelerator IO: recompute f[1600] over the bound states
+        kw = pp["keccak_words"]
+        if len(kw) % 100:
+            raise VerificationError(f"segment {i}: bad keccak IO length")
+        for c in range(0, len(kw), 100):
+            pre = np.zeros(25, dtype=np.uint64)
+            post = np.zeros(25, dtype=np.uint64)
+            for j in range(25):
+                pre[j] = kw[c + 2 * j] | (kw[c + 2 * j + 1] << 32)
+                post[j] = kw[c + 50 + 2 * j] | (kw[c + 50 + 2 * j + 1] << 32)
+            got = keccak_permute(pre[None])[0]
+            if not (got == post).all():
+                raise VerificationError(
+                    f"segment {i}: keccak accelerator output mismatch")
+        journal_words += pp["journal_words"]
+        expect_pc = pp["exit_pc"]
+    journal = b"".join(int(w).to_bytes(4, "little") for w in journal_words)
+    if hashlib.sha256(journal).digest() != claim.journal_digest:
+        raise VerificationError("journal does not match claim digest")

@@ -96,6 +96,12 @@ def _lib():
     lib.ex_trace_len.argtypes = [ctypes.c_void_p]
     lib.ex_trace_data.restype = ctypes.POINTER(ctypes.c_uint32)
     lib.ex_trace_data.argtypes = [ctypes.c_void_p]
+    lib.ex_segment_mem.restype = ctypes.c_size_t
+    lib.ex_segment_mem.argtypes = [ctypes.c_void_p,
+                                   ctypes.POINTER(ctypes.c_uint32),
+                                   ctypes.POINTER(ctypes.c_uint32),
+                                   ctypes.POINTER(ctypes.c_uint32),
+                                   ctypes.c_size_t]
     return lib
 
 
@@ -118,11 +124,28 @@ class SegmentInfo:
     exit_pc: int = 0                  # machine pc when the segment ended
     entry_regs: np.ndarray | None = None  # (32,) register file at segment start
     trace: np.ndarray | None = None   # (cycles, TRACE_WORDS) witness records
+    # per-segment data-memory footprint (the RAM argument's boundary
+    # lists): byte addrs (word-aligned), entry values, exit values
+    mem_addrs: np.ndarray | None = None
+    mem_pre: np.ndarray | None = None
+    mem_post: np.ndarray | None = None
+    halted: bool = False
+    exit_code: int = 0
 
 
-# One trace record per executed instruction (see rv32im.cpp emit_trace):
-# [pc, insn, rs1_val, rs2_val, rd_val, mem_addr, mem_val_pre, flags]
+# One trace record per executed instruction or SYSMEM phantom row
+# (see rv32im.cpp emit_trace):
+# [pc, insn, rs1_val, rs2_val, rd_val, mem_addr, mem_word, flags]
+# loads: mem_word = the full aligned word read; stores: the OLD word;
+# SYSMEM rows: the word read/written, flags carry the stream tag.
 TRACE_WORDS = 8
+
+# trace flag bits (keep in sync with rv32im.cpp)
+TR_MEM_LOAD = 1 << 0
+TR_MEM_STORE = 1 << 1
+TR_ECALL = 1 << 2
+TR_SYSMEM = 1 << 3
+SM_INPUT, SM_JOURNAL, SM_KECCAK_R, SM_KECCAK_W = 1, 2, 3, 4
 
 
 @dataclass
@@ -197,6 +220,9 @@ class Executor:
         rc = self.lib.ex_load_elf(self.h, elf_bytes, len(elf_bytes))
         if rc != 0:
             raise ValueError(f"ELF load failed (code {rc})")
+        # word-aligned input ABI: the in-circuit input binding is a word
+        # stream, so the input is zero-padded to a word boundary
+        input_bytes = input_bytes + b"\x00" * (-len(input_bytes) % 4)
         self.lib.ex_set_input(self.h, input_bytes, len(input_bytes))
         self.segment_po2 = segment_po2
         self._trace = trace
@@ -216,6 +242,19 @@ class Executor:
         buf = np.ctypeslib.as_array(ptr, shape=(n * TRACE_WORDS,))
         return buf.reshape(n, TRACE_WORDS).copy()
 
+    def _grab_segment_mem(self):
+        n = self.lib.ex_segment_mem(self.h, None, None, None, 0)
+        if n == 0:
+            z = np.zeros(0, dtype=np.uint32)
+            return z, z.copy(), z.copy()
+        addrs = (ctypes.c_uint32 * n)()
+        pre = (ctypes.c_uint32 * n)()
+        post = (ctypes.c_uint32 * n)()
+        self.lib.ex_segment_mem(self.h, addrs, pre, post, n)
+        return (np.frombuffer(addrs, dtype=np.uint32).copy(),
+                np.frombuffer(pre, dtype=np.uint32).copy(),
+                np.frombuffer(post, dtype=np.uint32).copy())
+
     def run(self, max_segments: int = 1 << 20) -> ExecResult:
         lib, h = self.lib, self.h
         limit = 1 << self.segment_po2
@@ -234,6 +273,7 @@ class Executor:
             status = lib.ex_run(h, limit)
             seg_user = lib.ex_user_cycles(h) - user0
             seg_paging = lib.ex_paging_cycles(h) - paging0
+            mem_addrs, mem_pre, mem_post = self._grab_segment_mem()
             info = SegmentInfo(
                 index=seg_idx,
                 user_cycles=seg_user,
@@ -242,6 +282,9 @@ class Executor:
                 exit_pc=lib.ex_pc(h),
                 entry_regs=entry_regs,
                 trace=self._grab_trace() if self._trace else None,
+                mem_addrs=mem_addrs, mem_pre=mem_pre, mem_post=mem_post,
+                halted=status == ST_HALTED,
+                exit_code=lib.ex_exit_code(h) if status == ST_HALTED else 0,
             )
             segments.append(info)
             user0 = lib.ex_user_cycles(h)

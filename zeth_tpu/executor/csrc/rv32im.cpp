@@ -8,6 +8,8 @@
 //
 // Build: make -C . (produces librv32im.so)
 
+#include <algorithm>
+#include <array>
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
@@ -30,10 +32,20 @@ enum Syscall : uint32_t {
   SYS_CYCLE = 4, SYS_KECCAK = 5,
 };
 
-// Trace record flags (see TRACE_WORDS in __init__.py)
+// Trace record flags (see TRACE_WORDS in __init__.py).
+// SYSMEM rows are phantom records emitted after an ecall, one per word of
+// syscall IO; the stream tag (bits 8..10) routes them to the in-circuit
+// RLC binding chains (input / journal / keccak accelerator IO).
 enum TraceFlag : uint32_t {
   TR_MEM_LOAD = 1u << 0, TR_MEM_STORE = 1u << 1, TR_ECALL = 1u << 2,
+  TR_SYSMEM = 1u << 3,
 };
+enum SysmemStream : uint32_t {
+  SM_INPUT = 1, SM_JOURNAL = 2, SM_KECCAK_R = 3, SM_KECCAK_W = 4,
+};
+static inline uint32_t sm_flags(uint32_t stream) {
+  return TR_SYSMEM | (stream << 8);
+}
 
 struct Page {
   uint32_t words[PAGE_WORDS];
@@ -84,6 +96,13 @@ struct Executor {
   // pages touched in the *current segment* (paging cost charged per segment,
   // mirroring the reference's per-segment page-in/page-out accounting)
   std::unordered_map<uint32_t, uint8_t> seg_touched;  // bit0=read bit1=write
+  // per-segment data-memory footprint: word addr -> (entry value, exit
+  // value). Feeds the circuit's MEMINIT/MEMFIN rows (the RAM argument's
+  // segment-boundary lists) — instruction fetches are excluded (they are
+  // bound by the program-ROM LogUp instead).
+  std::unordered_map<uint32_t, std::pair<uint32_t, uint32_t>> seg_mem;
+  // initial image as a map, for the dirty-page fetch consistency check
+  std::unordered_map<uint32_t, uint32_t> image_map;
 
   uint32_t regs[32] = {0};
   uint32_t pc = 0;
@@ -142,34 +161,79 @@ struct Executor {
     p->dirty = true;
   }
 
+  // data accesses (loads/stores/syscall IO) feed the RAM argument's
+  // per-segment entry/exit lists; fetches bypass them (ROM-bound)
+  void track(uint32_t waddr, uint32_t pre, uint32_t post) {
+    auto it = seg_mem.find(waddr);
+    if (it == seg_mem.end()) seg_mem.emplace(waddr, std::make_pair(pre, post));
+    else it->second.second = post;
+  }
+
+  uint32_t data_load_word(uint32_t addr) {
+    uint32_t w = load_word(addr);
+    track(addr >> 2, w, w);
+    return w;
+  }
+
+  void data_store_word(uint32_t addr, uint32_t val) {
+    uint32_t pre = load_word(addr);
+    track(addr >> 2, pre, val);
+    store_word(addr, val);
+  }
+
+  uint32_t fetch_word(uint32_t addr) {
+    uint32_t w = load_word(addr);
+    // self-modifying code is outside the proof system's model (fetches
+    // are bound to the static program ROM): fault if a dirty page serves
+    // a fetch whose word differs from the initial image
+    Page* p = page(addr >> PAGE_BITS);
+    if (p->dirty) {
+      auto it = image_map.find(addr);
+      uint32_t img = it == image_map.end() ? 0 : it->second;
+      if (img != w) { faulted = true; }
+    }
+    return w;
+  }
+
   uint8_t load_byte(uint32_t addr) {
-    uint32_t w = load_word(addr & ~3u);
+    uint32_t w = data_load_word(addr & ~3u);
     return (w >> ((addr & 3) * 8)) & 0xFF;
   }
 
   void store_byte(uint32_t addr, uint8_t val) {
     uint32_t w = load_word(addr & ~3u);
     uint32_t sh = (addr & 3) * 8;
+    data_store_word(addr & ~3u, (w & ~(0xFFu << sh)) | (uint32_t(val) << sh));
+  }
+
+  // raw (untracked) byte IO for ELF loading only
+  void raw_store_byte(uint32_t addr, uint8_t val) {
+    uint32_t w = load_word(addr & ~3u);
+    uint32_t sh = (addr & 3) * 8;
     store_word(addr & ~3u, (w & ~(0xFFu << sh)) | (uint32_t(val) << sh));
   }
 
   uint16_t load_half(uint32_t addr) {
-    uint32_t w = load_word(addr & ~3u);
+    uint32_t w = data_load_word(addr & ~3u);
     return (w >> ((addr & 2) * 8)) & 0xFFFF;
   }
 
   void store_half(uint32_t addr, uint16_t val) {
     uint32_t w = load_word(addr & ~3u);
     uint32_t sh = (addr & 2) * 8;
-    store_word(addr & ~3u, (w & ~(0xFFFFu << sh)) | (uint32_t(val) << sh));
+    data_store_word(addr & ~3u, (w & ~(0xFFFFu << sh)) | (uint32_t(val) << sh));
   }
 
   void read_bytes(uint32_t addr, uint8_t* dst, uint32_t len) {
     for (uint32_t i = 0; i < len; i++) dst[i] = load_byte(addr + i);
   }
 
-  void write_bytes(uint32_t addr, const uint8_t* src, uint32_t len) {
-    for (uint32_t i = 0; i < len; i++) store_byte(addr + i, src[i]);
+  // untracked reads for SYS_LOG (no claim-relevant effect, no trace rows)
+  void log_read_bytes(uint32_t addr, uint8_t* dst, uint32_t len) {
+    for (uint32_t i = 0; i < len; i++) {
+      uint32_t w = load_word((addr + i) & ~3u);
+      dst[i] = (w >> (((addr + i) & 3) * 8)) & 0xFF;
+    }
   }
 
   void emit_trace(uint32_t ins_pc, uint32_t insn, uint32_t rs1v, uint32_t rs2v,
@@ -180,34 +244,53 @@ struct Executor {
     trace.push_back(maddr); trace.push_back(mval); trace.push_back(flags);
   }
 
-  void ecall() {
+  // Pending SYSMEM phantom rows (flushed right after the ecall's own
+  // trace record): [addr, value, flags] per word of syscall IO.
+  std::vector<std::array<uint32_t, 3>> pending_sysmem;
+
+  void push_sysmem(uint32_t addr, uint32_t val, uint32_t stream) {
+    pending_sysmem.push_back({addr, val, sm_flags(stream)});
+  }
+
+  void ecall(uint32_t next_pc) {
     uint32_t num = regs[17];  // a7
     uint32_t a0 = regs[10], a1 = regs[11];
+    (void)next_pc;
     switch (num) {
       case SYS_HALT:
         exit_code = a0;
         halted = true;
         break;
       case SYS_READ: {
+        // word-aligned ABI: buffers and lengths are word multiples so the
+        // in-circuit input binding is a clean word stream
+        if ((a0 & 3) || (a1 & 3)) { faulted = true; break; }
         uint32_t n = a1;
         size_t avail = input.size() - input_pos;
         if (n > avail) n = (uint32_t)avail;
-        std::vector<uint8_t> buf(n);
-        memcpy(buf.data(), input.data() + input_pos, n);
+        if (n & 3) { faulted = true; break; }  // env pads input to words
+        for (uint32_t off = 0; off < n; off += 4) {
+          uint32_t w;
+          memcpy(&w, input.data() + input_pos + off, 4);
+          data_store_word(a0 + off, w);
+          push_sysmem(a0 + off, w, SM_INPUT);
+        }
         input_pos += n;
-        write_bytes(a0, buf.data(), n);
         regs[10] = n;
         break;
       }
       case SYS_COMMIT: {
-        std::vector<uint8_t> buf(a1);
-        read_bytes(a0, buf.data(), a1);
-        journal.insert(journal.end(), buf.begin(), buf.end());
+        if ((a0 & 3) || (a1 & 3)) { faulted = true; break; }
+        for (uint32_t off = 0; off < a1; off += 4) {
+          uint32_t w = data_load_word(a0 + off);
+          push_sysmem(a0 + off, w, SM_JOURNAL);
+          journal.insert(journal.end(), (uint8_t*)&w, (uint8_t*)&w + 4);
+        }
         break;
       }
       case SYS_LOG: {
         std::vector<uint8_t> buf(a1);
-        read_bytes(a0, buf.data(), a1);
+        log_read_bytes(a0, buf.data(), a1);
         logbuf.insert(logbuf.end(), buf.begin(), buf.end());
         break;
       }
@@ -215,14 +298,21 @@ struct Executor {
         regs[10] = (uint32_t)user_cycles;
         break;
       case SYS_KECCAK: {
+        if (a0 & 3) { faulted = true; break; }
         uint64_t st[25];
-        uint8_t raw[200];
-        read_bytes(a0, raw, 200);
-        memcpy(st, raw, 200);
+        uint32_t words[50];
+        for (uint32_t i = 0; i < 50; i++) {
+          words[i] = data_load_word(a0 + 4 * i);
+          push_sysmem(a0 + 4 * i, words[i], SM_KECCAK_R);
+        }
+        memcpy(st, words, 200);
         keccak_inputs.insert(keccak_inputs.end(), st, st + 25);
         keccakf(st);
-        memcpy(raw, st, 200);
-        write_bytes(a0, raw, 200);
+        memcpy(words, st, 200);
+        for (uint32_t i = 0; i < 50; i++) {
+          data_store_word(a0 + 4 * i, words[i]);
+          push_sysmem(a0 + 4 * i, words[i], SM_KECCAK_W);
+        }
         keccak_count++;
         break;
       }
@@ -235,9 +325,13 @@ struct Executor {
   int run(uint64_t seg_limit) {
     while (!halted && !faulted) {
       uint64_t seg_cycles = (user_cycles - seg_start_user) + seg_paging;
-      if (seg_cycles + 2 * PAGE_CYCLES + 1 >= seg_limit) return ST_SEGMENT_FULL;
+      // reserve: worst-case paging (2 pages) + the largest syscall's
+      // SYSMEM rows (keccak: 100 words)
+      if (seg_cycles + 2 * PAGE_CYCLES + 128 >= seg_limit)
+        return ST_SEGMENT_FULL;
 
-      uint32_t insn = load_word(pc);
+      uint32_t insn = fetch_word(pc);
+      if (faulted) return ST_ERROR;
       uint32_t opcode = insn & 0x7F;
       uint32_t rd = (insn >> 7) & 31;
       uint32_t funct3 = (insn >> 12) & 7;
@@ -283,24 +377,39 @@ struct Executor {
           int32_t imm = (int32_t)insn >> 20;
           uint32_t addr = rs1v + imm;
           maddr = addr; tflags |= TR_MEM_LOAD;
+          // mval records the full aligned word (circuit extracts sub-words)
           switch (funct3) {
-            case 0: rdv = (int32_t)(int8_t)load_byte(addr); break;          // LB
-            case 1: rdv = (int32_t)(int16_t)load_half(addr); break;         // LH
-            case 2: rdv = load_word(addr); break;                           // LW
-            case 4: rdv = load_byte(addr); break;                           // LBU
-            case 5: rdv = load_half(addr); break;                           // LHU
+            case 0: mval = data_load_word(addr & ~3u);
+                    rdv = (int32_t)(int8_t)((mval >> ((addr & 3) * 8)) & 0xFF);
+                    break;                                                  // LB
+            case 1: if (addr & 1) { faulted = true; break; }
+                    mval = data_load_word(addr & ~3u);
+                    rdv = (int32_t)(int16_t)((mval >> ((addr & 2) * 8)) & 0xFFFF);
+                    break;                                                  // LH
+            case 2: if (addr & 3) { faulted = true; break; }
+                    mval = data_load_word(addr);
+                    rdv = mval; break;                                      // LW
+            case 4: mval = data_load_word(addr & ~3u);
+                    rdv = (mval >> ((addr & 3) * 8)) & 0xFF; break;         // LBU
+            case 5: if (addr & 1) { faulted = true; break; }
+                    mval = data_load_word(addr & ~3u);
+                    rdv = (mval >> ((addr & 2) * 8)) & 0xFFFF; break;       // LHU
             default: faulted = true;
           }
-          mval = rdv; wb = true; break;
+          wb = true; break;
         }
         case 0x23: {                                                        // stores
           int32_t imm = (((int32_t)insn >> 20) & ~0x1F) | ((insn >> 7) & 0x1F);
           uint32_t addr = rs1v + imm;
-          maddr = addr; mval = rs2v; tflags |= TR_MEM_STORE;
+          maddr = addr; tflags |= TR_MEM_STORE;
+          // mval records the OLD aligned word (circuit checks the merge)
+          mval = load_word(addr & ~3u);
           switch (funct3) {
             case 0: store_byte(addr, rs2v & 0xFF); break;                   // SB
-            case 1: store_half(addr, rs2v & 0xFFFF); break;                 // SH
-            case 2: store_word(addr, rs2v); break;                          // SW
+            case 1: if (addr & 1) { faulted = true; break; }
+                    store_half(addr, rs2v & 0xFFFF); break;                 // SH
+            case 2: if (addr & 3) { faulted = true; break; }
+                    data_store_word(addr, rs2v); break;                     // SW
             default: faulted = true;
           }
           break;
@@ -358,7 +467,12 @@ struct Executor {
         case 0x73:                                                          // SYSTEM
           if (insn == 0x00000073) {
             tflags |= TR_ECALL;
-            ecall();
+            // the circuit reads a0/a1/a7 through the register argument:
+            // record their pre-ecall values in the rs1v/rs2v/maddr fields
+            rs1v = regs[10];
+            rs2v = regs[11];
+            maddr = regs[17];
+            ecall(next_pc);
             rdv = regs[10];  // post-syscall a0 (register-file write record)
           } else { faulted = true; }                                        // EBREAK etc.
           break;
@@ -373,6 +487,12 @@ struct Executor {
       emit_trace(pc, insn, rs1v, rs2v, rec_rdv, maddr, mval, tflags);
       pc = next_pc;
       user_cycles++;
+      // flush SYSMEM phantom rows: one row (and one cycle) per IO word
+      for (auto& sm : pending_sysmem) {
+        emit_trace(next_pc, 0, 0, 0, 0, sm[0], sm[1], sm[2]);
+        user_cycles++;
+      }
+      pending_sysmem.clear();
       if (halted) return ST_HALTED;
     }
     return halted ? ST_HALTED : ST_ERROR;
@@ -382,6 +502,7 @@ struct Executor {
     seg_start_user = user_cycles;
     seg_paging = 0;
     seg_touched.clear();
+    seg_mem.clear();
     trace.clear();
   }
 };
@@ -415,15 +536,18 @@ static int load_elf(Executor* ex, const uint8_t* data, size_t len) {
     if (ph.type != 1) continue;                          // PT_LOAD
     if (ph.offset + ph.filesz > len) return 6;
     for (uint32_t j = 0; j < ph.filesz; j++)
-      ex->store_byte(ph.vaddr + j, data[ph.offset + j]);
+      ex->raw_store_byte(ph.vaddr + j, data[ph.offset + j]);
     // memsz > filesz tail is zero (pages are zero-initialized)
   }
   // record the initial image for image-id computation, then reset counters
   for (auto& kv : ex->pages) {
+    kv.second->dirty = false;
     for (uint32_t w = 0; w < PAGE_WORDS; w++) {
       if (kv.second->words[w]) {
-        ex->image_addr_words.push_back((kv.first << PAGE_BITS) + w * 4);
+        uint32_t addr = (kv.first << PAGE_BITS) + w * 4;
+        ex->image_addr_words.push_back(addr);
         ex->image_addr_words.push_back(kv.second->words[w]);
+        ex->image_map.emplace(addr, kv.second->words[w]);
       }
     }
   }
@@ -488,6 +612,28 @@ const uint64_t* ex_keccak_inputs(void* h) {
 }
 size_t ex_trace_len(void* h) { return ((Executor*)h)->trace.size() / 8; }
 uint32_t* ex_trace_data(void* h) { return ((Executor*)h)->trace.data(); }
+
+// per-segment data-memory footprint: (word_addr*4, entry value, exit value)
+// triples sorted by address; returns the entry count
+size_t ex_segment_mem(void* h, uint32_t* addrs, uint32_t* pre, uint32_t* post,
+                      size_t cap) {
+  Executor* ex = (Executor*)h;
+  size_t n = ex->seg_mem.size();
+  if (addrs && pre && post) {
+    std::vector<uint32_t> keys;
+    keys.reserve(n);
+    for (auto& kv : ex->seg_mem) keys.push_back(kv.first);
+    std::sort(keys.begin(), keys.end());
+    size_t m = n < cap ? n : cap;
+    for (size_t i = 0; i < m; i++) {
+      auto& pp = ex->seg_mem[keys[i]];
+      addrs[i] = keys[i] * 4;
+      pre[i] = pp.first;
+      post[i] = pp.second;
+    }
+  }
+  return n;
+}
 
 // initial memory image as (addr, word) pairs; returns pair count
 size_t ex_image_words(void* h, uint32_t* addrs, uint32_t* words, size_t cap) {

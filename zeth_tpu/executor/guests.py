@@ -107,6 +107,60 @@ def keccak_guest(rounds: int) -> bytes:
     return write_elf([(a.org, a.assemble())], a.org)
 
 
+def load_store(n: int = 8) -> bytes:
+    """Exercise every load/store width: write a pattern with SB/SH/SW,
+    read it back with LB/LH/LW/LBU/LHU, xor-fold, commit 4 bytes."""
+    a = Asm(org=0x10000)
+    a.li("s0", SCRATCH)
+    a.li("t0", 0)                # i
+    a.li("t1", n)
+    a.li("s1", 0)                # acc
+    a.label("wloop")
+    # value = 0xA5000000 | (i * 0x010101)
+    a.li("t2", 0x010101)
+    a.mul("t3", "t0", "t2")
+    a.li("t2", 0xA5000000)
+    a.or_("t3", "t3", "t2")
+    a.slli("t4", "t0", 2)
+    a.add("t4", "t4", "s0")
+    a.sw("t3", "t4", 0)
+    a.addi("t0", "t0", 1)
+    a.blt("t0", "t1", "wloop")
+    # sub-word stores into the tail word
+    a.slli("t4", "t1", 2)
+    a.add("t4", "t4", "s0")
+    a.li("t3", 0x7F)
+    a.sb("t3", "t4", 0)
+    a.sb("t3", "t4", 3)
+    a.li("t3", 0xBEEF)
+    a.sh("t3", "t4", 0)          # overwrites bytes 0-1
+    # read everything back through every width
+    a.li("t0", 0)
+    a.label("rloop")
+    a.slli("t4", "t0", 2)
+    a.add("t4", "t4", "s0")
+    a.lw("t3", "t4", 0)
+    a.xor("s1", "s1", "t3")
+    a.lb("t3", "t4", 1)
+    a.add("s1", "s1", "t3")
+    a.lbu("t3", "t4", 2)
+    a.xor("s1", "s1", "t3")
+    a.lh("t3", "t4", 0)
+    a.add("s1", "s1", "t3")
+    a.lhu("t3", "t4", 2)
+    a.xor("s1", "s1", "t3")
+    a.addi("t0", "t0", 1)
+    a.blt("t0", "t1", "rloop")
+    a.sw("s1", "s0", 0)
+    a.mv("a0", "s0")
+    a.li("a1", 4)
+    a.li("a7", 2)
+    a.ecall()
+    a.li("a0", 0)
+    a.sys_halt()
+    return write_elf([(a.org, a.assemble())], a.org)
+
+
 def memory_stress(pages: int) -> bytes:
     """Write one word into each of `pages` fresh pages, then halt."""
     a = Asm(org=0x10000)
