@@ -75,7 +75,9 @@ def main(argv=None) -> int:
         t0 = time.time()
         receipt = proc.prove(inp, segment_po2=args.segment_po2)
         print(f"execution time: {(time.time() - t0) * 1e3:.0f}ms")
-        receipt.verify(receipt.claim.image_id)
+        # verify against the independently computed image ID, never the
+        # receipt's own claim (cli.rs:100-108)
+        receipt.verify(proc.image_id())
         if receipt.journal != block_hash:
             print("journal does not match block hash!", file=sys.stderr)
             return 1

@@ -11,11 +11,13 @@ Input format: the reference's cached `StatelessInput` JSON — {"block":
 `keys` too, lib.rs:104). Field names accept both camelCase and
 snake_case.
 
-v1 validation scope (documented gap, tracked for later rounds): header
-hash recomputation, parent-header linkage, and witness/pre-state-trie
-integrity. Transaction re-execution needs the EVM engine (the
-reference's reth/revm stack, §2.2) which is not yet rebuilt; `prove`
-therefore supports dev-mode only.
+Validation scope: header hash recomputation, parent-header linkage,
+witness/pre-state-trie integrity, and FULL transaction re-execution
+through the native EVM engine (app.evm / csrc/evm.cpp) with all
+post-execution header commitments checked: transactions root, receipts
+root, logs bloom, gas used, blob gas, and the post-state root
+(the reference's reth stateless_validation body). `prove` remains
+dev-mode pending the EVM *guest* build (in-zkVM re-execution).
 """
 
 from __future__ import annotations
@@ -155,17 +157,21 @@ class StatelessInput:
     block: Header
     transactions: list
     witness: ExecutionWitness
+    withdrawals: list = field(default_factory=list)
     raw: dict = field(default_factory=dict, repr=False)
 
     @classmethod
     def from_json(cls, d: dict) -> "StatelessInput":
         block = d["block"]
         header_src = block.get("header", block)
+        body = block.get("body", {})
         return cls(
             block=Header.from_json(header_src),
-            transactions=block.get("body", {}).get(
-                "transactions", block.get("transactions", [])),
+            transactions=body.get("transactions",
+                                  block.get("transactions", [])),
             witness=ExecutionWitness.from_json(d["witness"]),
+            withdrawals=body.get("withdrawals",
+                                 block.get("withdrawals", [])) or [],
             raw=d,
         )
 
@@ -176,7 +182,8 @@ class ValidationError(Exception):
 
 def validate_block(input: StatelessInput, spec: ChainSpec) -> bytes:
     """Validate and return the block hash (zeth_core::validate_block role,
-    crates/core/src/lib.rs:34-53 — v1 scope per module docstring)."""
+    crates/core/src/lib.rs:34-53): header/ancestry/witness checks, then
+    full EVM re-execution + post-state root verification."""
     header = input.block
     if header.fields.get("difficulty", 0) != 0:
         raise ValidationError("pre-merge blocks are not supported")
@@ -205,9 +212,121 @@ def validate_block(input: StatelessInput, spec: ChainSpec) -> bytes:
     if input.witness.state and isinstance(state.state.root, Digest):
         raise ValidationError("witness is missing the state root node")
 
-    # NOTE v1: transaction re-execution + post-state root check pending the
-    # EVM engine rebuild (documented gap).
+    execute_block(input, spec, state, parent)
     return header.hash()
+
+
+# EIP-4788 beacon roots contract
+BEACON_ROOTS_ADDRESS = bytes.fromhex("000f3df6d732807ef1319fb7b8bb8522d0beac02")
+
+
+def execute_block(input: StatelessInput, spec: ChainSpec,
+                  state: SparseState, parent: Header) -> None:
+    """Re-execute every transaction and check all post-execution header
+    commitments (the reference's reth stateless_validation body:
+    state root, receipts root, logs bloom, gas used, tx root)."""
+    from . import txs as txs_mod
+    from .evm import (BlockEvm, ExecutionError, encode_receipt, logs_bloom,
+                      trie_root)
+
+    header = input.block
+    txs = [txs_mod.Tx.from_json(t) for t in input.transactions]
+
+    # transactions root binds the tx list to the header
+    tx_root = trie_root([t.encode() for t in txs])
+    want_tx_root = header.fields.get("transactions_root")
+    if want_tx_root is not None and tx_root != want_tx_root:
+        raise ValidationError("transactions root mismatch")
+
+    # ancestor hashes for BLOCKHASH
+    ancestors = {}
+    prev = None
+    for raw in input.witness.headers:
+        h = Header.from_rlp(raw)
+        ancestors[h.number] = h.hash()
+        prev = h
+
+    basefee = header.fields.get("base_fee_per_gas", 0)
+    excess = header.fields.get("excess_blob_gas", None)
+    bbf = txs_mod.blob_base_fee(excess) if excess is not None else 0
+
+    be = BlockEvm(state, ancestors)
+    be.set_block(
+        coinbase=header.fields["beneficiary"],
+        number=header.number,
+        timestamp=header.fields["timestamp"],
+        gas_limit=header.fields["gas_limit"],
+        basefee=basefee,
+        prevrandao=header.fields.get("mix_hash", b"\x00" * 32),
+        blob_basefee=bbf,
+        chain_id=spec.chain_id,
+    )
+    # EIP-4788: pre-tx system call storing the parent beacon root (the
+    # contract reads the timestamp from the env; calldata is the root)
+    beacon_root = header.fields.get("parent_beacon_block_root")
+    if beacon_root is not None:
+        be.system_call(BEACON_ROOTS_ADDRESS, beacon_root)
+
+    cumulative = 0
+    receipts = []
+    all_logs = []
+    blob_gas_total = 0
+    for i, tx in enumerate(txs):
+        try:
+            sender = tx.sender()
+        except ValueError as e:
+            raise ValidationError(f"tx {i}: {e}") from e
+        eff, tip = tx.effective_gas_price(basefee)
+        blob_fee = len(tx.blob_hashes) * txs_mod.GAS_PER_BLOB * bbf \
+            if tx.type == 3 else 0
+        try:
+            res = be.exec_tx(
+                sender=sender, to=tx.to, value=tx.value,
+                gas_limit=tx.gas_limit, eff_gas_price=eff, tip_per_gas=tip,
+                data=tx.data, access_list=tx.access_list,
+                blob_hashes=tx.blob_hashes, blob_fee=blob_fee,
+                nonce=tx.nonce)
+        except ExecutionError as e:
+            raise ValidationError(f"tx {i}: {e}") from e
+        cumulative += res.gas_used
+        receipts.append(encode_receipt(tx.type, res.status, cumulative,
+                                       res.logs))
+        all_logs += res.logs
+        if tx.type == 3:
+            blob_gas_total += len(tx.blob_hashes) * txs_mod.GAS_PER_BLOB
+
+    # withdrawals (amounts are gwei)
+    for w in input.withdrawals:
+        addr = _to_bytes(_get_field(w, "address") or "0x")
+        amount = _to_int(_get_field(w, "amount") or 0)
+        if amount:
+            be.add_balance(addr, amount * 10**9)
+
+    if cumulative != header.fields.get("gas_used", cumulative):
+        raise ValidationError(
+            f"gas used mismatch: executed {cumulative}, header says "
+            f"{header.fields.get('gas_used')}")
+    want_blob = header.fields.get("blob_gas_used")
+    if want_blob is not None and blob_gas_total != want_blob:
+        raise ValidationError("blob gas used mismatch")
+    want_receipts = header.fields.get("receipts_root")
+    if want_receipts is not None and trie_root(receipts) != want_receipts:
+        raise ValidationError("receipts root mismatch")
+    want_bloom = header.fields.get("logs_bloom")
+    if want_bloom is not None and logs_bloom(all_logs) != want_bloom:
+        raise ValidationError("logs bloom mismatch")
+
+    if be.missing_codes:
+        raise ValidationError(
+            f"witness is missing {len(be.missing_codes)} contract codes")
+
+    diff = be.state_diff()
+    state.codes.update(be.new_code())
+    post_root = state.calculate_state_root(diff)
+    if post_root != header.state_root:
+        raise ValidationError(
+            f"post-state root mismatch: computed 0x{post_root.hex()}, "
+            f"header says 0x{header.state_root.hex()}")
 
 
 class BlockProcessor:
@@ -290,6 +409,14 @@ class BlockProcessor:
         receipt = zkvm.Receipt(journal=block_hash, claim=claim,
                                inner=zkvm.FakeInner())
         return receipt
+
+    def image_id(self):
+        """The image ID a verifier expects for this chain's guest —
+        computed independently of any receipt (the reference verifies
+        against `compute_image_id(elf)`, cli.rs:100-108). Today this is
+        the native-validator pseudo-ID; it becomes the EVM guest ELF's
+        image ID once the real guest exists."""
+        return self._pseudo_image_id()
 
     def _pseudo_image_id(self):
         """Image ID of the native validation path (per-chain constant)."""

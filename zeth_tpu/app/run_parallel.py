@@ -41,7 +41,8 @@ def process_file(path: str) -> dict:
     t0 = time.time()
     receipt = proc.prove(inp)
     dt_ms = (time.time() - t0) * 1e3
-    receipt.verify(receipt.claim.image_id)
+    # verify against the independently derived image ID (cli.rs:100-108)
+    receipt.verify(proc.image_id())
     gas_used = inp.block.fields.get("gas_used", 0)
     return {
         "block_number": inp.block.number,
