@@ -10,3 +10,5 @@ with an ``all_gather``.
 
 from .dist_ntt import dist_ntt, dist_intt, dist_coset_lde  # noqa: F401
 from .commit import sharded_commit_root  # noqa: F401
+from .multihost import init as init_distributed, local_mesh, pod_mesh, \
+    shard_work  # noqa: F401

@@ -138,6 +138,15 @@ def _tape_program(air_name: str, n_publics: int):
                      for i in range(n_chal)])
 
 
+def _row_sharder(mesh):
+    """device_put-with-row-sharding when a mesh is given, else asarray."""
+    if mesh is None:
+        return jnp.asarray
+    from jax.sharding import NamedSharding, PartitionSpec as PS
+    sharding = NamedSharding(mesh, PS("rows"))
+    return lambda a: jax.device_put(jnp.asarray(a), sharding)
+
+
 def scalar_publics(air: Air, publics):
     """The leading publics that enter constraints as scalars."""
     n_ps = getattr(air, "n_public_scalars", None)
@@ -168,7 +177,7 @@ def _finish_check(acc, zinv, sinv):
 
 
 def _check_group(air: Air, ldes: dict, alpha: np.ndarray, publics, challenges,
-                 n: int):
+                 n: int, mesh=None):
     """Build the check group: Q = mix(C_i)/Z split into 16 base columns."""
     register_air(air)
     pubs_s = scalar_publics(air, publics)
@@ -180,7 +189,8 @@ def _check_group(air: Air, ldes: dict, alpha: np.ndarray, publics, challenges,
     alpha_pows = H.ext_powers(alpha, tp.n_stage)
     with _Stage(f"constraint tape ({tp.ops.shape[0]} ops, "
                 f"{tp.n_stage} constraints)"):
-        acc = tape.eval_check(tp, ldes, pubs_s, challenges, alpha_pows)
+        acc = tape.eval_check(tp, ldes, pubs_s, challenges, alpha_pows,
+                              single_block=mesh is not None)
         acc.block_until_ready()
 
     zinv = jnp.asarray(np.tile(_zinv_table(n), n))
@@ -243,11 +253,22 @@ class _Stage:
                   file=_sys.stderr, flush=True)
 
 
-def prove(air: Air, main_std: np.ndarray, publics: list[int]) -> StarkProof:
-    """Prove one AIR execution. main_std: (n, main_cols) standard-form trace."""
+def prove(air: Air, main_std: np.ndarray, publics: list[int],
+          mesh=None) -> StarkProof:
+    """Prove one AIR execution. main_std: (n, main_cols) standard-form trace.
+
+    mesh: optional jax.sharding.Mesh with a "rows" axis — the witness,
+    LDEs, Merkle layers, constraint tape and FRI then run sharded over
+    the mesh (XLA GSPMD inserts the collectives; the hand-scheduled
+    four-step NTT in zeth_tpu.parallel is the drop-in for the LDE when
+    profiling favors it). Output seals are bit-identical to single-device
+    proving.
+    """
     n, c_main = main_std.shape
     assert c_main == air.main_cols and n & (n - 1) == 0
     po2 = n.bit_length() - 1
+
+    shard_rows = _row_sharder(mesh)
 
     t = Transcript()
     t.mix_values(np.array([po2] + [int(p) for p in publics], dtype=np.uint64))
@@ -257,7 +278,7 @@ def prove(air: Air, main_std: np.ndarray, publics: list[int]) -> StarkProof:
     control_std = air.control_trace(po2)
     for gname, std in (("control", control_std), ("main", main_std)):
         with _Stage(f"commit {gname}"):
-            dev = jnp.asarray(np.asarray(std, np.uint64).astype(np.uint32))
+            dev = shard_rows(np.asarray(std, np.uint64).astype(np.uint32))
             coeffs[gname], ldes[gname] = _lde_group_std(dev)
             trees[gname] = merkle.commit_rows(ldes[gname])
             roots[gname] = trees[gname].root
@@ -271,7 +292,7 @@ def prove(air: Air, main_std: np.ndarray, publics: list[int]) -> StarkProof:
         with _Stage("commit aux"):
             aux_std = air.build_aux(np.asarray(main_std, np.uint64),
                                     challenges)
-            dev = jnp.asarray(np.asarray(aux_std, np.uint64).astype(np.uint32))
+            dev = shard_rows(np.asarray(aux_std, np.uint64).astype(np.uint32))
             coeffs["aux"], ldes["aux"] = _lde_group_std(dev)
             trees["aux"] = merkle.commit_rows(ldes["aux"])
             roots["aux"] = trees["aux"].root
@@ -283,7 +304,8 @@ def prove(air: Air, main_std: np.ndarray, publics: list[int]) -> StarkProof:
     # --- composition / check group --------------------------------------
     alpha = t.sample_ext()
     with _Stage("check group"):
-        check_cols = _check_group(air, ldes, alpha, publics, challenges, n)
+        check_cols = _check_group(air, ldes, alpha, publics, challenges, n,
+                                  mesh=mesh)
         coeffs["check"], ldes["check"] = _lde_group(check_cols)
         trees["check"] = merkle.commit_rows(ldes["check"])
         roots["check"] = trees["check"].root

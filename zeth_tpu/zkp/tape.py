@@ -470,10 +470,13 @@ def _run_block(leaf_block, ops, S, W, n_regs: int, n_stage: int):
 
 
 def eval_check(tp: TapeProgram, ldes: dict, publics, challenges,
-               alpha_pows_std: np.ndarray):
+               alpha_pows_std: np.ndarray, single_block: bool = False):
     """Evaluate acc(x) = sum_i alpha^i * C_i(x) over the whole LDE domain.
 
     Returns an (N, 4) Montgomery device array (N = LDE rows).
+    single_block: evaluate the whole domain in one dispatch (used when the
+    LDEs are mesh-sharded — the interpreter is row-elementwise, so GSPMD
+    partitions it cleanly; host row-blocking would force resharding).
     """
     S = jnp.asarray(eval_scalars(tp, publics, challenges))
     pad = (-tp.n_stage) % REDUCE_CHUNK
@@ -483,7 +486,7 @@ def eval_check(tp: TapeProgram, ldes: dict, publics, challenges,
     ops = jnp.asarray(tp.ops)
     leafmat = _build_leafmat(tuple(tp.leaves), ldes)
     n = leafmat.shape[0]
-    nb = min(n, BLOCK_ROWS)
+    nb = n if single_block else min(n, BLOCK_ROWS)
     outs = []
     for start in range(0, n, nb):
         outs.append(_run_block(
