@@ -253,6 +253,87 @@ def test_precompile_sha256_identity_in_tx():
     assert validate_block(StatelessInput.from_json(d), MAINNET) == header.hash()
 
 
+class _FakeUpstream:
+    """In-process RPC stub backed by the test's pre-state trie: serves
+    eth_getProof / eth_getStorageAt / eth_getCode / block queries and
+    rejects debug_executionWitness so the preflight path runs."""
+
+    def __init__(self, d, header, parent_rlp):
+        self.d = d
+        self.header = header
+        self.parent = Header.from_rlp(parent_rlp)
+        self.trie, _ = _pre_state()
+        self.state = SparseState(self.trie.root_hash(),
+                                 self.trie.rlp_nodes(), [CODE])
+        self.calls = []
+
+    def call(self, method, params):
+        self.calls.append(method)
+        if method == "debug_executionWitness":
+            raise RuntimeError("not supported")
+        if method == "eth_chainId":
+            return "0x1"
+        if method == "eth_getBlockByNumber":
+            blk = dict(self.d["block"]["header"])
+            blk = {k: (hex(v) if isinstance(v, int) else v)
+                   for k, v in blk.items()}
+            blk["parentHash"] = "0x" + self.header.parent_hash.hex()
+            blk["transactions"] = self.d["block"]["body"]["transactions"]
+            blk["withdrawals"] = self.d["block"]["body"].get(
+                "withdrawals", [])
+            return blk
+        if method == "eth_getBlockByHash":
+            pj = {k: (hex(v) if isinstance(v, int) else "0x" + v.hex())
+                  for k, v in self.parent.fields.items()}
+            return pj
+        if method == "eth_getProof":
+            addr = bytes.fromhex(params[0][2:])
+            acct = self.state.account(addr)
+            proof_nodes = ["0x" + n.hex() for n in self.trie.rlp_nodes()]
+            return {
+                "balance": hex(acct.balance if acct else 0),
+                "nonce": hex(acct.nonce if acct else 0),
+                "codeHash": "0x" + (acct.code_hash.hex() if acct
+                                    else EMPTY_CODE_HASH.hex()),
+                "storageHash": "0x" + (acct.storage_root.hex() if acct
+                                       else EMPTY_ROOT.hex()),
+                "accountProof": proof_nodes,
+                "storageProof": [{"key": k, "proof": []}
+                                 for k in params[1]],
+            }
+        if method == "eth_getStorageAt":
+            addr = bytes.fromhex(params[0][2:])
+            slot = bytes.fromhex(params[1][2:]).rjust(32, b"\x00")
+            return hex(self.state.storage(addr, slot))
+        if method == "eth_getCode":
+            addr = bytes.fromhex(params[0][2:])
+            acct = self.state.account(addr)
+            if acct and acct.code_hash == keccak256(CODE):
+                return "0x" + CODE.hex()
+            return "0x"
+        raise RuntimeError(f"unexpected rpc {method}")
+
+
+def test_preflight_witness_validates_block():
+    """The proxy's preflight (EVM re-execution over a recording RPC DB)
+    must produce a witness sufficient for full stateless validation —
+    including state only discovered by executing (no access lists)."""
+    from zeth_tpu.app.rpc_proxy import execution_witness
+
+    bob = b"\x44" * 20
+    txs = [_signed_tx(0, CONTRACT, 0, (55).to_bytes(32, "big"))]
+    d, header, gas = _mk_block(txs, withdrawals=[(bob, 2)])
+    up = _FakeUpstream(d, header, bytes.fromhex(
+        d["witness"]["headers"][0][2:]))
+    wit = execution_witness(up, hex(header.number), chain_id=1)
+    assert wit["state"] and wit["codes"] and wit["headers"]
+    assert "eth_getProof" in up.calls       # preflight ran, not passthrough
+    d2 = json.loads(json.dumps(d))
+    d2["witness"] = wit
+    inp = StatelessInput.from_json(d2)
+    assert validate_block(inp, MAINNET) == header.hash()
+
+
 def test_create_contract_tx():
     # deployment: initcode returns CODE
     init = (b"\x7f" + CODE[:32].ljust(32, b"\x00"))  # crude: push padded

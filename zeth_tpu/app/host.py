@@ -220,31 +220,14 @@ def validate_block(input: StatelessInput, spec: ChainSpec) -> bytes:
 BEACON_ROOTS_ADDRESS = bytes.fromhex("000f3df6d732807ef1319fb7b8bb8522d0beac02")
 
 
-def execute_block(input: StatelessInput, spec: ChainSpec,
-                  state: SparseState, parent: Header) -> None:
-    """Re-execute every transaction and check all post-execution header
-    commitments (the reference's reth stateless_validation body:
-    state root, receipts root, logs bloom, gas used, tx root)."""
+def run_block_txs(header: Header, txs, withdrawals, spec: ChainSpec,
+                  state, ancestors: dict):
+    """Execute a block's transactions against any SparseState-shaped
+    state (`account`/`storage`/`code`). Returns (be, cumulative_gas,
+    receipts, logs, blob_gas). Shared by stateless validation and the
+    rpc-proxy's preflight witness generator (witness.rs:75-87 role)."""
     from . import txs as txs_mod
-    from .evm import (BlockEvm, ExecutionError, encode_receipt, logs_bloom,
-                      trie_root)
-
-    header = input.block
-    txs = [txs_mod.Tx.from_json(t) for t in input.transactions]
-
-    # transactions root binds the tx list to the header
-    tx_root = trie_root([t.encode() for t in txs])
-    want_tx_root = header.fields.get("transactions_root")
-    if want_tx_root is not None and tx_root != want_tx_root:
-        raise ValidationError("transactions root mismatch")
-
-    # ancestor hashes for BLOCKHASH
-    ancestors = {}
-    prev = None
-    for raw in input.witness.headers:
-        h = Header.from_rlp(raw)
-        ancestors[h.number] = h.hash()
-        prev = h
+    from .evm import BlockEvm, ExecutionError, encode_receipt
 
     basefee = header.fields.get("base_fee_per_gas", 0)
     excess = header.fields.get("excess_blob_gas", None)
@@ -261,8 +244,6 @@ def execute_block(input: StatelessInput, spec: ChainSpec,
         blob_basefee=bbf,
         chain_id=spec.chain_id,
     )
-    # EIP-4788: pre-tx system call storing the parent beacon root (the
-    # contract reads the timestamp from the env; calldata is the root)
     beacon_root = header.fields.get("parent_beacon_block_root")
     if beacon_root is not None:
         be.system_call(BEACON_ROOTS_ADDRESS, beacon_root)
@@ -296,11 +277,39 @@ def execute_block(input: StatelessInput, spec: ChainSpec,
             blob_gas_total += len(tx.blob_hashes) * txs_mod.GAS_PER_BLOB
 
     # withdrawals (amounts are gwei)
-    for w in input.withdrawals:
+    for w in withdrawals:
         addr = _to_bytes(_get_field(w, "address") or "0x")
         amount = _to_int(_get_field(w, "amount") or 0)
         if amount:
             be.add_balance(addr, amount * 10**9)
+    return be, cumulative, receipts, all_logs, blob_gas_total
+
+
+def execute_block(input: StatelessInput, spec: ChainSpec,
+                  state: SparseState, parent: Header) -> None:
+    """Re-execute every transaction and check all post-execution header
+    commitments (the reference's reth stateless_validation body:
+    state root, receipts root, logs bloom, gas used, tx root)."""
+    from . import txs as txs_mod
+    from .evm import logs_bloom, trie_root
+
+    header = input.block
+    txs = [txs_mod.Tx.from_json(t) for t in input.transactions]
+
+    # transactions root binds the tx list to the header
+    tx_root = trie_root([t.encode() for t in txs])
+    want_tx_root = header.fields.get("transactions_root")
+    if want_tx_root is not None and tx_root != want_tx_root:
+        raise ValidationError("transactions root mismatch")
+
+    # ancestor hashes for BLOCKHASH
+    ancestors = {}
+    for raw in input.witness.headers:
+        h = Header.from_rlp(raw)
+        ancestors[h.number] = h.hash()
+
+    be, cumulative, receipts, all_logs, blob_gas_total = run_block_txs(
+        header, txs, input.withdrawals, spec, state, ancestors)
 
     if cumulative != header.fields.get("gas_used", cumulative):
         raise ValidationError(

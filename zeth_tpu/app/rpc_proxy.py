@@ -58,63 +58,26 @@ class Upstream:
         return out["result"]
 
 
-def execution_witness(upstream: Upstream, block_number: str) -> dict:
-    """Assemble an ExecutionWitness for a block (witness.rs:33-132 v1).
+def execution_witness(upstream: Upstream, block_number: str,
+                      chain_id: int | None = None) -> dict:
+    """Assemble an ExecutionWitness for a block (witness.rs:33-132).
 
-    Prefers the node's native debug_executionWitness; otherwise builds a
-    partial witness from eth_getProof over the block's access lists and
-    touched addresses (sender/recipient/coinbase), plus ancestor headers.
+    Prefers the node's native debug_executionWitness; otherwise runs the
+    full preflight: EVM re-execution over a recording RPC-backed state,
+    then chunked eth_getProof assembly with post-state hydration
+    (zeth_tpu.app.preflight — the reference's witness.rs:75-131 path).
     """
     try:
         return upstream.call("debug_executionWitness", [block_number])
     except RuntimeError:
         pass
 
-    block = upstream.call("eth_getBlockByNumber", [block_number, True])
-    parent = upstream.call(
-        "eth_getBlockByHash", [block["parentHash"], False])
-
-    addresses: dict[str, list] = {}
-
-    def touch(addr, slots=()):
-        if addr is None:
-            return
-        cur = addresses.setdefault(addr.lower(), [])
-        for s in slots:
-            if s not in cur:
-                cur.append(s)
-
-    touch(block.get("miner"))
-    for tx in block.get("transactions", []):
-        touch(tx.get("from"))
-        touch(tx.get("to"))
-        for item in tx.get("accessList") or []:
-            touch(item["address"], item.get("storageKeys", []))
-
-    state_nodes: list[str] = []
-    codes: list[str] = []
-    parent_num = parent["number"]
-    for addr, slots in addresses.items():
-        proof = upstream.call("eth_getProof", [addr, slots, parent_num])
-        for node in proof.get("accountProof", []):
-            if node not in state_nodes:
-                state_nodes.append(node)
-        for sp in proof.get("storageProof", []):
-            for node in sp.get("proof", []):
-                if node not in state_nodes:
-                    state_nodes.append(node)
-        code = upstream.call("eth_getCode", [addr, parent_num])
-        if code and code != "0x" and code not in codes:
-            codes.append(code)
-
-    headers = [_header_rlp_from_rpc(parent)]
-    return {"state": state_nodes, "codes": codes, "keys": [],
-            "headers": headers}
-
-
-def _header_rlp_from_rpc(block_json: dict) -> str:
-    from .host import Header
-    return "0x" + Header.from_json(block_json).encode().hex()
+    from .chainspec import BY_CHAIN_ID
+    from .preflight import execution_witness as preflight_witness
+    if chain_id is None:
+        chain_id = int(upstream.call("eth_chainId", []), 16)
+    spec = BY_CHAIN_ID[chain_id]
+    return preflight_witness(upstream, block_number, spec)
 
 
 class ProxyHandler(BaseHTTPRequestHandler):
