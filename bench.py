@@ -26,10 +26,14 @@ def main():
         os.environ["JAX_PLATFORMS"] = os.environ["BENCH_PLATFORM"]
 
     import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if os.environ.get("JAX_PLATFORMS", "") != "cpu":
+        # TPU-only: cache entries written against the axon host segfault
+        # when loaded by the local CPU backend
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from zeth_tpu.circuits import rv32im as rv
     from zeth_tpu.executor import Executor, guests, load_image
