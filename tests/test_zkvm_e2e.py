@@ -45,12 +45,32 @@ def test_dev_mode_receipt_rejected_without_dev_env(monkeypatch):
 def test_keccak_accelerator_prove_and_verify():
     import numpy as np
     from zeth_tpu.circuits.keccak import prove_batch, verify_batch
+    from zeth_tpu.hash.keccak import permute_np
 
     states = np.random.default_rng(9).integers(
         0, 2**64, (2, 25), dtype=np.uint64)
     seal, claims = prove_batch(states)
-    verify_batch(seal)
+    words = verify_batch(seal)
+    # the proof-bound IO matches the actual permutation
+    outs = permute_np(states)
+    assert words[50] == int(outs[0, 0]) & 0xFFFFFFFF
     bad = seal.copy()
     bad[2000] ^= 1
     with pytest.raises(Exception):
         verify_batch(bad)
+
+
+def test_keccak_guest_accelerator_linked():
+    """Full resolve path: the guest's keccak syscalls are proven by the
+    accelerator batch, whose RLC-bound IO must match the rv32im
+    segments' bound IO stream at Receipt.verify."""
+    from zeth_tpu import zkvm
+    from zeth_tpu.executor import compute_image_id, guests
+
+    elf = guests.keccak_guest(2)
+    info = zkvm.LocalProver().prove(zkvm.ExecutorEnv.builder().build(), elf)
+    assert info.receipt.inner.keccak_seal is not None
+    info.receipt.verify(compute_image_id(elf))
+    # dropping the accelerator seal falls back to host recompute (still ok)
+    info.receipt.inner.keccak_seal = None
+    info.receipt.verify(compute_image_id(elf))

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from .. import hostmath as H
 from ..hash.keccak import _PI_ROT, _PI_SRC, _RC
 from ..zkp import proof as proof_mod
 from ..zkp import prover as prover_mod
@@ -49,12 +50,19 @@ C_OFF = 1600
 W0_OFF = C_OFF + 320
 W1_OFF = W0_OFF + 320
 T_OFF = W1_OFF + 320
-N_MAIN = T_OFF + 1600
+BA_COL = T_OFF + 1600        # blk_active: this 32-row block carries a
+                             # claimed permutation (bound to the publics)
+N_MAIN = BA_COL + 1
 
-# control: is_input, rnd_active, grc[64] (= rnd_active * iota rc bit z)
+# control: is_input, rnd_active, grc[64] (= rnd_active * iota rc bit z),
+# is_output (row 24 = final state), is_blk_last (row 31), is_first/last
 CT_INPUT, CT_ACTIVE = 0, 1
 CT_GRC = 2
-N_CONTROL = 2 + 64
+CT_OUTPUT = CT_GRC + 64
+CT_BLK_LAST = CT_OUTPUT + 1
+CT_ISF = CT_BLK_LAST + 1
+CT_ISL = CT_ISF + 1
+N_CONTROL = CT_ISL + 1
 
 
 def _s_col(lane: int, z: int) -> int:
@@ -81,8 +89,11 @@ class KeccakAir(Air):
     name = "keccak-f1600"
     control_cols = N_CONTROL
     main_cols = N_MAIN
-    aux_cols = 0
-    n_challenges = 0
+    aux_cols = 4                  # one ext slot: the IO RLC chain
+    n_challenges = 1              # gamma for the RLC
+    n_derived = 1                 # expected RLC of the public IO limbs
+    n_public_scalars = 0
+    main_bit_mask = np.ones(N_MAIN, dtype=bool)
 
     def control_trace(self, po2: int) -> np.ndarray:
         n = 1 << po2
@@ -94,7 +105,40 @@ class KeccakAir(Air):
             rc_bits = np.array([(_RC[int(rr)] >> z) & 1 if rr < ROUNDS else 0
                                 for rr in r], dtype=np.uint64)
             cols[:, CT_GRC + z] = rc_bits * cols[:, CT_ACTIVE]
+        cols[:, CT_OUTPUT] = r == ROUNDS
+        cols[:, CT_BLK_LAST] = r == ROWS_PER_PERM - 1
+        cols[0, CT_ISF] = 1
+        cols[-1, CT_ISL] = 1
         return cols
+
+    # -- IO binding --------------------------------------------------------
+
+    def derived_challenges(self, publics, challenges):
+        words = parse_publics(publics)
+        from .rv32im import _rlc
+        gamma = H.ext(np.asarray(challenges[0], np.uint64))
+        return _rlc(words, gamma)[None, :]
+
+    def build_aux(self, main_std, challenges):
+        main_std = np.asarray(main_std, np.uint64)
+        n = main_std.shape[0]
+        gamma = H.ext(np.asarray(challenges[0], np.uint64))
+        g100 = H.ext_pow(gamma, 100)
+        gp_rev = H.ext_powers(gamma, 100)[::-1]   # gamma^99 .. gamma^0
+        # state limbs per row: (n, 100) from the 1600 s bits
+        bits = main_std[:, S_OFF:S_OFF + 1600].reshape(n, 100, 16)
+        weights = (np.uint64(1) << np.arange(16, dtype=np.uint64))
+        limbs = (bits * weights[None, None, :]).sum(axis=2)
+        r_mod = np.arange(n) % ROWS_PER_PERM
+        absorb = ((r_mod == 0) | (r_mod == ROUNDS)) \
+            & (main_std[:, BA_COL] == 1)
+        col = np.zeros((n, 4), dtype=np.uint64)
+        r = np.zeros(4, dtype=np.uint64)
+        for i in np.nonzero(absorb)[0]:
+            acc = ((gp_rev * limbs[i][:, None]) % H.PU).sum(axis=0) % H.PU
+            r = H.ext_add(H.ext_mul(r, g100), acc)
+            col[i:] = r
+        return col
 
     # -- witgen ------------------------------------------------------------
 
@@ -103,10 +147,13 @@ class KeccakAir(Air):
         """states: (nperm, 25) uint64 inputs -> (main_std (n, cols), publics).
 
         Replays the rounds in vectorized numpy, recording the per-round
-        state/parity/theta bits.
+        state/parity/theta bits. The publics carry the (input, output)
+        word streams of the claimed (non-padding) permutations, bound
+        in-circuit by the RLC chain.
         """
         n = 1 << po2
-        assert states.shape[0] * ROWS_PER_PERM <= n
+        n_real = states.shape[0]
+        assert n_real * ROWS_PER_PERM <= n
         # pad with zero-state permutations so every 32-row block is a real
         # permutation (empty "active" rows would violate the iota constraint)
         full = n // ROWS_PER_PERM
@@ -114,6 +161,8 @@ class KeccakAir(Air):
             [states, np.zeros((full - states.shape[0], 25), np.uint64)])
         nperm = full
         m = np.zeros((n, N_MAIN), dtype=np.uint8)
+        for b in range(n_real):
+            m[b * ROWS_PER_PERM:(b + 1) * ROWS_PER_PERM, BA_COL] = 1
 
         a = states.astype(np.uint64).copy()    # (p, 25)
 
@@ -167,11 +216,22 @@ class KeccakAir(Air):
                         ~b[:, (x + 1) % 5 + 5 * y] & b[:, (x + 2) % 5 + 5 * y])
             nxt[:, 0] ^= np.uint64(_RC[rnd])
             a = nxt
-        return m.astype(np.uint64), []
+        # publics: [n_real, then per real perm: 50 input words + 50 output
+        # words, each as (lo16, hi16)] — word order = state memory order
+        publics = [n_real]
+        outs = a       # state after ROUNDS rounds
+        for b in range(n_real):
+            for lanes in (states[b], outs[b]):
+                for lane in lanes:
+                    for word in (int(lane) & 0xFFFFFFFF,
+                                 (int(lane) >> 32) & 0xFFFFFFFF):
+                        publics += [word & 0xFFFF, word >> 16]
+        return m.astype(np.uint64), publics
 
     # -- constraints -------------------------------------------------------
 
     def constraints(self, v, ops, publics, challenges):
+        from ..zkp.air import cadd, cext, cmul, cmul_base, csub
         add, sub, mul = ops.add, ops.sub, ops.mul
         one = ops.const(1)
         two = ops.const(2)
@@ -182,6 +242,54 @@ class KeccakAir(Air):
 
         is_input = v("control", CT_INPUT)
         active = v("control", CT_ACTIVE)
+        is_output = v("control", CT_OUTPUT)
+        blk_last = v("control", CT_BLK_LAST)
+        isf = v("control", CT_ISF)
+        isl = v("control", CT_ISL)
+        not_last = sub(one, isl)
+        ba = v("main", BA_COL)
+
+        # --- IO RLC binding (challenge gamma; derived expected value) -----
+        cs.append(boolc(ba))
+        # blk_active is constant within each 32-row block
+        cs.append(mul(sub(one, blk_last), sub(v("main", BA_COL, 1), ba)))
+
+        gamma = challenges[0]
+        d_rlc = challenges[1]
+        gpow = [cext(ops, 1)]
+        for _ in range(100):
+            gpow.append(cmul(ops, gpow[-1], gamma))   # scalar-only: free
+
+        def state_limb(j, off=0):
+            acc = None
+            for k in range(16):
+                term = mul(ops.const(1 << k), v("main", S_OFF + 16 * j + k,
+                                                off))
+                acc = term if acc is None else add(acc, term)
+            return acc
+
+        def absorb_lin(off=0):
+            acc = None
+            for j in range(100):
+                term = cmul_base(ops, gpow[99 - j], state_limb(j, off))
+                acc = term if acc is None else cadd(ops, acc, term)
+            return acc
+
+        r = tuple(v("aux", c) for c in range(4))
+        rn = tuple(v("aux", c, 1) for c in range(4))
+        act = mul(ba, add(is_input, is_output))
+        act_n = mul(v("main", BA_COL, 1),
+                    add(v("control", CT_INPUT, 1), v("control", CT_OUTPUT, 1)))
+        # row 0 is an input row: r(0) = act * L(0)
+        first_val = cmul_base(ops, absorb_lin(), act)
+        cs.extend(cmul_base(ops, csub(ops, r, first_val), isf))
+        # transition: rn = act_n ? r*g^100 + L_n : r
+        stepped = cadd(ops, cmul(ops, r, gpow[100]), absorb_lin(1))
+        mix = cadd(ops, cmul_base(ops, csub(ops, rn, stepped), act_n),
+                   cmul_base(ops, csub(ops, rn, r), sub(one, act_n)))
+        cs.extend(cmul_base(ops, mix, not_last))
+        # final value equals the host-derived RLC of the public IO
+        cs.extend(cmul_base(ops, csub(ops, r, d_rlc), isl))
 
         # input-row state booleanity (later rows inherit from transitions)
         for j in range(1600):
@@ -229,13 +337,24 @@ class KeccakAir(Air):
         return cs
 
 
-def claims_digest(inputs: np.ndarray, outputs: np.ndarray) -> np.ndarray:
-    """Poseidon2 digest over the (input, output) state pairs (16-bit limbs)."""
+def parse_publics(pubs) -> list[int]:
+    """Decode the public IO: flat 32-bit words (per claimed permutation:
+    50 input words then 50 output words, state memory order)."""
+    p = [int(x) for x in pubs]
+    if not p:
+        raise ValueError("empty keccak publics")
+    n = p[0]
+    if len(p) != 1 + 200 * n:
+        raise ValueError("bad keccak publics length")
+    return [p[1 + 2 * i] | (p[2 + 2 * i] << 16) for i in range(100 * n)]
+
+
+def claims_digest(io_words: list[int]) -> np.ndarray:
+    """Poseidon2 digest over the proof-bound IO word stream (the
+    reference's assumption claims digest role)."""
     from ..hash import poseidon2 as P2
-    both = np.concatenate([np.asarray(inputs, np.uint64),
-                           np.asarray(outputs, np.uint64)], axis=1)
-    limbs = np.stack([(both >> np.uint64(16 * i)) & np.uint64(0xFFFF)
-                      for i in range(4)], axis=-1).reshape(1, -1)
+    w = np.asarray(io_words, np.uint64)
+    limbs = np.stack([w & 0xFFFF, w >> np.uint64(16)], axis=-1).reshape(1, -1)
     return P2.hash_rows_np(limbs)[0]
 
 
@@ -245,16 +364,22 @@ def choose_po2(nperm: int) -> int:
 
 
 def prove_batch(states: np.ndarray):
-    """Prove a batch of keccak-f applications; returns (seal, claims)."""
-    from ..hash.keccak import permute_np
+    """Prove a batch of keccak-f applications.
+
+    Returns (seal, claims digest). The digest commits the (input, output)
+    word streams, which are RLC-bound to the proven trace — a forged
+    output no longer verifies (round-1 gap VERDICT weak #8)."""
     air = KeccakAir()
     po2 = choose_po2(states.shape[0])
     main, publics = KeccakAir.witgen(states, po2)
     pf = prover_mod.prove(air, main, publics)
-    outs = permute_np(states)
-    return proof_mod.encode(pf), claims_digest(states, outs)
+    return proof_mod.encode(pf), claims_digest(parse_publics(publics))
 
 
-def verify_batch(seal) -> None:
+def verify_batch(seal) -> list[int]:
+    """Verify an accelerator seal; returns the proof-bound IO words
+    (per perm: 50 input + 50 output). The caller links them to the
+    rv32im segments' keccak IO lists (the resolve step)."""
     pf = proof_mod.decode(seal)
     verifier_mod.verify(KeccakAir(), pf, pf.publics)
+    return parse_publics(pf.publics)

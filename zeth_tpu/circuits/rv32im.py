@@ -199,12 +199,28 @@ def _imm_value(kind: str, insn: np.ndarray) -> np.ndarray:
     return out & np.uint64(0xFFFFFFFF)
 
 
+# main columns that carry field values rather than bits (everything else
+# is bit-packed for the host->device witness upload)
+_VALUE_COLS = ("eq_inv_lo", "eq_inv_hi", "rd_inv", "bz_lo_inv", "bz_hi_inv",
+               "rom_m", "m_reg", "m_cyc", "m_vlo", "m_vhi",
+               "ms_wa", "ms_ts", "ms_vlo", "ms_vhi", "ms_kind",
+               "sm_base_l", "sm_base_h", "sm_eq1i", "sm_eq51i")
+
+
+def _main_bit_mask() -> np.ndarray:
+    mask = np.ones(LAYOUT.n, dtype=bool)
+    for name in _VALUE_COLS:
+        mask[LAYOUT.slices[name]] = False
+    return mask
+
+
 class Rv32imAir(Air):
     """AIR for one execution segment of a fixed public program image."""
 
     control_cols = N_CONTROL
     main_cols = LAYOUT.n
     aux_cols = N_AUX
+    main_bit_mask = _main_bit_mask()
     # g0/g1: fetch LogUp; g2/g3: register argument; g4/g5: RAM argument;
     # g6: IO RLC chains
     n_challenges = 7
@@ -2177,18 +2193,19 @@ def prove_segment(seg, image_addrs, image_words):
     return proof_mod.encode(proof)
 
 
-def verify_segments(seals, claim, image_addrs, image_words, entry_pc: int):
-    """Verify a chain of segment seals.
+def verify_segments(seals, claim, image_addrs, image_words, entry_pc: int,
+                    keccak_checked: bool = False) -> dict:
+    """Verify a chain of segment seals; returns {"keccak_words": [...]}.
 
     Checks, per segment: the STARK itself; pc continuity; RAM continuity
     (each segment's public MEMINIT list must match the memory state
     replayed from the image through the previous segments' MEMFIN lists);
     keccak accelerator IO (recomputed host-side from the bound pre-states
-    — the in-circuit accelerator-proof resolution is a later round); and,
-    across the chain: exactly the final segment halts, with the claim's
-    exit code, and the concatenated journal words hash to the claim's
-    journal digest (the reference's journal commitment,
-    guests/stateless-client/src/lib.rs:33).
+    unless `keccak_checked` — i.e. an accelerator proof covers it, the
+    resolve path); and, across the chain: exactly the final segment
+    halts, with the claim's exit code, and the concatenated journal words
+    hash to the claim's journal digest (the reference's journal
+    commitment, guests/stateless-client/src/lib.rs:33).
     """
     import hashlib
 
@@ -2201,6 +2218,7 @@ def verify_segments(seals, claim, image_addrs, image_words, entry_pc: int):
     # memory replay state: word addr -> value (image; zero elsewhere)
     state = {int(a): int(w) for a, w in zip(image_addrs, image_words)}
     journal_words: list[int] = []
+    keccak_words: list[int] = []
     for i, seal in enumerate(seals):
         proof = proof_mod.decode(seal)
         pubs = [int(p) for p in proof.publics]
@@ -2229,21 +2247,25 @@ def verify_segments(seals, claim, image_addrs, image_words, entry_pc: int):
         for a, v in pp["mem_fin"]:
             state[a] = v
         # keccak accelerator IO: recompute f[1600] over the bound states
+        # unless an accelerator proof discharges them (resolve)
         kw = pp["keccak_words"]
         if len(kw) % 100:
             raise VerificationError(f"segment {i}: bad keccak IO length")
-        for c in range(0, len(kw), 100):
-            pre = np.zeros(25, dtype=np.uint64)
-            post = np.zeros(25, dtype=np.uint64)
-            for j in range(25):
-                pre[j] = kw[c + 2 * j] | (kw[c + 2 * j + 1] << 32)
-                post[j] = kw[c + 50 + 2 * j] | (kw[c + 50 + 2 * j + 1] << 32)
-            got = keccak_permute(pre[None])[0]
-            if not (got == post).all():
-                raise VerificationError(
-                    f"segment {i}: keccak accelerator output mismatch")
+        if not keccak_checked:
+            for c in range(0, len(kw), 100):
+                pre = np.zeros(25, dtype=np.uint64)
+                post = np.zeros(25, dtype=np.uint64)
+                for j in range(25):
+                    pre[j] = kw[c + 2 * j] | (kw[c + 2 * j + 1] << 32)
+                    post[j] = kw[c + 50 + 2 * j] | (kw[c + 50 + 2 * j + 1] << 32)
+                got = keccak_permute(pre[None])[0]
+                if not (got == post).all():
+                    raise VerificationError(
+                        f"segment {i}: keccak accelerator output mismatch")
+        keccak_words += kw
         journal_words += pp["journal_words"]
         expect_pc = pp["exit_pc"]
     journal = b"".join(int(w).to_bytes(4, "little") for w in journal_words)
     if hashlib.sha256(journal).digest() != claim.journal_digest:
         raise VerificationError("journal does not match claim digest")
+    return {"keccak_words": keccak_words}

@@ -105,11 +105,15 @@ class SegmentsInner:
     """One STARK seal per execution segment (pre-recursion aggregation).
 
     Carries the public program image (bound to the claim's image ID at
-    verification time — the rv32im circuit's ROM is built from it)."""
+    verification time — the rv32im circuit's ROM is built from it) and,
+    when the guest used the keccak accelerator, the accelerator batch
+    seal whose proof-bound IO discharges the segments' keccak claims
+    (the reference's assumption-receipt/resolve role)."""
     seals: list = field(default_factory=list)       # list of np.uint32 seals
     image_addrs: np.ndarray = None
     image_words: np.ndarray = None
     entry_pc: int = 0
+    keccak_seal: np.ndarray = None
     kind: str = "segments"
 
 
@@ -133,6 +137,7 @@ class Receipt:
                     "fake receipt rejected: dev mode not enabled")
             return
         if isinstance(self.inner, SegmentsInner):
+            from .circuits import keccak as keccak_air
             from .circuits import rv32im as rv
             from .executor import image_id_from_parts
             # bind the prover-supplied program image to the claimed image ID
@@ -141,9 +146,26 @@ class Receipt:
                                       self.inner.image_words)
             if not (got == np.asarray(self.claim.image_id, np.uint64)).all():
                 raise VerificationError("program image does not match image id")
-            rv.verify_segments(self.inner.seals, self.claim,
-                               self.inner.image_addrs, self.inner.image_words,
-                               self.inner.entry_pc)
+            # resolve: an accelerator seal discharges the keccak claims
+            acc_words = None
+            if self.inner.keccak_seal is not None:
+                try:
+                    acc_words = keccak_air.verify_batch(self.inner.keccak_seal)
+                except Exception as e:
+                    raise VerificationError(
+                        f"keccak accelerator seal: {e}") from e
+            out = rv.verify_segments(
+                self.inner.seals, self.claim, self.inner.image_addrs,
+                self.inner.image_words, self.inner.entry_pc,
+                keccak_checked=acc_words is not None)
+            if acc_words is not None:
+                # the batch may include padding-free extras; the segment
+                # stream must be a prefix of the proof-bound IO
+                seg_words = out["keccak_words"]
+                if acc_words[:len(seg_words)] != seg_words:
+                    raise VerificationError(
+                        "keccak accelerator IO does not match the "
+                        "segments' bound IO stream")
             return
         raise VerificationError(f"unknown receipt kind: {self.inner!r}")
 
@@ -201,10 +223,16 @@ class LocalProver:
             journal_digest=hashlib.sha256(res.journal).digest(),
             exit_code=res.exit_code)
         seals = [rv.prove_segment(seg, img_a, img_w) for seg in res.segments]
+        keccak_seal = None
+        if getattr(ex, "keccak_inputs", None) is not None \
+                and len(ex.keccak_inputs):
+            from .circuits import keccak as keccak_air
+            keccak_seal, _ = keccak_air.prove_batch(ex.keccak_inputs)
         receipt = Receipt(journal=res.journal, claim=claim,
                           inner=SegmentsInner(seals=seals, image_addrs=img_a,
                                               image_words=img_w,
-                                              entry_pc=entry_pc))
+                                              entry_pc=entry_pc,
+                                              keccak_seal=keccak_seal))
         stats = SessionStats(
             user_cycles=res.user_cycles, paging_cycles=res.paging_cycles,
             total_cycles=res.total_cycles, keccak_calls=res.keccak_calls,
