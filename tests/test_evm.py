@@ -334,6 +334,24 @@ def test_preflight_witness_validates_block():
     assert validate_block(inp, MAINNET) == header.hash()
 
 
+def test_committed_block_fixture_validates():
+    """The checked-in full-block fixture (4 txs: transfer, contract
+    storage write + log, sha256 precompile, contract creation; plus a
+    withdrawal) validates end-to-end from disk — the regression-corpus
+    role of the reference's cached mainnet inputs (run-parallel.sh:93)."""
+    import glob
+    import os
+    fixdir = os.path.join(os.path.dirname(__file__), "fixtures")
+    paths = glob.glob(os.path.join(fixdir, "input_0x*.json"))
+    assert paths, "missing block fixture"
+    for path in paths:
+        with open(path) as f:
+            d = json.load(f)
+        inp = StatelessInput.from_json(d)
+        block_hash = validate_block(inp, MAINNET)
+        assert os.path.basename(path) == f"input_0x{block_hash.hex()}.json"
+
+
 def test_create_contract_tx():
     # deployment: initcode returns CODE
     init = (b"\x7f" + CODE[:32].ljust(32, b"\x00"))  # crude: push padded

@@ -179,6 +179,11 @@ class Air:
     n_challenges = 0        # ext challenges sampled before aux witgen
     n_derived = 0           # derived challenge-like scalars (see below)
     n_public_scalars = None  # publics entering constraints (None = all)
+    # optional bool mask (main_cols,): True for columns whose witness
+    # values are bits. The prover bit-packs those for the host->device
+    # transfer (the witness upload dominates small-segment prove time on
+    # tunneled chips); packing is prover-local and soundness-neutral.
+    main_bit_mask: np.ndarray | None = None
 
     def derived_challenges(self, publics, challenges):
         """Challenge-dependent scalars both sides compute from the publics

@@ -108,6 +108,71 @@ def _lde_group_std(trace_std_u32):
     return _lde_group(F.to_monty(trace_std_u32))
 
 
+# -- bit-packed witness upload ----------------------------------------------
+#
+# Most rv32im/keccak witness columns are bits; uploading them as uint32
+# wastes ~30x of host->device bandwidth (the dominant cost of small
+# segments over the tunneled chip). The prover packs bit columns into
+# uint32 words on host and reassembles the standard-form matrix on
+# device with static gather/shift indices.
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def _unpack_main(packed, vals, spec):
+    """(n, words) packed bits + (n, n_vals) values -> (n, main_cols) std."""
+    word_idx = np.asarray(spec[0], np.int32)
+    bit_off = jnp.asarray(np.asarray(spec[1], np.uint32))
+    col_src = np.asarray(spec[2], np.int32)
+    val_idx = np.asarray(spec[3], np.int32)
+    bits = (packed[:, word_idx] >> bit_off[None, :]) & jnp.uint32(1)
+    return jnp.where(jnp.asarray(col_src == 0)[None, :],
+                     bits, vals[:, val_idx])
+
+
+@functools.lru_cache(maxsize=None)
+def _pack_spec(air_name: str):
+    air = _AIRS[air_name]
+    mask = np.asarray(air.main_bit_mask, bool)
+    n_cols = mask.shape[0]
+    word_idx = np.zeros(n_cols, dtype=np.int32)
+    bit_off = np.zeros(n_cols, dtype=np.int32)
+    col_src = np.ones(n_cols, dtype=np.int32)    # 0 = bit, 1 = value
+    val_idx = np.zeros(n_cols, dtype=np.int32)
+    b = v = 0
+    for c in range(n_cols):
+        if mask[c]:
+            word_idx[c] = b // 32
+            bit_off[c] = b % 32
+            col_src[c] = 0
+            b += 1
+        else:
+            val_idx[c] = v
+            v += 1
+    return (tuple(word_idx.tolist()), tuple(bit_off.tolist()),
+            tuple(col_src.tolist()), tuple(val_idx.tolist())), mask, b, v
+
+
+def _upload_main(air: Air, main_std: np.ndarray, shard_rows):
+    """Host->device transfer of the main trace, bit-packed when the AIR
+    declares its bit columns."""
+    if getattr(air, "main_bit_mask", None) is None:
+        return shard_rows(np.asarray(main_std, np.uint64).astype(np.uint32))
+    register_air(air)
+    spec, mask, n_bits, n_vals = _pack_spec(air.name)
+    n = main_std.shape[0]
+    bits = np.asarray(main_std[:, mask], np.uint8)
+    packed = np.packbits(bits, axis=1, bitorder="little")
+    pad = (-packed.shape[1]) % 4
+    if pad:
+        packed = np.concatenate(
+            [packed, np.zeros((n, pad), np.uint8)], axis=1)
+    packed32 = np.ascontiguousarray(packed).view(np.uint32)
+    vals = np.asarray(main_std[:, ~mask], np.uint64).astype(np.uint32)
+    if vals.shape[1] == 0:
+        vals = np.zeros((n, 1), np.uint32)
+    return _unpack_main(shard_rows(packed32), shard_rows(vals), spec)
+
+
 def _zinv_table(n: int) -> np.ndarray:
     """Montgomery (BLOWUP,) table of 1/(x^n - 1) on the LDE coset (4-periodic)."""
     gn = pow(GENERATOR, n, P)
@@ -223,6 +288,17 @@ def _deep_combine(ldes_cat_z, ldes_cat_zg, beta_pows_z, beta_pows_zg,
 
 
 @jax.jit
+def _open_groups(ldes_t, layers_t, q_idx, idx_mat):
+    """Queried LDE rows + sibling digests for every group, one program."""
+    rows = tuple(F.from_monty(lde[q_idx]) for lde in ldes_t)
+    sibs = tuple(
+        tuple(F.from_monty(layer[idx_mat[d]])
+              for d, layer in enumerate(reversed(list(layers)[1:])))
+        for layers in layers_t)
+    return rows, sibs
+
+
+@jax.jit
 def _point_inverses(x_pows, z_monty):
     """ext inverse of (x_i - z) for all LDE points. x_pows: (4n,) base."""
     diff0 = F.sub(x_pows, z_monty[0])
@@ -278,7 +354,10 @@ def prove(air: Air, main_std: np.ndarray, publics: list[int],
     control_std = air.control_trace(po2)
     for gname, std in (("control", control_std), ("main", main_std)):
         with _Stage(f"commit {gname}"):
-            dev = shard_rows(np.asarray(std, np.uint64).astype(np.uint32))
+            if gname == "main":
+                dev = _upload_main(air, std, shard_rows)
+            else:
+                dev = shard_rows(np.asarray(std, np.uint64).astype(np.uint32))
             coeffs[gname], ldes[gname] = _lde_group_std(dev)
             trees[gname] = merkle.commit_rows(ldes[gname])
             roots[gname] = trees[gname].root
@@ -371,15 +450,35 @@ def prove(air: Air, main_std: np.ndarray, publics: list[int],
     openings = {}
     q_idx = jnp.asarray(np.array(qs, dtype=np.int32))
     with _Stage("openings"):
-        for gname in ("control", "main", "aux", "check"):
-            if ldes[gname].shape[1] == 0:
-                openings[gname] = GroupOpening(
+        # all group rows + all sibling paths in ONE device dispatch and
+        # ONE host transfer (per-group roundtrips dominate on tunneled
+        # chips; the full LDEs are huge so only queried rows move)
+        gnames = [g for g in ("control", "main", "aux", "check")
+                  if ldes[g].shape[1] > 0]
+        depth = len(trees[gnames[0]].layers) - 1
+        idx_rows = []
+        idxs = list(qs)
+        for _ in range(depth):
+            idx_rows.append([i ^ 1 for i in idxs])
+            idxs = [i >> 1 for i in idxs]
+        idx_mat = jnp.asarray(np.array(idx_rows, np.int32)) if depth else \
+            jnp.zeros((0, len(qs)), jnp.int32)
+        rows_t, sibs_t = jax.device_get(_open_groups(
+            tuple(ldes[g] for g in gnames),
+            tuple(tuple(trees[g].layers) for g in gnames),
+            q_idx, idx_mat))
+        for g in ("control", "main", "aux", "check"):
+            if g not in gnames:
+                openings[g] = GroupOpening(
                     rows=np.zeros((len(qs), 0), dtype=np.uint64), paths=[])
                 continue
-            # gather only the queried rows on device (the full LDE is huge)
-            rows = _from_monty(ldes[gname][q_idx])
-            paths = trees[gname].open_many(qs)
-            openings[gname] = GroupOpening(rows=rows, paths=paths)
+            gi = gnames.index(g)
+            sib_layers = [np.asarray(s, np.uint64) for s in sibs_t[gi]]
+            paths = [np.stack([sib_layers[d][qi] for d in range(depth)])
+                     if depth else np.zeros((0, 8), np.uint64)
+                     for qi in range(len(qs))]
+            openings[g] = GroupOpening(
+                rows=np.asarray(rows_t[gi], np.uint64), paths=paths)
 
     return StarkProof(air_name=air.name, po2=po2, publics=list(publics),
                       roots=roots, taps=taps, fri_proof=fri_proof,

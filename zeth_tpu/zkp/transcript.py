@@ -37,9 +37,22 @@ class Transcript:
         self._buf = []
 
     def mix_values(self, values: np.ndarray) -> None:
-        """Mix a flat vector of field elements (hashed to a digest first)."""
-        flat = np.asarray(values, dtype=np.uint64).reshape(1, -1)
-        self.mix(P2.hash_rows_np(flat)[0])
+        """Mix a flat vector of field elements (hashed to a digest first).
+
+        Long vectors hash as a 64-wide tree: chunk rows hash in one
+        batched sponge call, their digests recurse. A flat absorb of k
+        elements costs k/16 *sequential* host permutations; the tree
+        costs O(log) batched calls — this is on both the prover's and
+        verifier's critical path (tap mixing is ~2k elements).
+        """
+        flat = np.asarray(values, dtype=np.uint64).reshape(-1)
+        while flat.shape[0] > 64:
+            k = (flat.shape[0] + 63) // 64
+            padded = np.zeros(k * 64, dtype=np.uint64)
+            padded[:flat.shape[0]] = flat
+            digests = P2.hash_rows_np(padded.reshape(k, 64))
+            flat = digests.reshape(-1)
+        self.mix(P2.hash_rows_np(flat[None])[0])
 
     def mix_u32_words(self, words: np.ndarray) -> None:
         """Mix raw u32 words (e.g. serialized journal bytes): split to 16-bit
