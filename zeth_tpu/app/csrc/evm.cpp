@@ -618,6 +618,9 @@ typedef uint64_t (*cb_get_code)(const uint8_t* code_hash, uint8_t* buf,
 typedef void (*cb_get_storage)(const uint8_t* addr, const uint8_t* key,
                                uint8_t* val);
 typedef void (*cb_block_hash)(uint64_t number, uint8_t* out);
+// bn254 pairing check (precompile 0x08): input = k*192 bytes;
+// returns 1 (product of pairings is one), 0 (not one), -1 (invalid input)
+typedef int (*cb_pairing)(const uint8_t* input, uint64_t len);
 
 struct Account {
   uint64_t nonce = 0;
@@ -671,6 +674,7 @@ struct Evm {
   cb_get_code get_code = nullptr;
   cb_get_storage get_storage = nullptr;
   cb_block_hash block_hash = nullptr;
+  cb_pairing pairing_check = nullptr;
   Env env;
 
   std::map<Addr, Account> accounts;
@@ -1869,9 +1873,20 @@ bool Interp::precompile(const Addr& a, const std::vector<uint8_t>& input,
       }
       return true;
     }
-    case 0x8:                                                      // bn pairing
-      evm.error = "bn254 pairing precompile not supported";
-      return false;
+    case 0x8: {                                                    // bn pairing
+      if (!evm.pairing_check) {
+        evm.error = "bn254 pairing precompile not supported";
+        return false;
+      }
+      if (input.size() % 192 != 0) return false;
+      uint64_t k = input.size() / 192;
+      if (!take(45000 + 34000 * k)) return false;
+      int r = evm.pairing_check(input.data(), input.size());
+      if (r < 0) return false;
+      out.assign(32, 0);
+      out[31] = (uint8_t)r;
+      return true;
+    }
     case 0x9: {                                                    // blake2f
       if (input.size() != 213) return false;
       uint32_t rounds = (input[0] << 24) | (input[1] << 16) |
@@ -1959,6 +1974,10 @@ void* evm_create(cb_get_account ga, cb_get_code gc, cb_get_storage gs,
 }
 
 void evm_destroy(void* h) { delete (Evm*)h; }
+
+void evm_set_pairing_cb(void* h, cb_pairing cb) {
+  ((Evm*)h)->pairing_check = cb;
+}
 
 void evm_set_block(void* h, const uint8_t* coinbase, uint64_t number,
                    uint64_t timestamp, uint64_t gas_limit,

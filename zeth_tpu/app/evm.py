@@ -36,6 +36,8 @@ _GET_STORAGE = ctypes.CFUNCTYPE(None, ctypes.POINTER(ctypes.c_uint8),
                                 ctypes.POINTER(ctypes.c_uint8))
 _BLOCK_HASH = ctypes.CFUNCTYPE(None, ctypes.c_uint64,
                                ctypes.POINTER(ctypes.c_uint8))
+_PAIRING = ctypes.CFUNCTYPE(ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+                            ctypes.c_uint64)
 
 
 def _lib():
@@ -65,6 +67,7 @@ def _lib():
     lib.evm_last_error.argtypes = [ctypes.c_void_p]
     lib.evm_system_call.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
                                     ctypes.c_char_p, ctypes.c_uint64]
+    lib.evm_set_pairing_cb.argtypes = [ctypes.c_void_p, _PAIRING]
     lib.evm_log_count.restype = ctypes.c_uint64
     lib.evm_log_count.argtypes = [ctypes.c_void_p]
     lib.evm_get_log.restype = ctypes.c_uint64
@@ -172,10 +175,36 @@ class BlockEvm:
             for i in range(32):
                 out_p[i] = h[i]
 
+        def pairing_cb(inp_p, length):
+            from . import bn254
+            try:
+                data = bytes(inp_p[:length]) if length else b""
+                pairs = []
+                for off in range(0, len(data), 192):
+                    chunk = data[off:off + 192]
+                    ax = int.from_bytes(chunk[0:32], "big")
+                    ay = int.from_bytes(chunk[32:64], "big")
+                    # EVM G2 encoding: imaginary limb first
+                    bxi = int.from_bytes(chunk[64:96], "big")
+                    bxr = int.from_bytes(chunk[96:128], "big")
+                    byi = int.from_bytes(chunk[128:160], "big")
+                    byr = int.from_bytes(chunk[160:192], "big")
+                    if max(ax, ay, bxi, bxr, byi, byr) >= bn254.P:
+                        return -1
+                    g1 = None if (ax == 0 and ay == 0) else (ax, ay)
+                    g2 = None if (bxr | bxi | byr | byi) == 0 \
+                        else ((bxr, bxi), (byr, byi))
+                    pairs.append((g1, g2))
+                return 1 if bn254.pairing_check(pairs) else 0
+            except (ValueError, OverflowError):
+                return -1
+
         # keep callback objects alive for the handle's lifetime
         self._cbs = (_GET_ACCOUNT(get_account), _GET_CODE(get_code),
                      _GET_STORAGE(get_storage), _BLOCK_HASH(block_hash))
+        self._pairing_cb = _PAIRING(pairing_cb)
         self.h = self.lib.evm_create(*self._cbs)
+        self.lib.evm_set_pairing_cb(self.h, self._pairing_cb)
         self.missing_codes: set[bytes] = set()
         self._log_cursor = 0
 
