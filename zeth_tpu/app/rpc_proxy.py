@@ -3,15 +3,10 @@
 Replaces zeth-rpc-proxy (SURVEY.md §2.1, crates/rpc-proxy): a JSON-RPC
 HTTP server that answers `debug_executionWitness` locally and forwards
 every other method upstream with retry/backoff (RetryBackoffLayer
-equivalent, main.rs:207-208).
-
-v1 scope: full proxy plumbing (routing, forwarding, retries, error
-codes per main.rs:72-100) and witness *assembly* from upstream
-`eth_getProof` responses for the access-list-declared state. The
-preflight EVM re-execution that discovers the full touched-state set
-(witness.rs:75-87) lands with the EVM engine rebuild — until then the
-proxy forwards `debug_executionWitness` upstream when the node supports
-it, and otherwise serves the proof-based partial witness.
+equivalent, main.rs:207-208). Witnesses come from the full preflight:
+EVM re-execution over a recording RPC-backed state + chunked
+eth_getProof assembly (zeth_tpu.app.preflight, the reference's
+witness.rs pipeline) whenever the upstream lacks the native endpoint.
 """
 
 from __future__ import annotations
