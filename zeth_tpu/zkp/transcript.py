@@ -83,18 +83,19 @@ class Transcript:
         return self.sample_vec(4)
 
     def sample_index(self, n: int) -> int:
-        """Uniform index in [0, n) for power-of-two n <= 2^27.
+        """Index in [0, n) for power-of-two n <= 2^27: one sample mod n.
 
-        Rejection-sampled: draws >= the largest multiple of n below p are
-        discarded, so the index is exactly uniform (the plain ``% n``
-        had a ~n/p bias — VERDICT.md r1 weak #10).
+        Since n | 2^27 and p = 15*2^27 + 1, ``v % n`` is uniform up to a
+        single extra residue (bias exactly 1/p < 2^-30 per draw —
+        cryptographically negligible). The rule is deliberately
+        *straight-line* (one draw, no rejection loop) so the recursion
+        circuit's in-circuit verifier can replay it with a fixed-shape
+        program: decompose v into 31 bits (hi nibble = 15 forces the low
+        27 bits to zero, making the decomposition unique below p) and
+        take the low log2(n) bits.
         """
         assert n & (n - 1) == 0 and n <= (1 << 27)
-        limit = P - P % n
-        while True:
-            v = self.sample()
-            if v < limit:
-                return v % n
+        return self.sample() % n
 
     # -- proof-of-work grinding ---------------------------------------------
     #
