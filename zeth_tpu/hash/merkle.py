@@ -91,7 +91,10 @@ def commit_rows(matrix) -> MerkleTree:
     """
     n = matrix.shape[0]
     assert n & (n - 1) == 0, "row count must be a power of two"
-    leaves = P2.hash_rows(matrix)
+    if matrix.size > P2.STREAM_HASH_ELEMS:
+        leaves = P2.hash_rows_large(matrix)
+    else:
+        leaves = P2.hash_rows(matrix)
     return MerkleTree(layers=_build_layers_from_digests(leaves), n_leaves=n)
 
 

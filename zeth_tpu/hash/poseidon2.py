@@ -298,18 +298,78 @@ def hash_rows(rows):
     absorbs RATE=16 elements per permutation (add-into-rate); zero-padding
     the last chunk is equivalent to the host's partial absorb. The chunk
     loop is a lax.scan so wide traces trace ONE permutation, not k/16.
+    Chunks are dynamic-sliced from the input (a padded/transposed copy of
+    a trace-LDE-sized matrix would transiently double HBM use — the
+    po2=18 bench OOM'd on exactly that); only the ragged tail chunk pays
+    a small pad.
     """
     n, k = rows.shape
-    nch = max(1, -(-k // RATE))
-    padded = jnp.zeros((n, nch * RATE), _U32).at[:, :k].set(rows)
-    chunks = jnp.swapaxes(padded.reshape(n, nch, RATE), 0, 1)   # (nch, n, 16)
+    nfull = k // RATE
 
-    def body(state, chunk):
+    def body(state, i):
+        chunk = jax.lax.dynamic_slice(rows, (0, i * RATE), (n, RATE))
         state = state.at[:RATE].set(F.add(state[:RATE], chunk.T))
         return permute(state), None
 
-    state, _ = jax.lax.scan(body, jnp.zeros((CELLS, n), _U32), chunks)
+    state = jnp.zeros((CELLS, n), _U32)
+    if nfull:
+        state, _ = jax.lax.scan(body, state,
+                                jnp.arange(nfull, dtype=jnp.int32))
+    if k % RATE or k == 0:
+        tail = jnp.zeros((RATE, n), _U32).at[:k % RATE].set(
+            rows[:, nfull * RATE:].T)
+        state = state.at[:RATE].set(F.add(state[:RATE], tail))
+        state = permute(state)
     return state[:DIGEST_LEN].T
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _absorb_cols(state, cols):
+    """Absorb a (n, c) column slab into a running sponge state (CELLS, n).
+    c must be a multiple of RATE; the state buffer is donated."""
+    n, c = cols.shape
+
+    def body(st, i):
+        chunk = jax.lax.dynamic_slice(cols, (0, i * RATE), (n, RATE))
+        st = st.at[:RATE].set(F.add(st[:RATE], chunk.T))
+        return permute(st), None
+
+    state, _ = jax.lax.scan(body, state,
+                            jnp.arange(c // RATE, dtype=jnp.int32))
+    return state
+
+
+# Above this many matrix elements, hash_rows streams column slabs through
+# separate dispatches so the absorb never holds a second matrix-sized
+# buffer (the po2=18 main-group commit OOM'd the 16 GB chip inside one
+# whole-matrix XLA program).
+STREAM_HASH_ELEMS = 1 << 26
+_STREAM_COLS = 256          # multiple of RATE
+
+
+def hash_rows_large(rows):
+    """hash_rows for matrices too big to absorb in one XLA program.
+    Bit-identical to hash_rows; state is carried across dispatches."""
+    n, k = rows.shape
+    state = jnp.zeros((CELLS, n), _U32)
+    nfull = k // RATE
+    full = nfull * RATE
+    for off in range(0, full, _STREAM_COLS):
+        c = min(_STREAM_COLS, full - off)
+        state = _absorb_cols(state, jax.lax.slice(rows, (0, off),
+                                                  (n, off + c)))
+    if k % RATE or k == 0:
+        state = _absorb_tail(state, rows, full)
+    return state[:DIGEST_LEN].T
+
+
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(2,))
+def _absorb_tail(state, rows, full: int):
+    n, k = rows.shape
+    tail = jnp.zeros((RATE, n), _U32).at[:k - full].set(
+        rows[:, full:].T)
+    state = state.at[:RATE].set(F.add(state[:RATE], tail))
+    return permute(state)
 
 
 @jax.jit

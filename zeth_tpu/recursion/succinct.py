@@ -1,0 +1,218 @@
+"""Succinct receipts: cryptographic lift / join over the recursion VM.
+
+The role of risc0-circuit-recursion's lift/join/resolve programs
+(SURVEY.md §2.2, §3.2 RECURSION step), TPU-first: each lift proves — with
+the framework's own STARK prover over the recursion-VM AIR — that one
+inner segment seal verifies; each join proves that two child recursion
+proofs verify. The final receipt is ONE recursion proof whose 8-element
+public claim is the root of a Poseidon2 claim tree over the per-segment
+claims, so Receipt.verify checks a single seal regardless of segment
+count (VERDICT.md r1 "What's missing" #3).
+
+Claim structure (host mirrors in this module, in-circuit binding in
+recursion/compiler.py):
+
+  lift claim  = H(po2 || H(segment publics))        (claim_digest)
+  join claim  = H(left claim row || right claim row) (join_claim)
+
+The *programs* are pinned by their control roots: a lift program bakes
+the inner AIR's control root as constants; a join program bakes its two
+children's (recursion-AIR) control roots. Verifying the root proof
+therefore transitively pins every seal down to the segment circuits.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..field import P
+from ..hash import poseidon2 as P2
+from ..zkp import prover as prover_mod
+from ..zkp import verifier as verifier_mod
+from . import compiler, vm
+from .builder import Builder
+
+
+def join_claim(left8: np.ndarray, right8: np.ndarray) -> np.ndarray:
+    """Host mirror of the join program's outer claim."""
+    row = np.concatenate([np.asarray(left8, np.uint64),
+                          np.asarray(right8, np.uint64)])
+    return P2.hash_rows_np(row[None])[0]
+
+
+@dataclass
+class JoinProgram:
+    """Verifier program for TWO child recursion proofs."""
+    program: vm.Program
+    left: compiler.VerifierProgram      # shape info of each child proof
+    right: compiler.VerifierProgram
+
+    def air(self) -> vm.RecursionAir:
+        return vm.RecursionAir(self.program)
+
+
+# in-memory program caches (programs are deterministic in their keys)
+_LIFT_CACHE: dict = {}
+_JOIN_CACHE: dict = {}
+
+
+def lift_program(inner_air, po2: int, n_publics: int
+                 ) -> compiler.VerifierProgram:
+    key = (inner_air.name, po2, n_publics)
+    vp = _LIFT_CACHE.get(key)
+    if vp is None:
+        vp = compiler.compile_verifier(inner_air, po2, n_publics)
+        _LIFT_CACHE[key] = vp
+    return vp
+
+
+def _rec_shape(vp) -> compiler.VerifierProgram:
+    """The VerifierProgram describing proofs *of* vp's own program (i.e.
+    the shape a parent join must verify)."""
+    air = vp.air() if isinstance(vp, compiler.VerifierProgram) else vp.air()
+    po2 = vp.program.po2()
+    domains, deg_fin, _, _ = compiler._fri_layout(po2)
+    return compiler.VerifierProgram(
+        program=vp.program, air_name=air.name, po2=po2,
+        n_publics=vm.N_PUB,
+        group_widths={"control": vm.CL.N, "main": vm.ML.N,
+                      "aux": vm.AL.N, "check": 16},
+        n_taps=2 * (vm.CL.N + vm.ML.N + vm.AL.N) + 16,
+        layer_domains=domains, final_degree=deg_fin, depth=po2 + 2)
+
+
+def join_program(left_vp, right_vp) -> JoinProgram:
+    """Compile (cached) the join program verifying one proof of each
+    child program, binding H(left_claim || right_claim)."""
+    lkey = left_vp.program.digest()
+    rkey = right_vp.program.digest()
+    jp = _JOIN_CACHE.get((lkey, rkey))
+    if jp is not None:
+        return jp
+    b = Builder()
+    shapes = []
+    pubs = []
+    for child in (left_vp, right_vp):
+        air = child.air()
+        po2 = child.program.po2()
+        root = compiler.expected_control_root(air, po2)
+        pubs.append(compiler.emit_verify(b, air, po2, vm.N_PUB,
+                                         control_root=root))
+        shapes.append(_rec_shape(child))
+    claim = b.sponge_hash(pubs[0] + pubs[1])
+    for j in range(vm.N_PUB):
+        b.bind_public(claim[j], j)
+    jp = JoinProgram(program=b.build(), left=shapes[0], right=shapes[1])
+    _JOIN_CACHE[(lkey, rkey)] = jp
+    return jp
+
+
+# ---------------------------------------------------------------------------
+# Proving
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class RecReceipt:
+    """One recursion proof + its public claim (and the node's program)."""
+    proof: object                 # StarkProof over the recursion AIR
+    claim: np.ndarray             # (8,) = proof.publics
+    node: object                  # VerifierProgram (lift) | JoinProgram
+
+
+def _prove_program(program: vm.Program, stream: np.ndarray,
+                   claim: np.ndarray, node) -> RecReceipt:
+    air = vm.RecursionAir(program)
+    main, wom = air.witgen(stream)
+    publics = [int(x) for x in claim]
+    proof = prover_mod.prove(air, main, publics)
+    return RecReceipt(proof=proof, claim=np.asarray(claim, np.uint64),
+                      node=node)
+
+
+def lift(inner_air, inner_proof) -> RecReceipt:
+    """Prove in-circuit that inner_proof verifies; returns the receipt."""
+    vp = lift_program(inner_air, inner_proof.po2, len(inner_proof.publics))
+    stream = compiler.proof_to_stream(vp, inner_proof)
+    claim = compiler.claim_digest(inner_proof.po2, inner_proof.publics)
+    return _prove_program(vp.program, stream, claim, vp)
+
+
+def join(left: RecReceipt, right: RecReceipt) -> RecReceipt:
+    """Prove in-circuit that both children's proofs verify."""
+    jp = join_program(left.node if isinstance(left.node, compiler.VerifierProgram)
+                      else _rec_shape(left.node),
+                      right.node if isinstance(right.node, compiler.VerifierProgram)
+                      else _rec_shape(right.node))
+    stream = np.concatenate([
+        compiler.proof_to_stream(jp.left, left.proof),
+        compiler.proof_to_stream(jp.right, right.proof)])
+    claim = join_claim(left.claim, right.claim)
+    return _prove_program(jp.program, stream, claim, jp)
+
+
+def aggregate(inner_air, inner_proofs: list) -> RecReceipt:
+    """lift every segment proof, then fold joins to a single receipt."""
+    nodes = [lift(inner_air, p) for p in inner_proofs]
+    while len(nodes) > 1:
+        nxt = []
+        for i in range(0, len(nodes) - 1, 2):
+            nxt.append(join(nodes[i], nodes[i + 1]))
+        if len(nodes) % 2:
+            nxt.append(nodes[-1])
+        nodes = nxt
+    return nodes[0]
+
+
+# ---------------------------------------------------------------------------
+# Verification
+# ---------------------------------------------------------------------------
+
+
+def expected_root_claim(inner_po2s: list, inner_publics: list) -> np.ndarray:
+    """Fold the claim tree exactly as aggregate() does."""
+    claims = [compiler.claim_digest(p, pub)
+              for p, pub in zip(inner_po2s, inner_publics)]
+    while len(claims) > 1:
+        nxt = []
+        for i in range(0, len(claims) - 1, 2):
+            nxt.append(join_claim(claims[i], claims[i + 1]))
+        if len(claims) % 2:
+            nxt.append(claims[-1])
+        claims = nxt
+    return claims[0]
+
+
+def verify_root(receipt: RecReceipt, inner_air, inner_po2s: list,
+                inner_publics: list) -> None:
+    """Verify ONE root recursion proof against the claimed segment publics.
+
+    Recompiles (cached) the program tree for the claimed shapes so the
+    root proof's control root is pinned to the full lift/join structure;
+    then checks the root claim equals the fold of the per-segment claim
+    digests. Raises zkp.verifier.VerificationError on failure.
+    """
+    want = expected_root_claim(inner_po2s, inner_publics)
+    if not (np.asarray(receipt.claim, np.uint64) == want).all():
+        raise verifier_mod.VerificationError("root claim mismatch")
+    # rebuild the expected root program for the claimed shapes
+    nodes = [lift_program(inner_air, p, len(pub))
+             for p, pub in zip(inner_po2s, inner_publics)]
+    while len(nodes) > 1:
+        nxt = []
+        for i in range(0, len(nodes) - 1, 2):
+            nxt.append(join_program(
+                nodes[i] if isinstance(nodes[i], compiler.VerifierProgram)
+                else _rec_shape(nodes[i]),
+                nodes[i + 1] if isinstance(nodes[i + 1],
+                                           compiler.VerifierProgram)
+                else _rec_shape(nodes[i + 1])))
+        if len(nodes) % 2:
+            nxt.append(nodes[-1])
+        nodes = nxt
+    root_air = nodes[0].air()
+    verifier_mod.verify(root_air, receipt.proof,
+                        [int(x) for x in receipt.claim])

@@ -266,24 +266,31 @@ def _check_group(air: Air, ldes: dict, alpha: np.ndarray, publics, challenges,
 
 
 @jax.jit
-def _deep_stage(cat_z, cat_zg, bp_z, bp_zg, cz, czg, iz, izg):
-    """f0(x) = [sum_j b_j f_j(x) - const] * inv for the two tap points."""
-    def mix(cat, bp):
-        # out[comp] = sum_j bp[j, comp] * cat[:, j]  (scan over columns)
-        def body(acc, jx):
-            col, b = jx            # col: (4n,), b: (4,)
-            return F.add(acc, F.mul(col[:, None], b[None, :])), None
-        init = jnp.zeros((cat.shape[0], 4), _U32)
-        acc, _ = jax.lax.scan(body, init, (jnp.swapaxes(cat, 0, 1), bp))
+def _deep_stage(groups_z, groups_zg, bps_z, bps_zg, cz, czg, iz, izg):
+    """f0(x) = [sum_j b_j f_j(x) - const] * inv for the two tap points.
+
+    Groups are passed as tuples (not pre-concatenated — a concat of all
+    LDEs would transiently double HBM use at po2>=18)."""
+    n4 = groups_z[0].shape[0]
+
+    def mix(groups, bps):
+        acc = jnp.zeros((n4, 4), _U32)
+        for cat, bp in zip(groups, bps):
+            def body(a, jx):
+                col, b = jx            # col: (4n,), b: (4,)
+                return F.add(a, F.mul(col[:, None], b[None, :])), None
+            acc, _ = jax.lax.scan(body, acc,
+                                  (jnp.swapaxes(cat, 0, 1), bp))
         return acc                                   # (4n, 4)
-    num_z = F.ext_sub(mix(cat_z, bp_z), jnp.broadcast_to(cz, cat_z.shape[:1] + (4,)))
-    num_zg = F.ext_sub(mix(cat_zg, bp_zg), jnp.broadcast_to(czg, cat_zg.shape[:1] + (4,)))
+
+    num_z = F.ext_sub(mix(groups_z, bps_z), jnp.broadcast_to(cz, (n4, 4)))
+    num_zg = F.ext_sub(mix(groups_zg, bps_zg), jnp.broadcast_to(czg, (n4, 4)))
     return F.ext_add(F.ext_mul(num_z, iz), F.ext_mul(num_zg, izg))
 
 
-def _deep_combine(ldes_cat_z, ldes_cat_zg, beta_pows_z, beta_pows_zg,
+def _deep_combine(groups_z, groups_zg, beta_pows_z, beta_pows_zg,
                   const_z, const_zg, inv_z, inv_zg):
-    return _deep_stage(ldes_cat_z, ldes_cat_zg, beta_pows_z, beta_pows_zg,
+    return _deep_stage(groups_z, groups_zg, beta_pows_z, beta_pows_zg,
                        const_z, const_zg, inv_z, inv_zg)
 
 
@@ -359,6 +366,7 @@ def prove(air: Air, main_std: np.ndarray, publics: list[int],
             else:
                 dev = shard_rows(np.asarray(std, np.uint64).astype(np.uint32))
             coeffs[gname], ldes[gname] = _lde_group_std(dev)
+            del dev          # the standard-form upload buffer is ~1 GB at po2=18
             trees[gname] = merkle.commit_rows(ldes[gname])
             roots[gname] = trees[gname].root
         t.mix(roots[gname])
@@ -431,15 +439,25 @@ def prove(air: Air, main_std: np.ndarray, publics: list[int],
     inv_z = _point_inverses(x_pows, jnp.asarray(_to_monty_np(z)))
     inv_zg = _point_inverses(x_pows, jnp.asarray(_to_monty_np(zg)))
 
-    cat_z = jnp.concatenate(
-        [ldes["control"], ldes["main"], ldes["aux"], ldes["check"]], axis=1)
-    cat_zg = jnp.concatenate(
-        [ldes["control"], ldes["main"], ldes["aux"]], axis=1)
+    groups_z, bps_z = [], []
+    groups_zg, bps_zg = [], []
+    off = 0
+    for g in ("control", "main", "aux", "check"):
+        c = ldes[g].shape[1]
+        if c:
+            groups_z.append(ldes[g])
+            bps_z.append(jnp.asarray(_to_monty_np(beta_pows[off:off + c])))
+        off += c
+    for g in ("control", "main", "aux"):
+        c = ldes[g].shape[1]
+        if c:
+            groups_zg.append(ldes[g])
+            bps_zg.append(jnp.asarray(_to_monty_np(beta_pows[off:off + c])))
+        off += c
     with _Stage("deep setup"):
         pass
-    f0 = _deep_combine(cat_z, cat_zg,
-                       jnp.asarray(_to_monty_np(beta_pows[:n_z])),
-                       jnp.asarray(_to_monty_np(beta_pows[n_z:])),
+    f0 = _deep_combine(tuple(groups_z), tuple(groups_zg),
+                       tuple(bps_z), tuple(bps_zg),
                        jnp.asarray(_to_monty_np(const_z)),
                        jnp.asarray(_to_monty_np(const_zg)),
                        inv_z, inv_zg)
