@@ -1,0 +1,119 @@
+"""In-circuit verifier (lift/join) tests.
+
+Ladder: compile the verifier program for a toy AIR -> witgen over a real
+proof stream satisfies every constraint -> tampered streams / wrong
+claims violate -> (gated) full lift+join+verify_root roundtrip and the
+rv32im lift program over a real segment proof.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from zeth_tpu.circuits.toy import SquareChainAir
+from zeth_tpu.field import P
+from zeth_tpu.recursion import compiler, succinct, vm
+from zeth_tpu.zkp import prover, verifier
+from zeth_tpu.zkp.air import check_constraints
+
+E2E = os.environ.get("ZETH_E2E", "0") == "1"
+
+_CACHE = {}
+
+
+def _toy_proof(po2=9):
+    key = ("toy", po2)
+    if key not in _CACHE:
+        air = SquareChainAir()
+        main, pubs = air.witgen(po2, x0=7)
+        proof = prover.prove(air, main, pubs)
+        _CACHE[key] = (air, proof, pubs)
+    return _CACHE[key]
+
+
+def _constraints_ok(vp, stream, claim):
+    rair = vp.air()
+    main, wom = rair.witgen(stream)
+    control = rair.control_trace(vp.program.po2())
+    chal = np.array([[3, 5, 7, 11], [13, 17, 19, 23]], dtype=np.uint64)
+    aux = rair.build_aux(main, chal)
+    return check_constraints(rair, control, main, aux,
+                             publics=[int(x) for x in claim],
+                             challenges=chal)
+
+
+def test_lift_program_accepts_real_proof():
+    air, proof, pubs = _toy_proof()
+    vp = succinct.lift_program(air, proof.po2, len(pubs))
+    stream = compiler.proof_to_stream(vp, proof)
+    claim = compiler.claim_digest(proof.po2, pubs)
+    assert _constraints_ok(vp, stream, claim) == {}
+
+
+def test_lift_program_rejects_tampered_stream():
+    air, proof, pubs = _toy_proof()
+    vp = succinct.lift_program(air, proof.po2, len(pubs))
+    claim = compiler.claim_digest(proof.po2, pubs)
+    # tamper each of: a tap value, a root word, an opened row element
+    base = compiler.proof_to_stream(vp, proof)
+    for pos in (len(pubs) + 3,                    # main root word
+                len(pubs) + 16 + 5,               # a tap component
+                vp.program.n_stream - 9):         # late opening/path word
+        stream = base.copy()
+        stream[pos] = (stream[pos] + 1) % P
+        bad = _constraints_ok(vp, stream, claim)
+        assert bad, f"tamper at {pos} not caught"
+
+
+def test_lift_program_rejects_wrong_claim():
+    air, proof, pubs = _toy_proof()
+    vp = succinct.lift_program(air, proof.po2, len(pubs))
+    stream = compiler.proof_to_stream(vp, proof)
+    wrong = compiler.claim_digest(proof.po2, [int(pubs[0]) + 1, pubs[1]])
+    assert _constraints_ok(vp, stream, wrong)
+
+
+def test_claim_tree_host_mirrors():
+    c1 = compiler.claim_digest(9, [1, 2])
+    c2 = compiler.claim_digest(9, [3, 4])
+    root = succinct.expected_root_claim([9, 9], [[1, 2], [3, 4]])
+    assert (root == succinct.join_claim(c1, c2)).all()
+    assert not (c1 == c2).all()
+
+
+@pytest.mark.skipif(not E2E, reason="slow e2e (set ZETH_E2E=1)")
+def test_lift_join_verify_roundtrip():
+    air, proof1, pubs1 = _toy_proof()
+    main2, pubs2 = SquareChainAir().witgen(9, x0=11)
+    proof2 = prover.prove(air, main2, pubs2)
+    rec = succinct.aggregate(air, [proof1, proof2])
+    succinct.verify_root(rec, air, [9, 9], [pubs1, pubs2])
+    with pytest.raises(verifier.VerificationError):
+        succinct.verify_root(rec, air, [9, 9],
+                             [[int(pubs1[0]) + 1, pubs1[1]], pubs2])
+
+
+@pytest.mark.skipif(not E2E, reason="slow e2e (set ZETH_E2E=1)")
+def test_rv32im_lift_constraints():
+    """The lift program accepts a real rv32im segment proof (including
+    the in-circuit derived-challenge recomputation over the publics)."""
+    from zeth_tpu.circuits import rv32im as rv
+    from zeth_tpu.executor import Executor, guests, load_image
+    elf = guests.echo_input(12)
+    entry, ia, iw = load_image(elf)
+    from zeth_tpu.zkvm import ExecutorEnv
+    env = ExecutorEnv.builder().write(b"hello world!").build()
+    res = Executor(elf, env.input_bytes, segment_po2=13, trace=True).run()
+    seg = res.segments[0]
+    air = rv.Rv32imAir(ia, iw)
+    po2 = rv.choose_po2(seg, len(ia))
+    main, pubs = air.witgen(seg, po2)
+    proof = prover.prove(air, main, pubs)
+    verifier.verify(air, proof, pubs)
+
+    vp = succinct.lift_program(air, po2, len(pubs),
+                               succinct.publics_shape(air, pubs))
+    stream = compiler.proof_to_stream(vp, proof)
+    claim = compiler.claim_digest(po2, pubs)
+    assert _constraints_ok(vp, stream, claim) == {}

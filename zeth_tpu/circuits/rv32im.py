@@ -1065,6 +1065,70 @@ class Rv32imAir(Air):
             _rlc(pp["keccak_words"], g6),
         ])
 
+    # -- recursion-circuit hooks --------------------------------------------
+
+    def publics_shape(self, publics):
+        """Shape token for the lift-program cache (the list counts)."""
+        pp = parse_publics([int(p) for p in publics])
+        return (len(pp["mem_init"]), len(pp["mem_fin"]),
+                len(pp["journal_words"]), len(pp["keccak_words"]))
+
+    def derived_challenges_rec(self, b, pub_cells, chal_ext, pub_shape):
+        """In-circuit mirror of derived_challenges for the lift program.
+
+        Replays _list_sum/_rlc over the public list cells. The in-proof
+        counts are asserted equal to the compiled shape, and each address
+        low limb is bit-decomposed so the word-address shift matches the
+        host's ``a >> 2`` exactly (parse_publics pins all list limbs to
+        16 bits, making or-compose equal to addition on both sides).
+        """
+        n_init, n_fin, n_j, n_k = pub_shape
+        for j, cnt in ((7, n_init), (8, n_fin), (9, n_j), (10, n_k)):
+            b.assert_eq(pub_cells[j], cnt)
+        g4, g5, g6 = chal_ext[4], chal_ext[5], chal_ext[6]
+        g5sq = b.mul(g5, g5)
+        off = 11
+
+        def limb16(cell):
+            """Committed bits of a 16-bit limb (range-binding included)."""
+            bits = b.decompose(cell, 31, assert_canonical=True)
+            b.assert_zero(b.dot_const([1 << k for k in range(16, 31)],
+                                      bits[16:]))
+            return bits
+
+        def list_sum(cnt):
+            nonlocal off
+            total = None
+            for _ in range(cnt):
+                alo, ahi, vlo, vhi = pub_cells[off:off + 4]
+                off += 4
+                bits = limb16(alo)
+                wa = b.dot_const([1 << (k - 2) for k in range(2, 16)],
+                                 bits[2:16])
+                wa = b.axpy(1 << 14, ahi, wa)
+                t = b.fma(a=g5, b=vlo, c=g5sq, d=vhi, s0=1, s1=1)
+                inv = b.inv(b.sub(g4, b.add(wa, t)))
+                total = inv if total is None else b.add(total, inv)
+            return total if total is not None else b.ZERO
+
+        d0 = list_sum(n_init)
+        d1 = list_sum(n_fin)
+
+        def rlc(cnt):
+            nonlocal off
+            acc = b.ZERO
+            for _ in range(cnt):
+                lo, hi = pub_cells[off:off + 2]
+                off += 2
+                acc = b.fma(a=acc, b=g6, c=lo, d=b.ONE, s0=1, s1=1)
+                acc = b.fma(a=acc, b=g6, c=hi, d=b.ONE, s0=1, s1=1)
+            return acc
+
+        d2 = rlc(n_j)
+        d3 = rlc(n_k)
+        assert off == len(pub_cells)
+        return [d0, d1, d2, d3]
+
     # -- constraints -------------------------------------------------------
 
     def constraints(self, v, ops, publics, challenges):
@@ -2114,6 +2178,11 @@ def parse_publics(pubs):
     need = 11 + 4 * (n_init + n_fin) + 2 * (n_j + n_k)
     if len(p) != need:
         raise ValueError("bad publics length")
+    # every list element is a 16-bit limb; enforcing the range here keeps
+    # the host's or-compose/re-split arithmetic and the recursion
+    # circuit's limb-cell arithmetic (derived_challenges_rec) identical
+    if any(x < 0 or x >= (1 << 16) for x in p[11:]):
+        raise ValueError("public list limb out of 16-bit range")
     off = 11
 
     def entries(cnt):
@@ -2193,52 +2262,45 @@ def prove_segment(seg, image_addrs, image_words):
     return proof_mod.encode(proof)
 
 
-def verify_segments(seals, claim, image_addrs, image_words, entry_pc: int,
-                    keccak_checked: bool = False) -> dict:
-    """Verify a chain of segment seals; returns {"keccak_words": [...]}.
+def verify_chain(publics_list, claim, image_addrs, image_words,
+                 entry_pc: int, keccak_checked: bool = False) -> dict:
+    """Chain checks over per-segment publics (no STARK verification).
 
-    Checks, per segment: the STARK itself; pc continuity; RAM continuity
-    (each segment's public MEMINIT list must match the memory state
-    replayed from the image through the previous segments' MEMFIN lists);
-    keccak accelerator IO (recomputed host-side from the bound pre-states
-    unless `keccak_checked` — i.e. an accelerator proof covers it, the
-    resolve path); and, across the chain: exactly the final segment
-    halts, with the claim's exit code, and the concatenated journal words
-    hash to the claim's journal digest (the reference's journal
-    commitment, guests/stateless-client/src/lib.rs:33).
+    Checks: pc continuity; RAM continuity (each segment's public MEMINIT
+    list must match the memory state replayed from the image through the
+    previous segments' MEMFIN lists); keccak accelerator IO (recomputed
+    host-side from the bound pre-states unless `keccak_checked` — i.e. an
+    accelerator proof covers it, the resolve path); and, across the
+    chain: exactly the final segment halts, with the claim's exit code,
+    and the concatenated journal words hash to the claim's journal digest
+    (the reference's journal commitment,
+    guests/stateless-client/src/lib.rs:33).
     """
     import hashlib
 
     from ..hash.keccak import permute_np as keccak_permute
     from ..zkvm import VerificationError
-    air = _air_for_image(image_addrs, image_words)
     expect_pc = int(entry_pc)
-    if not seals:
-        raise VerificationError("no segment seals")
+    if not publics_list:
+        raise VerificationError("no segments")
     # memory replay state: word addr -> value (image; zero elsewhere)
     state = {int(a): int(w) for a, w in zip(image_addrs, image_words)}
     journal_words: list[int] = []
     keccak_words: list[int] = []
-    for i, seal in enumerate(seals):
-        proof = proof_mod.decode(seal)
-        pubs = [int(p) for p in proof.publics]
+    for i, pubs in enumerate(publics_list):
         try:
-            pp = parse_publics(pubs)
+            pp = parse_publics([int(p) for p in pubs])
         except ValueError as e:
             raise VerificationError(f"segment {i}: {e}") from e
         if pp["entry_pc"] != expect_pc:
             raise VerificationError(f"segment {i}: entry pc mismatch")
-        last = i == len(seals) - 1
+        last = i == len(publics_list) - 1
         if bool(pp["halted"]) != last:
             raise VerificationError(
                 f"segment {i}: halt flag mismatch (only the final segment "
                 "halts)")
         if last and pp["exit_code"] != int(claim.exit_code):
             raise VerificationError("exit code does not match claim")
-        try:
-            verifier_mod.verify(air, proof, pubs)
-        except verifier_mod.VerificationError as e:
-            raise VerificationError(f"segment {i}: {e}") from e
         # RAM continuity: entry values must match the replayed state
         for a, v in pp["mem_init"]:
             if state.get(a, 0) != v:
@@ -2269,3 +2331,25 @@ def verify_segments(seals, claim, image_addrs, image_words, entry_pc: int,
     if hashlib.sha256(journal).digest() != claim.journal_digest:
         raise VerificationError("journal does not match claim digest")
     return {"keccak_words": keccak_words}
+
+
+def verify_segments(seals, claim, image_addrs, image_words, entry_pc: int,
+                    keccak_checked: bool = False) -> dict:
+    """Verify a chain of segment seals; returns {"keccak_words": [...]}.
+
+    Per segment: the STARK itself, then every chain check of
+    verify_chain (pc/RAM continuity, halt/exit-code, journal digest,
+    keccak IO)."""
+    from ..zkvm import VerificationError
+    air = _air_for_image(image_addrs, image_words)
+    publics_list = []
+    for i, seal in enumerate(seals):
+        proof = proof_mod.decode(seal)
+        pubs = [int(p) for p in proof.publics]
+        try:
+            verifier_mod.verify(air, proof, pubs)
+        except verifier_mod.VerificationError as e:
+            raise VerificationError(f"segment {i}: {e}") from e
+        publics_list.append(pubs)
+    return verify_chain(publics_list, claim, image_addrs, image_words,
+                        entry_pc, keccak_checked=keccak_checked)

@@ -323,19 +323,20 @@ def hash_rows(rows):
     return state[:DIGEST_LEN].T
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
-def _absorb_cols(state, cols):
-    """Absorb a (n, c) column slab into a running sponge state (CELLS, n).
-    c must be a multiple of RATE; the state buffer is donated."""
-    n, c = cols.shape
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(3,))
+def _absorb_cols(state, rows, off, nch: int):
+    """Absorb `nch` RATE-wide chunks starting at column `off` into a
+    running sponge state (CELLS, n). The matrix is aliased (never
+    copied); the state buffer is donated."""
+    n = rows.shape[0]
 
     def body(st, i):
-        chunk = jax.lax.dynamic_slice(cols, (0, i * RATE), (n, RATE))
+        chunk = jax.lax.dynamic_slice(rows, (0, i * RATE), (n, RATE))
         st = st.at[:RATE].set(F.add(st[:RATE], chunk.T))
         return permute(st), None
 
-    state, _ = jax.lax.scan(body, state,
-                            jnp.arange(c // RATE, dtype=jnp.int32))
+    state, _ = jax.lax.scan(
+        body, state, off // RATE + jnp.arange(nch, dtype=jnp.int32))
     return state
 
 
@@ -356,8 +357,7 @@ def hash_rows_large(rows):
     full = nfull * RATE
     for off in range(0, full, _STREAM_COLS):
         c = min(_STREAM_COLS, full - off)
-        state = _absorb_cols(state, jax.lax.slice(rows, (0, off),
-                                                  (n, off + c)))
+        state = _absorb_cols(state, rows, jnp.int32(off), c // RATE)
     if k % RATE or k == 0:
         state = _absorb_tail(state, rows, full)
     return state[:DIGEST_LEN].T

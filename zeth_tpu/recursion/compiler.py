@@ -88,15 +88,18 @@ def expected_control_root(inner_air, po2: int) -> np.ndarray:
 
 
 def compile_verifier(inner_air, po2: int, n_publics: int,
-                     control_root=None) -> VerifierProgram:
+                     control_root=None, pub_shape=None) -> VerifierProgram:
     """Build the verifier program for proofs of (inner_air, po2, n_publics).
 
     control_root: the inner AIR's expected control root, standard form
     (8,). If None it is computed on device via the host verifier's cache
-    (requires jax).
+    (requires jax). pub_shape: extra shape token for AIRs whose publics
+    encode variable-length lists (passed to the derived-challenge hook,
+    which must assert the in-proof counts match it).
     """
     b = Builder()
-    pub_cells = emit_verify(b, inner_air, po2, n_publics, control_root)
+    pub_cells = emit_verify(b, inner_air, po2, n_publics, control_root,
+                            pub_shape=pub_shape)
     # claim: outer publics = H(po2 || H(inner publics))
     pub_digest = b.sponge_hash(pub_cells)
     claim = b.sponge_hash([b.const(po2)] + pub_digest)
@@ -113,7 +116,7 @@ def compile_verifier(inner_air, po2: int, n_publics: int,
 
 
 def emit_verify(b: Builder, inner_air, po2: int, n_publics: int,
-                control_root=None) -> list[int]:
+                control_root=None, pub_shape=None) -> list[int]:
     """Emit a full STARK verification into builder b; returns the inner
     publics cells (stream inputs, for the caller's claim binding)."""
     if control_root is None:
@@ -159,7 +162,8 @@ def emit_verify(b: Builder, inner_air, po2: int, n_publics: int,
     # derived challenge scalars (AIR hook; componentized for the tape)
     n_derived = getattr(inner_air, "n_derived", 0)
     if n_derived:
-        derived = inner_air.derived_challenges_rec(b, pub_cells, chal_ext)
+        derived = inner_air.derived_challenges_rec(b, pub_cells, chal_ext,
+                                                   pub_shape)
         assert len(derived) == n_derived
         for d in derived:
             chal_comps.append(b.ext_components(d))
@@ -410,10 +414,9 @@ def proof_to_stream(vp: VerifierProgram, proof) -> np.ndarray:
             op = fp.openings[qi][ell]
             put(op.row)
             put(op.path)
-    stream = np.array(out, dtype=np.uint64)
-    assert stream.shape[0] == vp.program.n_stream, \
-        f"stream {stream.shape[0]} != program {vp.program.n_stream}"
-    return stream
+    # callers check total length against their program's n_stream (a join
+    # program consumes the concatenation of two of these streams)
+    return np.array(out, dtype=np.uint64)
 
 
 def claim_digest(po2: int, publics) -> np.ndarray:

@@ -59,12 +59,19 @@ _LIFT_CACHE: dict = {}
 _JOIN_CACHE: dict = {}
 
 
-def lift_program(inner_air, po2: int, n_publics: int
+def publics_shape(air, publics):
+    """Shape token distinguishing list splits in same-length publics."""
+    hook = getattr(air, "publics_shape", None)
+    return hook(publics) if hook else None
+
+
+def lift_program(inner_air, po2: int, n_publics: int, pub_shape=None
                  ) -> compiler.VerifierProgram:
-    key = (inner_air.name, po2, n_publics)
+    key = (inner_air.name, po2, n_publics, pub_shape)
     vp = _LIFT_CACHE.get(key)
     if vp is None:
-        vp = compiler.compile_verifier(inner_air, po2, n_publics)
+        vp = compiler.compile_verifier(inner_air, po2, n_publics,
+                                       pub_shape=pub_shape)
         _LIFT_CACHE[key] = vp
     return vp
 
@@ -72,7 +79,7 @@ def lift_program(inner_air, po2: int, n_publics: int
 def _rec_shape(vp) -> compiler.VerifierProgram:
     """The VerifierProgram describing proofs *of* vp's own program (i.e.
     the shape a parent join must verify)."""
-    air = vp.air() if isinstance(vp, compiler.VerifierProgram) else vp.air()
+    air = vp.air()
     po2 = vp.program.po2()
     domains, deg_fin, _, _ = compiler._fri_layout(po2)
     return compiler.VerifierProgram(
@@ -125,6 +132,8 @@ class RecReceipt:
 
 def _prove_program(program: vm.Program, stream: np.ndarray,
                    claim: np.ndarray, node) -> RecReceipt:
+    assert stream.shape[0] == program.n_stream, \
+        f"stream {stream.shape[0]} != program {program.n_stream}"
     air = vm.RecursionAir(program)
     main, wom = air.witgen(stream)
     publics = [int(x) for x in claim]
@@ -135,7 +144,8 @@ def _prove_program(program: vm.Program, stream: np.ndarray,
 
 def lift(inner_air, inner_proof) -> RecReceipt:
     """Prove in-circuit that inner_proof verifies; returns the receipt."""
-    vp = lift_program(inner_air, inner_proof.po2, len(inner_proof.publics))
+    vp = lift_program(inner_air, inner_proof.po2, len(inner_proof.publics),
+                      publics_shape(inner_air, inner_proof.publics))
     stream = compiler.proof_to_stream(vp, inner_proof)
     claim = compiler.claim_digest(inner_proof.po2, inner_proof.publics)
     return _prove_program(vp.program, stream, claim, vp)
@@ -143,10 +153,7 @@ def lift(inner_air, inner_proof) -> RecReceipt:
 
 def join(left: RecReceipt, right: RecReceipt) -> RecReceipt:
     """Prove in-circuit that both children's proofs verify."""
-    jp = join_program(left.node if isinstance(left.node, compiler.VerifierProgram)
-                      else _rec_shape(left.node),
-                      right.node if isinstance(right.node, compiler.VerifierProgram)
-                      else _rec_shape(right.node))
+    jp = join_program(left.node, right.node)
     stream = np.concatenate([
         compiler.proof_to_stream(jp.left, left.proof),
         compiler.proof_to_stream(jp.right, right.proof)])
@@ -199,17 +206,12 @@ def verify_root(receipt: RecReceipt, inner_air, inner_po2s: list,
     if not (np.asarray(receipt.claim, np.uint64) == want).all():
         raise verifier_mod.VerificationError("root claim mismatch")
     # rebuild the expected root program for the claimed shapes
-    nodes = [lift_program(inner_air, p, len(pub))
+    nodes = [lift_program(inner_air, p, len(pub),
+                          publics_shape(inner_air, pub))
              for p, pub in zip(inner_po2s, inner_publics)]
     while len(nodes) > 1:
-        nxt = []
-        for i in range(0, len(nodes) - 1, 2):
-            nxt.append(join_program(
-                nodes[i] if isinstance(nodes[i], compiler.VerifierProgram)
-                else _rec_shape(nodes[i]),
-                nodes[i + 1] if isinstance(nodes[i + 1],
-                                           compiler.VerifierProgram)
-                else _rec_shape(nodes[i + 1])))
+        nxt = [join_program(nodes[i], nodes[i + 1])
+               for i in range(0, len(nodes) - 1, 2)]
         if len(nodes) % 2:
             nxt.append(nodes[-1])
         nodes = nxt

@@ -118,6 +118,26 @@ class SegmentsInner:
 
 
 @dataclass
+class SuccinctInner:
+    """ONE root recursion proof for the whole execution (post lift/join).
+
+    The per-segment publics travel in the clear (they are public); each
+    is bound to a lift claim digest, folded up the in-circuit join tree
+    to the root proof's 8-element public claim — so verification costs
+    ONE STARK verify plus cheap host hashing/chain replay, independent of
+    segment count (the reference's succinct receipt, SURVEY.md §2.2
+    risc0-circuit-recursion)."""
+    root_seal: np.ndarray           # encoded recursion StarkProof
+    segment_publics: list           # [segment][...] public values
+    segment_po2s: list              # [segment] inner trace po2
+    image_addrs: np.ndarray = None
+    image_words: np.ndarray = None
+    entry_pc: int = 0
+    keccak_seal: np.ndarray = None
+    kind: str = "succinct"
+
+
+@dataclass
 class Receipt:
     journal: bytes
     claim: ReceiptClaim
@@ -167,6 +187,47 @@ class Receipt:
                         "keccak accelerator IO does not match the "
                         "segments' bound IO stream")
             return
+        if isinstance(self.inner, SuccinctInner):
+            from .circuits import keccak as keccak_air
+            from .circuits import rv32im as rv
+            from .executor import image_id_from_parts
+            from .recursion import succinct
+            from .zkp import proof as proof_mod
+            from .zkp import verifier as verifier_mod
+            got = image_id_from_parts(self.inner.entry_pc,
+                                      self.inner.image_addrs,
+                                      self.inner.image_words)
+            if not (got == np.asarray(self.claim.image_id, np.uint64)).all():
+                raise VerificationError("program image does not match image id")
+            air = rv.Rv32imAir(self.inner.image_addrs,
+                               self.inner.image_words)
+            root = succinct.RecReceipt(
+                proof=proof_mod.decode(self.inner.root_seal),
+                claim=None, node=None)
+            root.claim = np.asarray(root.proof.publics, np.uint64)
+            try:
+                succinct.verify_root(root, air, self.inner.segment_po2s,
+                                     self.inner.segment_publics)
+            except verifier_mod.VerificationError as e:
+                raise VerificationError(f"succinct receipt: {e}") from e
+            acc_words = None
+            if self.inner.keccak_seal is not None:
+                try:
+                    acc_words = keccak_air.verify_batch(self.inner.keccak_seal)
+                except Exception as e:
+                    raise VerificationError(
+                        f"keccak accelerator seal: {e}") from e
+            out = rv.verify_chain(
+                self.inner.segment_publics, self.claim,
+                self.inner.image_addrs, self.inner.image_words,
+                self.inner.entry_pc, keccak_checked=acc_words is not None)
+            if acc_words is not None:
+                seg_words = out["keccak_words"]
+                if acc_words[:len(seg_words)] != seg_words:
+                    raise VerificationError(
+                        "keccak accelerator IO does not match the "
+                        "segments' bound IO stream")
+            return
         raise VerificationError(f"unknown receipt kind: {self.inner!r}")
 
 
@@ -207,7 +268,11 @@ class DevModeProver:
 
 
 class LocalProver:
-    """Executes, then STARK-proves every segment on the device."""
+    """Executes, then STARK-proves every segment on the device.
+
+    With ZETH_SUCCINCT=1, additionally lifts every segment seal into the
+    recursion circuit and joins them to ONE root proof (succinct
+    receipt); otherwise the receipt carries the per-segment seals."""
 
     name = "local"
 
@@ -228,11 +293,25 @@ class LocalProver:
                 and len(ex.keccak_inputs):
             from .circuits import keccak as keccak_air
             keccak_seal, _ = keccak_air.prove_batch(ex.keccak_inputs)
-        receipt = Receipt(journal=res.journal, claim=claim,
-                          inner=SegmentsInner(seals=seals, image_addrs=img_a,
-                                              image_words=img_w,
-                                              entry_pc=entry_pc,
-                                              keccak_seal=keccak_seal))
+        if os.environ.get("ZETH_SUCCINCT", "0") == "1":
+            from .circuits.rv32im import Rv32imAir
+            from .recursion import succinct
+            from .zkp import proof as proof_mod
+            air = Rv32imAir(img_a, img_w)
+            proofs = [proof_mod.decode(s) for s in seals]
+            root = succinct.aggregate(air, proofs)
+            inner = SuccinctInner(
+                root_seal=proof_mod.encode(root.proof),
+                segment_publics=[[int(p) for p in pf.publics]
+                                 for pf in proofs],
+                segment_po2s=[pf.po2 for pf in proofs],
+                image_addrs=img_a, image_words=img_w, entry_pc=entry_pc,
+                keccak_seal=keccak_seal)
+        else:
+            inner = SegmentsInner(seals=seals, image_addrs=img_a,
+                                  image_words=img_w, entry_pc=entry_pc,
+                                  keccak_seal=keccak_seal)
+        receipt = Receipt(journal=res.journal, claim=claim, inner=inner)
         stats = SessionStats(
             user_cycles=res.user_cycles, paging_cycles=res.paging_cycles,
             total_cycles=res.total_cycles, keccak_calls=res.keccak_calls,
