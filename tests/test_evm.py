@@ -363,3 +363,210 @@ def test_create_contract_tx():
     txs = [_signed_tx(0, None, 0, initcode, gas=100_000)]
     d, header, gas = _mk_block(txs)
     assert validate_block(StatelessInput.from_json(d), MAINNET) == header.hash()
+
+
+# -- orphan recovery in preflight (trie.rs:104-140, rpc.rs:45-95) ------------
+
+def _storage_pre_state(slots: dict):
+    """Pre-state with CONTRACT holding `slots` ({int: int})."""
+    alice = _address_of(PRIV_A)
+    st = Trie()
+    for k, v in slots.items():
+        st.insert(keccak256(k.to_bytes(32, "big")), rlp.encode(v))
+    t = Trie()
+    t.insert(keccak256(alice),
+             Account(0, 10**18, EMPTY_ROOT, EMPTY_CODE_HASH).encode())
+    t.insert(keccak256(CONTRACT),
+             Account(1, 0, st.root_hash(), keccak256(CODE)).encode())
+    return t, st, alice
+
+
+def _mk_storage_block(slots: dict):
+    """Block with one tx that deletes CONTRACT slot 0 (SSTORE(0, 0))."""
+    from zeth_tpu.app.evm import encode_receipt
+
+    t, st, alice = _storage_pre_state(slots)
+    pre_root = t.root_hash()
+    state = SparseState(pre_root, t.rlp_nodes() + st.rlp_nodes(), [CODE])
+    be = BlockEvm(state, {})
+    be.set_block(coinbase=COINBASE, number=101, timestamp=1_800_000_000,
+                 gas_limit=30_000_000, basefee=7, prevrandao=b"\x00" * 32,
+                 blob_basefee=0, chain_id=1)
+    tx = _signed_tx(0, CONTRACT, 0, b"\x00" * 32)
+    eff, tip = tx.effective_gas_price(7)
+    res = be.exec_tx(sender=tx.sender(), to=tx.to, value=tx.value,
+                     gas_limit=tx.gas_limit, eff_gas_price=eff,
+                     tip_per_gas=tip, data=tx.data,
+                     access_list=tx.access_list, nonce=tx.nonce)
+    diff = be.state_diff()
+    post_root = state.calculate_state_root(diff)
+    parent = Header({
+        "parent_hash": b"\x11" * 32,
+        "ommers_hash": keccak256(rlp.encode([])),
+        "beneficiary": COINBASE, "state_root": pre_root,
+        "transactions_root": EMPTY_ROOT, "receipts_root": EMPTY_ROOT,
+        "logs_bloom": b"\x00" * 256, "difficulty": 0, "number": 100,
+        "gas_limit": 30_000_000, "gas_used": 0,
+        "timestamp": 1_799_999_988, "extra_data": b"",
+        "mix_hash": b"\x00" * 32, "nonce": b"\x00" * 8,
+        "base_fee_per_gas": 7, "withdrawals_root": EMPTY_ROOT,
+        "blob_gas_used": 0, "excess_blob_gas": 0,
+        "parent_beacon_block_root": b"\x00" * 32,
+    })
+    header = Header(dict(parent.fields))
+    header.fields.update({
+        "parent_hash": parent.hash(), "number": 101,
+        "timestamp": 1_800_000_000, "state_root": post_root,
+        "transactions_root": trie_root([tx.encode()]),
+        "receipts_root": trie_root([encode_receipt(
+            tx.type, res.status, res.gas_used, res.logs)]),
+        "logs_bloom": logs_bloom(res.logs),
+        "gas_used": res.gas_used,
+    })
+    return parent, header, [tx]
+
+
+class _MinimalProofUpstream:
+    """Tag-aware upstream serving MINIMAL path proofs (unlike
+    _FakeUpstream's everything-dump) plus debug_storageRangeAt, so the
+    preflight's orphan recovery actually has work to do."""
+
+    def __init__(self, parent, header, txs, slots):
+        self.parent, self.header, self.txs = parent, header, txs
+        self.pre_t, self.pre_st, _ = _storage_pre_state(slots)
+        # post-state tries (slot 0 deleted; fee/nonce account updates
+        # irrelevant to minimality — serve account proofs from pre)
+        import copy
+        self.post_st = Trie.from_rlp_nodes(self.pre_st.rlp_nodes(),
+                                           self.pre_st.root_hash())
+        self.post_st.delete(keccak256((0).to_bytes(32, "big")))
+        self.slots = dict(slots)
+        self.calls = []
+
+    def call(self, method, params):
+        self.calls.append(method)
+        if method == "debug_executionWitness":
+            raise RuntimeError("not supported")
+        if method == "eth_chainId":
+            return "0x1"
+        if method == "eth_getBlockByNumber":
+            hj = {k: (hex(v) if isinstance(v, int) else "0x" + v.hex())
+                  for k, v in self.header.fields.items()}
+            hj["parentHash"] = "0x" + self.header.parent_hash.hex()
+            hj["transactions"] = [_tx_json(tx) for tx in self.txs]
+            hj["withdrawals"] = []
+            return hj
+        if method == "eth_getBlockByHash":
+            return {k: (hex(v) if isinstance(v, int) else "0x" + v.hex())
+                    for k, v in self.parent.fields.items()}
+        if method == "eth_getProof":
+            addr = bytes.fromhex(params[0][2:])
+            tag = params[2]
+            post = (int(tag, 16) == self.header.fields["number"])
+            strie = self.post_st if post else self.pre_st
+            raw = self.pre_t.get(keccak256(addr))
+            acct = Account.decode(raw) if raw else None
+            sproofs = []
+            for k in params[1]:
+                kb = bytes.fromhex(k[2:]).rjust(32, b"\x00")
+                if addr == CONTRACT:
+                    ns = strie.proof_nodes(keccak256(kb))
+                else:
+                    ns = []
+                sproofs.append({"key": k,
+                                "proof": ["0x" + n.hex() for n in ns]})
+            return {
+                "balance": hex(acct.balance if acct else 0),
+                "nonce": hex(acct.nonce if acct else 0),
+                "codeHash": "0x" + (acct.code_hash.hex() if acct
+                                    else EMPTY_CODE_HASH.hex()),
+                "storageHash": "0x" + (acct.storage_root.hex() if acct
+                                       else EMPTY_ROOT.hex()),
+                "accountProof": ["0x" + n.hex()
+                                 for n in self.pre_t.proof_nodes(
+                                     keccak256(addr))],
+                "storageProof": sproofs,
+            }
+        if method == "eth_getStorageAt":
+            slot = int(params[1], 16)
+            return hex(self.slots.get(slot, 0))
+        if method == "eth_getCode":
+            return "0x" + CODE.hex()
+        if method == "debug_storageRangeAt":
+            _, _, addr_hex, start_hex, limit = params
+            assert bytes.fromhex(addr_hex[2:]) == CONTRACT
+            start = bytes.fromhex(start_hex[2:])
+            entries = sorted(
+                (keccak256(k.to_bytes(32, "big")), k)
+                for k in self.slots)
+            for hk, k in entries:
+                if hk >= start:
+                    return {"storage": {"0x" + hk.hex(): {
+                        "key": "0x" + k.to_bytes(32, "big").hex(),
+                        "value": hex(self.slots[k])}}}
+            return {"storage": {}}
+        raise RuntimeError(f"unexpected rpc {method}")
+
+
+def _find_orphan_slots(branch_sibling: bool):
+    """Slots (a, b) whose hashed keys share first nibble n1 != slot0's
+    first nibble; branch_sibling picks 2nd nibbles apart (sibling is a
+    branch — un-merge impossible) vs only `a` (leaf sibling)."""
+    n0 = keccak256((0).to_bytes(32, "big"))[0] >> 4
+    first = {}
+    for s in range(1, 4000):
+        h = keccak256(s.to_bytes(32, "big"))
+        if h[0] >> 4 == n0:
+            continue
+        key = h[0] >> 4
+        if not branch_sibling:
+            return (s,)
+        if key in first:
+            other, oh = first[key]
+            if (oh[0] ^ h[0]) & 0xF:        # 2nd nibble differs
+                return (other, s)
+        else:
+            first[key] = (s, h)
+    raise AssertionError("no slot pair found")
+
+
+def test_preflight_unmerge_leaf_orphan():
+    """Deleting a slot whose only neighbour is one untouched leaf: the
+    post-state proof contains the merged leaf; un-merge recovers the
+    pre-state sibling with NO debug_storageRangeAt call."""
+    from zeth_tpu.app.rpc_proxy import execution_witness
+    (a,) = _find_orphan_slots(branch_sibling=False)
+    slots = {0: 7, a: 9}
+    parent, header, txs = _mk_storage_block(slots)
+    up = _MinimalProofUpstream(parent, header, txs, slots)
+    wit = execution_witness(up, hex(header.number), chain_id=1)
+    assert "debug_storageRangeAt" not in up.calls
+    d = {"block": {"header": {k: (v if isinstance(v, int)
+                                  else "0x" + v.hex())
+                              for k, v in header.fields.items()},
+                   "body": {"transactions": [_tx_json(t) for t in txs],
+                            "withdrawals": []}},
+         "witness": wit}
+    assert validate_block(StatelessInput.from_json(d),
+                          MAINNET) == header.hash()
+
+
+def test_preflight_storage_range_hunt():
+    """Deleting a slot whose untouched neighbour subtree is a BRANCH:
+    un-merge cannot reconstruct it, so the preflight must hunt a key
+    preimage via debug_storageRangeAt and fetch its pre-state proof."""
+    from zeth_tpu.app.rpc_proxy import execution_witness
+    a, b = _find_orphan_slots(branch_sibling=True)
+    slots = {0: 7, a: 9, b: 11}
+    parent, header, txs = _mk_storage_block(slots)
+    up = _MinimalProofUpstream(parent, header, txs, slots)
+    wit = execution_witness(up, hex(header.number), chain_id=1)
+    assert "debug_storageRangeAt" in up.calls
+    d = {"block": {"header": {k: (v if isinstance(v, int)
+                                  else "0x" + v.hex())
+                              for k, v in header.fields.items()},
+                   "body": {"transactions": [_tx_json(t) for t in txs],
+                            "withdrawals": []}},
+         "witness": wit}
+    assert validate_block(StatelessInput.from_json(d),
+                          MAINNET) == header.hash()

@@ -175,10 +175,113 @@ def execution_witness(upstream, block_number: str, spec) -> dict:
         flip = [s for s, v in slots.items()]
         fetch_proof(addr, sorted(flip), post_tag)
 
+    # -- witness self-check + orphan recovery -------------------------------
+    # Replay the post-state root computation over the assembled node set.
+    # A deletion that collapses a branch into an untouched sibling raises
+    # MissingNode with the sibling's path prefix; recover its RLP by
+    # (a) un-merging a post-state proof node (the reference's
+    # resolve_orphan, trie.rs:104-118), else (b) hunting a key preimage
+    # under the prefix via debug_storageRangeAt and fetching its
+    # pre-state proof (rpc.rs:45-95).
+    from .state import SparseState
+    from .trie import MissingNode
+
     codes = [c for h, c in state.codes.items() if c]
+    node_bytes = [_to_bytes(n) for n in nodes]
+    root = None
+    for _ in range(64):
+        ss = SparseState(parent.state_root, node_bytes, codes)
+        try:
+            root = ss.calculate_state_root(diff)
+            break
+        except MissingNode as e:
+            want = bytes.fromhex(e.digest_hex)
+            unmerged = _unmerge_orphan(node_bytes, want)
+            if unmerged is not None:
+                node_bytes.append(unmerged)
+                add_nodes([_hx(unmerged)])
+                continue
+            if e.address is None or not e.prefix:
+                raise ValidationError(
+                    f"witness insufficient: unresolved node {e.digest_hex}"
+                    " outside any storage trie") from e
+            key = _next_storage_key(upstream, _hx(header.hash()),
+                                    e.address, e.prefix)
+            before = len(nodes)
+            fetch_proof(e.address, [key], parent_tag)
+            if len(nodes) == before:
+                raise ValidationError(
+                    "orphan recovery made no progress for "
+                    f"0x{e.address.hex()} prefix {e.prefix}") from e
+            node_bytes = [_to_bytes(n) for n in nodes]
+    else:
+        raise ValidationError("orphan recovery did not converge")
+    if root != header.state_root:
+        raise ValidationError(
+            "assembled witness does not reproduce the header state root")
     return {
         "state": nodes,
         "codes": [_hx(c) for c in codes],
         "keys": [],
         "headers": [_hx(r) for r in header_rlps],
     }
+
+
+def _unmerge_orphan(node_bytes: list[bytes], want: bytes):
+    """Derive a pre-state sibling node from post-state proof nodes.
+
+    After deleting the last other child of a branch, the sibling S moves
+    up: post-state contains S' = S with the branch nibble prepended to
+    its path. Reverse it: for every witness leaf/extension node, strip
+    the first path nibble and check the re-encoding hashes to the
+    missing digest (risc0-ethereum-trie orphan resolution's role)."""
+    from . import rlp as rlp_mod
+    from .trie import decode_hex_prefix, hex_prefix
+
+    for raw in node_bytes:
+        try:
+            items = rlp_mod.decode_full(raw)
+        except Exception:
+            continue
+        if not isinstance(items, list) or len(items) != 2:
+            continue
+        try:
+            path, leaf = decode_hex_prefix(bytes(items[0]))
+        except Exception:
+            continue
+        if not path:
+            continue
+        stripped = rlp_mod.encode(
+            [hex_prefix(tuple(path[1:]), leaf), items[1]])
+        if len(stripped) >= 32 and keccak256(stripped) == want:
+            return stripped
+    return None
+
+
+def _next_storage_key(upstream, block_hash_hex: str, address: bytes,
+                      prefix: tuple) -> bytes:
+    """debug_storageRangeAt preimage hunt: the next storage key whose
+    keccak starts with `prefix` nibbles, at the pre-state of the block
+    (txIndex 0). Sanity-checks the wonky RPC (rpc.rs:87-91)."""
+    packed = bytearray()
+    for i in range(0, len(prefix) - 1, 2):
+        packed.append(prefix[i] << 4 | prefix[i + 1])
+    if len(prefix) % 2:
+        packed.append(prefix[-1] << 4)
+    start = bytes(packed).ljust(32, b"\x00")
+    resp = upstream.call("debug_storageRangeAt",
+                         [block_hash_hex, 0, _hx(address), _hx(start), 1])
+    storage = resp.get("storage") or {}
+    for _, entry in storage.items():
+        key = entry.get("key")
+        if key is None:
+            raise ValidationError(
+                "preimage storage key missing from debug_storageRangeAt")
+        kb = _to_bytes(key).rjust(32, b"\x00")
+        kn = []
+        for b in keccak256(kb):
+            kn.extend((b >> 4, b & 0xF))
+        if tuple(kn[:len(prefix)]) != tuple(prefix):
+            raise ValidationError("invalid debug_storageRangeAt response")
+        return kb
+    raise ValidationError("no storage slot from debug_storageRangeAt")

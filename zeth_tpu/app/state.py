@@ -94,10 +94,16 @@ class SparseState:
             trie = self.storage_trie(address)
             slot_ins = [(s, v) for s, v in storage.items() if v != 0]
             slot_del = [s for s, v in storage.items() if v == 0]
-            for s, v in slot_ins:
-                trie.insert(keccak256(s), rlp.encode(v))
-            for s in slot_del:
-                trie.delete(keccak256(s))
+            try:
+                for s, v in slot_ins:
+                    trie.insert(keccak256(s), rlp.encode(v))
+                for s in slot_del:
+                    trie.delete(keccak256(s))
+            except MissingNode as e:
+                # annotate which account's storage trie was insufficient
+                # so preflight's orphan recovery can hunt a key preimage
+                e.address = address
+                raise
             prev = self.account(address)
             acct = Account(
                 nonce=fields.get("nonce", prev.nonce if prev else 0),

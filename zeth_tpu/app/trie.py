@@ -23,7 +23,20 @@ EMPTY_ROOT = bytes.fromhex(
 
 
 class MissingNode(Exception):
-    """Lookup/update hit an unresolved digest node."""
+    """Lookup/update hit an unresolved digest node.
+
+    Carries the digest (hex) and, where known, the nibble-path prefix of
+    the unresolved node from the trie root — the signal preflight's
+    orphan recovery needs to hunt a key preimage under that prefix
+    (the reference's orphan::Error::Unresolvable, trie.rs:120-137).
+    `address` is annotated by SparseState when the trie is a storage trie.
+    """
+
+    def __init__(self, digest_hex: str, prefix: tuple | None = None):
+        super().__init__(digest_hex)
+        self.digest_hex = digest_hex
+        self.prefix = prefix
+        self.address: bytes | None = None
 
 
 @dataclass
@@ -161,25 +174,47 @@ class Trie:
         _collect(self.root, out)
         return out
 
+    def proof_nodes(self, key: bytes) -> list[bytes]:
+        """Minimal eth_getProof-style path proof: the hash-referenced
+        nodes walked from the root toward `key`, root first."""
+        out: list[bytes] = []
+        node, path = self.root, nibbles(key)
+        while node is not None and not isinstance(node, Digest):
+            enc = _encode(node)
+            if len(enc) >= 32:
+                out.append(enc)
+            if isinstance(node, Leaf):
+                break
+            if isinstance(node, Extension):
+                k = len(node.path)
+                if tuple(path[:k]) != node.path:
+                    break
+                node, path = node.child, path[k:]
+            else:                       # Branch
+                if not path:
+                    break
+                node, path = node.children[path[0]], path[1:]
+        return out
 
-def _get(node, path):
+
+def _get(node, path, pre=()):
     while True:
         if node is None:
             return None
         if isinstance(node, Digest):
-            raise MissingNode(node.digest.hex())
+            raise MissingNode(node.digest.hex(), pre)
         if isinstance(node, Leaf):
             return node.value if node.path == path else None
         if isinstance(node, Extension):
             k = len(node.path)
             if path[:k] != node.path:
                 return None
-            node, path = node.child, path[k:]
+            node, path, pre = node.child, path[k:], pre + node.path
             continue
         # Branch
         if not path:
             return node.value or None
-        node, path = node.children[path[0]], path[1:]
+        node, path, pre = node.children[path[0]], path[1:], pre + (path[0],)
 
 
 def _encode(node) -> bytes:
@@ -207,11 +242,11 @@ def _ref(node):
     return keccak256(enc)
 
 
-def _insert(node, path, value):
+def _insert(node, path, value, pre=()):
     if node is None:
         return Leaf(tuple(path), value)
     if isinstance(node, Digest):
-        raise MissingNode(node.digest.hex())
+        raise MissingNode(node.digest.hex(), pre)
     if isinstance(node, Leaf):
         if node.path == path:
             return Leaf(node.path, value)
@@ -225,7 +260,8 @@ def _insert(node, path, value):
     if isinstance(node, Extension):
         k = len(node.path)
         if path[:k] == node.path:
-            return Extension(node.path, _insert(node.child, path[k:], value))
+            return Extension(node.path, _insert(node.child, path[k:], value,
+                                                pre + node.path))
         common = _common(node.path, path)
         c = len(common)
         branch = Branch([None] * 16, b"")
@@ -241,7 +277,8 @@ def _insert(node, path, value):
     if not path:
         return Branch(node.children[:], value)
     ch = node.children[:]
-    ch[path[0]] = _insert(node.children[path[0]], path[1:], value)
+    ch[path[0]] = _insert(node.children[path[0]], path[1:], value,
+                          pre + (path[0],))
     return Branch(ch, node.value)
 
 
@@ -252,27 +289,28 @@ def _branch_put(branch, path, value, leaf):
     branch.children[path[0]] = Leaf(tuple(path[1:]), value)
 
 
-def _delete(node, path):
+def _delete(node, path, pre=()):
     if node is None:
         return None
     if isinstance(node, Digest):
-        raise MissingNode(node.digest.hex())
+        raise MissingNode(node.digest.hex(), pre)
     if isinstance(node, Leaf):
         return None if node.path == path else node
     if isinstance(node, Extension):
         k = len(node.path)
         if path[:k] != node.path:
             return node
-        child = _delete(node.child, path[k:])
+        child = _delete(node.child, path[k:], pre + node.path)
         return _normalize_extension(node.path, child)
     # Branch
     if not path:
         node = Branch(node.children[:], b"")
     else:
         ch = node.children[:]
-        ch[path[0]] = _delete(node.children[path[0]], path[1:])
+        ch[path[0]] = _delete(node.children[path[0]], path[1:],
+                              pre + (path[0],))
         node = Branch(ch, node.value)
-    return _normalize_branch(node)
+    return _normalize_branch(node, pre)
 
 
 def _normalize_extension(path, child):
@@ -285,7 +323,7 @@ def _normalize_extension(path, child):
     return Extension(tuple(path), child)
 
 
-def _normalize_branch(node):
+def _normalize_branch(node, pre=()):
     live = [(i, c) for i, c in enumerate(node.children) if c is not None]
     if node.value:
         if not live:
@@ -297,8 +335,9 @@ def _normalize_branch(node):
         return None
     i, c = live[0]
     if isinstance(c, Digest):
-        # cannot collapse through an unresolved node
-        raise MissingNode(c.digest.hex())
+        # cannot collapse through an unresolved node: the deletion
+        # orphaned the sibling at prefix pre+(i,) (trie.rs:104-110)
+        raise MissingNode(c.digest.hex(), pre + (i,))
     return _normalize_extension((i,), c)
 
 
