@@ -272,3 +272,54 @@ def test_forged_divu_result_and_remainder_detected():
     m4 = main.copy()
     m4[dz[0], LAYOUT.idx("res", 0)] ^= 1
     assert check_constraints(air, ctrl, m4, _aux(air, m4, pubs), pubs, CHAL) != {}
+
+
+# -- bigint accelerator syscall binding --------------------------------------
+
+
+def test_bigint_guest_satisfies_constraints():
+    a, b, m = 0xDEADBEEF_CAFEBABE, 0x12345678_9ABCDEF0, (1 << 89) - 1
+    air, ctrl, main, pubs = _witness(guests.bigint_guest(a, b, m, reps=2))
+    assert _check(air, ctrl, main, pubs) == {}
+    from zeth_tpu.circuits.rv32im import parse_publics
+    bw = parse_publics(pubs)["bigint_words"]
+    assert len(bw) == 64          # 2 calls x 32 words
+    got_r = sum(bw[24 + w] << (32 * w) for w in range(8))
+    assert got_r == a * b % m
+
+
+def test_forged_bigint_result_detected():
+    """Flipping a bound result word breaks the in-circuit bigint IO RLC
+    against the public list (or, with the public also changed, the
+    verifier's host recompute)."""
+    a, b, m = 98765, 43210, (1 << 61) - 1
+    air, ctrl, main, pubs = _witness(guests.bigint_guest(a, b, m))
+    from zeth_tpu.circuits.rv32im import LAYOUT as L, parse_publics
+    sm5 = np.where(main[:, L.idx("sm_str", 5)] == 1)[0]
+    assert len(sm5) == 8          # 8 write rows
+    row = sm5[0]
+    main2 = main.copy()
+    main2[row, L.idx("mwnew", 0)] ^= 1
+    assert _check(air, ctrl, main2, pubs) != {}
+    # forging the public list word too: host recompute catches it
+    pp = parse_publics(pubs)
+    from zeth_tpu.circuits.rv32im import verify_chain
+    from zeth_tpu.zkvm import ReceiptClaim, VerificationError
+    import hashlib
+    elf = guests.bigint_guest(a, b, m)
+    entry, ia, iw = load_image(elf)
+    journal = b"".join(int(w).to_bytes(4, "little")
+                       for w in pp["journal_words"])
+    claim = ReceiptClaim(
+        image_id=np.zeros(8, np.uint64), exit_code=0,
+        journal_digest=hashlib.sha256(journal).digest())
+    verify_chain([pubs], claim, ia, iw, entry)     # sanity: passes
+    bad = list(pubs)
+    # locate the first result limb in the flat publics: header 12 +
+    # 4*(n_init+n_fin) + 2*n_j then keccak then bigint... use parse order
+    n_init, n_fin = len(pp["mem_init"]), len(pp["mem_fin"])
+    n_j, n_k = len(pp["journal_words"]), len(pp["keccak_words"])
+    off = 12 + 4 * (n_init + n_fin) + 2 * (n_j + n_k) + 2 * 24
+    bad[off] ^= 1                 # low limb of the first result word
+    with pytest.raises(VerificationError):
+        verify_chain([bad], claim, ia, iw, entry)

@@ -74,3 +74,26 @@ def test_keccak_guest_accelerator_linked():
     # dropping the accelerator seal falls back to host recompute (still ok)
     info.receipt.inner.keccak_seal = None
     info.receipt.verify(compute_image_id(elf))
+
+
+def test_bigint_accelerator_resolve_roundtrip():
+    """A guest using the bigint syscall proves end-to-end; the attached
+    accelerator seal discharges the segment's bigint claims (resolve),
+    and a receipt with a forged accelerator seal is rejected."""
+    from zeth_tpu import zkvm
+    from zeth_tpu.executor import compute_image_id, guests
+
+    a, b, m = 1234567, 7654321, (1 << 31) - 1
+    elf = guests.bigint_guest(a, b, m, reps=2)
+    env = zkvm.ExecutorEnv.builder().build()
+    info = zkvm.LocalProver().prove(env, elf)
+    assert info.receipt.inner.bigint_seal is not None
+    want = a * b % m
+    want = want * b % m
+    assert int.from_bytes(info.receipt.journal, "little") == want
+    info.receipt.verify(compute_image_id(elf))
+    bad = info.receipt.inner.bigint_seal.copy()
+    bad[100] ^= 1
+    info.receipt.inner.bigint_seal = bad
+    with pytest.raises(zkvm.VerificationError):
+        info.receipt.verify(compute_image_id(elf))

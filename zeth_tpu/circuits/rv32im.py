@@ -66,10 +66,12 @@ MS_ORD_BITS = 30     # mem arg: word-address diffs < 2^30
 # classes whose result is written back to rd
 WB_CLASSES = ("LUI", "AUIPC", "JAL", "JALR", "OPIMM", "OP", "LOAD")
 # syscall numbers (one-hot "sk" selector order; zkVM ABI in executor)
-SYSCALLS = ("HALT", "READ", "COMMIT", "LOG", "CYCLE", "KECCAK")
+SYSCALLS = ("HALT", "READ", "COMMIT", "LOG", "CYCLE", "KECCAK",
+            "BIGINT")
 # SYSMEM stream one-hot order: input write / journal read / keccak read /
-# keccak write (trace stream tags SM_* in the executor)
-SM_STREAMS = ("in_w", "j_r", "k_r", "k_w")
+# keccak write / bigint read / bigint write (trace stream tags SM_* in
+# the executor)
+SM_STREAMS = ("in_w", "j_r", "k_r", "k_w", "b_r", "b_w")
 
 
 class Layout:
@@ -103,10 +105,12 @@ class Layout:
             ("mword", 32), ("mwnew", 32), ("bsel", 4),
             # SYSMEM run structure: stream one-hot, base addr (a0 of the
             # initiating ecall), +4 chain carry, words-remaining counter,
-            # rem==1 / rem==51 indicators (keccak pre->post switch)
-            ("sm_str", 4), ("sm_base_l", 1), ("sm_base_h", 1), ("sm_c", 1),
+            # rem==1 / rem==51 / rem==9 indicators (keccak / bigint
+            # read->write switch rows)
+            ("sm_str", 6), ("sm_base_l", 1), ("sm_base_h", 1), ("sm_c", 1),
             ("sm_rem", 20), ("sm_eq1", 1), ("sm_eq1i", 1),
             ("sm_eq51", 1), ("sm_eq51i", 1),
+            ("sm_eq9", 1), ("sm_eq9i", 1),
             # syscall selector one-hot (SYSTEM rows; bound to a7)
             ("sk", len(SYSCALLS)),
             # sorted data-memory access trace: 2 units per row, sorted by
@@ -165,9 +169,10 @@ A_MACC = 16
 A_LI, A_LF = 17, 18      # MEMINIT / MEMFIN list-binding terms
 A_LIA, A_LFA = 19, 20    # their running sums (bound to derived scalars)
 A_RJ, A_RK = 21, 22      # journal / keccak-IO RLC chains
+A_RB = 23                # bigint-accelerator-IO RLC chain
 # (SYS_READ input words are nondeterministic witness, as in the
 # reference zkVM — they are NOT exposed or bound in publics)
-N_AUX_SLOTS = 23
+N_AUX_SLOTS = 24
 N_AUX = 4 * N_AUX_SLOTS
 
 # bit lists for immediates: entry is ("b", insn_bit_index) or 0
@@ -204,7 +209,7 @@ def _imm_value(kind: str, insn: np.ndarray) -> np.ndarray:
 _VALUE_COLS = ("eq_inv_lo", "eq_inv_hi", "rd_inv", "bz_lo_inv", "bz_hi_inv",
                "rom_m", "m_reg", "m_cyc", "m_vlo", "m_vhi",
                "ms_wa", "ms_ts", "ms_vlo", "ms_vhi", "ms_kind",
-               "sm_base_l", "sm_base_h", "sm_eq1i", "sm_eq51i")
+               "sm_base_l", "sm_base_h", "sm_eq1i", "sm_eq51i", "sm_eq9i")
 
 
 def _main_bit_mask() -> np.ndarray:
@@ -226,8 +231,9 @@ class Rv32imAir(Air):
     n_challenges = 7
     # derived (not sampled) challenge-like scalars, computed by prover AND
     # verifier from the public lists + sampled challenges:
-    # d0/d1 = MEMINIT/MEMFIN LogUp sums, d2/d3 = journal/keccak RLCs
-    n_derived = 4
+    # d0/d1 = MEMINIT/MEMFIN LogUp sums, d2/d3/d4 = journal/keccak/bigint
+    # RLCs
+    n_derived = 5
     # publics beyond index 6 are the variable-length lists; only the first
     # 7 scalars enter constraints directly
     n_public_scalars = 7
@@ -282,9 +288,10 @@ class Rv32imAir(Air):
         then the executed records (instructions + SYSMEM phantom rows);
         then n_mem MEMFIN rows; rest padding.
         """
-        from ..executor import (SM_INPUT, SM_JOURNAL, SM_KECCAK_R,
-                                SM_KECCAK_W, TR_ECALL, TR_MEM_LOAD,
-                                TR_MEM_STORE, TR_SYSMEM)
+        from ..executor import (SM_BIGINT_R, SM_BIGINT_W, SM_INPUT,
+                                SM_JOURNAL, SM_KECCAK_R, SM_KECCAK_W,
+                                TR_ECALL, TR_MEM_LOAD, TR_MEM_STORE,
+                                TR_SYSMEM)
         trace = seg.trace
         exit_pc = int(seg.exit_pc)
         entry_regs = seg.entry_regs
@@ -630,8 +637,12 @@ class Rv32imAir(Air):
         m[B:B + rows, L.idx("madd_c1")] = mc1
         m[B:B + rows, L.idx("madd_c2")] = mc2 & np.uint64(1)
         # loaded/old word; byte-select one-hot
-        sm_read = is_sm & ((sm_stream == SM_JOURNAL) | (sm_stream == SM_KECCAK_R))
-        sm_write = is_sm & ((sm_stream == SM_INPUT) | (sm_stream == SM_KECCAK_W))
+        sm_read = is_sm & ((sm_stream == SM_JOURNAL)
+                           | (sm_stream == SM_KECCAK_R)
+                           | (sm_stream == SM_BIGINT_R))
+        sm_write = is_sm & ((sm_stream == SM_INPUT)
+                            | (sm_stream == SM_KECCAK_W)
+                            | (sm_stream == SM_BIGINT_W))
         put_bits("mword", np.where(is_load | is_store | sm_read,
                                    mword_rec, 0))
         bsel_rows = np.nonzero(is_load | is_store)[0]
@@ -657,7 +668,7 @@ class Rv32imAir(Air):
         m[B + sys_rows, L.idx("sk") + a7.astype(np.int64)] = 1
         # SYSMEM stream one-hot + run structure (base/rem/carry/eq flags)
         stream_slot = {SM_INPUT: 0, SM_JOURNAL: 1, SM_KECCAK_R: 2,
-                       SM_KECCAK_W: 3}
+                       SM_KECCAK_W: 3, SM_BIGINT_R: 4, SM_BIGINT_W: 5}
         sm_rows = np.nonzero(is_sm)[0]
         for i in sm_rows:
             m[B + i, L.idx("sm_str", stream_slot[int(sm_stream[i])])] = 1
@@ -680,12 +691,16 @@ class Rv32imAir(Air):
                 m[B + run, L.idx("sm_rem", jbit)] = (rem >> jbit) & 1
             eq1 = (rem == 1).astype(np.uint64)
             eq51 = (rem == 51).astype(np.uint64)
+            eq9 = (rem == 9).astype(np.uint64)
             m[B + run, L.idx("sm_eq1")] = eq1
             m[B + run, L.idx("sm_eq51")] = eq51
+            m[B + run, L.idx("sm_eq9")] = eq9
             m[B + run, L.idx("sm_eq1i")] = inv_or_zero(
                 (rem.astype(np.int64) - 1) % P)
             m[B + run, L.idx("sm_eq51i")] = inv_or_zero(
                 np.mod(rem.astype(np.int64) - 51, P).astype(np.uint64))
+            m[B + run, L.idx("sm_eq9i")] = inv_or_zero(
+                np.mod(rem.astype(np.int64) - 9, P).astype(np.uint64))
             # +4 address chain carries (on the successor row)
             for k in range(1, run_len):
                 prev_a = int(maddr_rec[i + k - 1])
@@ -842,17 +857,20 @@ class Rv32imAir(Air):
         journal_words = [int(w) for w in mword_rec[is_sm & (sm_stream == SM_JOURNAL)]]
         keccak_words = [int(w) for w in mword_rec[
             is_sm & ((sm_stream == SM_KECCAK_R) | (sm_stream == SM_KECCAK_W))]]
+        bigint_words = [int(w) for w in mword_rec[
+            is_sm & ((sm_stream == SM_BIGINT_R) | (sm_stream == SM_BIGINT_W))]]
         publics = [entry_pc_i & 0xFFFF, entry_pc_i >> 16,
                    int(pad_pc) & 0xFFFF, int(pad_pc) >> 16,
                    halted, exit_code & 0xFFFF, exit_code >> 16,
-                   n_mem, n_mem, len(journal_words), len(keccak_words)]
+                   n_mem, n_mem, len(journal_words), len(keccak_words),
+                   len(bigint_words)]
         for a, v in zip(mem_addrs, mem_pre):
             publics += [int(a) & 0xFFFF, int(a) >> 16,
                         int(v) & 0xFFFF, int(v) >> 16]
         for a, v in zip(mem_addrs, mem_post):
             publics += [int(a) & 0xFFFF, int(a) >> 16,
                         int(v) & 0xFFFF, int(v) >> 16]
-        for w in journal_words + keccak_words:
+        for w in journal_words + keccak_words + bigint_words:
             publics += [w & 0xFFFF, w >> 16]
         return m, publics
 
@@ -975,6 +993,7 @@ class Rv32imAir(Air):
         is_memfin = sel("MEMFIN")
         smc = lambda k: main_std[:, L.idx("sm_str", k)]
         in_w, j_r, k_r, k_w = smc(0), smc(1), smc(2), smc(3)
+        b_r, b_w = smc(4), smc(5)
         wa = bits("maddr", 2, 32)
         mword_lo, mword_hi = bits("mword", 0, 16), bits("mword", 16, 32)
         mwnew_lo, mwnew_hi = bits("mwnew", 0, 16), bits("mwnew", 16, 32)
@@ -982,8 +1001,8 @@ class Rv32imAir(Air):
         def fpm(wav, ts, vlo, vhi, wr, kind):
             return fingerprint((wav, ts, vlo, vhi, wr, kind), g5p)
 
-        act_r = (is_load + is_store + is_memfin + j_r + k_r) % PU
-        act_w = (is_store + is_meminit + in_w + k_w) % PU
+        act_r = (is_load + is_store + is_memfin + j_r + k_r + b_r) % PU
+        act_w = (is_store + is_meminit + in_w + k_w + b_w) % PU
         mu_r = term(g4, fpm(wa, 2 * cyc, mword_lo, mword_hi, 0,
                             2 * is_memfin), act_r)
         mu_w = term(g4, fpm(wa, 2 * cyc + 1, mwnew_lo, mwnew_hi, 1,
@@ -1035,12 +1054,16 @@ class Rv32imAir(Air):
         k_lo = (k_r * mword_lo + k_w * mwnew_lo) % PU
         k_hi = (k_r * mword_hi + k_w * mwnew_hi) % PU
         r_k = rlc_chain(kact, k_lo, k_hi)
+        bact = (b_r + b_w) % PU
+        b_lo = (b_r * mword_lo + b_w * mwnew_lo) % PU
+        b_hi = (b_r * mword_hi + b_w * mwnew_hi) % PU
+        r_b = rlc_chain(bact, b_lo, b_hi)
 
         aux = np.concatenate(
             [t, u, acc, t_r1, t_r2, t_w, t_a7,
              s_terms[0], s_terms[1], s_terms[2], s_terms[3], racc,
              mu_r, mu_w, msort[0], msort[1], macc,
-             li, lf, liacc, lfacc, r_j, r_k], axis=1)
+             li, lf, liacc, lfacc, r_j, r_k, r_b], axis=1)
         assert aux.shape == (n, N_AUX)
         return aux
 
@@ -1063,6 +1086,7 @@ class Rv32imAir(Air):
             _list_sum(pp["mem_fin"], g4, g5p),
             _rlc(pp["journal_words"], g6),
             _rlc(pp["keccak_words"], g6),
+            _rlc(pp["bigint_words"], g6),
         ])
 
     # -- recursion-circuit hooks --------------------------------------------
@@ -1071,7 +1095,8 @@ class Rv32imAir(Air):
         """Shape token for the lift-program cache (the list counts)."""
         pp = parse_publics([int(p) for p in publics])
         return (len(pp["mem_init"]), len(pp["mem_fin"]),
-                len(pp["journal_words"]), len(pp["keccak_words"]))
+                len(pp["journal_words"]), len(pp["keccak_words"]),
+                len(pp["bigint_words"]))
 
     def derived_challenges_rec(self, b, pub_cells, chal_ext, pub_shape):
         """In-circuit mirror of derived_challenges for the lift program.
@@ -1082,12 +1107,13 @@ class Rv32imAir(Air):
         host's ``a >> 2`` exactly (parse_publics pins all list limbs to
         16 bits, making or-compose equal to addition on both sides).
         """
-        n_init, n_fin, n_j, n_k = pub_shape
-        for j, cnt in ((7, n_init), (8, n_fin), (9, n_j), (10, n_k)):
+        n_init, n_fin, n_j, n_k, n_b = pub_shape
+        for j, cnt in ((7, n_init), (8, n_fin), (9, n_j), (10, n_k),
+                       (11, n_b)):
             b.assert_eq(pub_cells[j], cnt)
         g4, g5, g6 = chal_ext[4], chal_ext[5], chal_ext[6]
         g5sq = b.mul(g5, g5)
-        off = 11
+        off = 12
 
         def limb16(cell):
             """Committed bits of a 16-bit limb (range-binding included)."""
@@ -1126,8 +1152,9 @@ class Rv32imAir(Air):
 
         d2 = rlc(n_j)
         d3 = rlc(n_k)
+        d4 = rlc(n_b)
         assert off == len(pub_cells)
-        return [d0, d1, d2, d3]
+        return [d0, d1, d2, d3, d4]
 
     # -- constraints -------------------------------------------------------
 
@@ -1199,8 +1226,8 @@ class Rv32imAir(Air):
                         "abs_ca1", "abs_cb1", "sneg_c1", "sneg_c2"]
                      + ["maddr", "madd_c1", "madd_c2", "mword", "mwnew",
                         "bsel", "sm_str", "sm_c", "sm_rem", "sm_eq1",
-                        "sm_eq51", "sk", "ms_wr", "ms_act", "ms_same",
-                        "ms_ord"])
+                        "sm_eq51", "sm_eq9", "sk", "ms_wr", "ms_act",
+                        "ms_same", "ms_ord"])
         for name in bool_cols:
             s = L.slices[name]
             for k in range(s.stop - s.start):
@@ -1747,9 +1774,10 @@ class Rv32imAir(Air):
         is_meminit = sel("MEMINIT")
         is_memfin = sel("MEMFIN")
         is_sm = sel("SYSMEM")
-        in_w, j_r, k_r, k_w = (m("sm_str", k) for k in range(4))
+        in_w, j_r, k_r, k_w, b_r, b_w = (m("sm_str", k) for k in range(6))
         # stream one-hot sums to the SYSMEM selector
-        cs.append(sub_(add(add(in_w, j_r), add(k_r, k_w)), is_sm))
+        cs.append(sub_(add(add(add(in_w, j_r), add(k_r, k_w)),
+                           add(b_r, b_w)), is_sm))
 
         # --- load/store address adder + alignment + byte select -----------
         two16m = ops.const(1 << 16)
@@ -1862,13 +1890,15 @@ class Rv32imAir(Air):
         cs.append(mul(mul(sm_next, not_last),
                       sub_(one, add(sys_here, sm_here))))
         # run-start stream must match the initiating syscall
-        SK_READ, SK_COMMIT, SK_KECCAK = 1, 2, 5
+        SK_READ, SK_COMMIT, SK_KECCAK, SK_BIGINT = 1, 2, 5, 6
         for str_col, sk_i in ((m("sm_str", 0, 1), SK_READ),
                               (m("sm_str", 1, 1), SK_COMMIT),
-                              (m("sm_str", 2, 1), SK_KECCAK)):
+                              (m("sm_str", 2, 1), SK_KECCAK),
+                              (m("sm_str", 4, 1), SK_BIGINT)):
             cs.append(mul(mul(str_col, sys_here),
                           sub_(one, sk(sk_i))))
         cs.append(mul(m("sm_str", 3, 1), sys_here))   # k_w can't start a run
+        cs.append(mul(m("sm_str", 5, 1), sys_here))   # b_w can't start a run
         # continuation keeps the stream (keccak r->w switches at rem==51)
         cs.append(mul(mul(m("sm_str", 0, 1), sm_here), sub_(one, in_w)))
         cs.append(mul(mul(m("sm_str", 1, 1), sm_here), sub_(one, j_r)))
@@ -1876,12 +1906,19 @@ class Rv32imAir(Air):
         cs.append(mul(mul(m("sm_str", 3, 1), sm_here),
                       sub_(one, add(k_w, mul(k_r, m("sm_eq51"))))))
         cs.append(mul(mul(m("sm_str", 2, 1), k_r), m("sm_eq51")))
+        # bigint: 24 reads (rem 32..9), then 8 writes (rem 8..1); the
+        # read->write switch happens after the rem==9 read row
+        cs.append(mul(mul(m("sm_str", 4, 1), sm_here), sub_(one, b_r)))
+        cs.append(mul(mul(m("sm_str", 5, 1), sm_here),
+                      sub_(one, add(b_w, mul(b_r, m("sm_eq9"))))))
+        cs.append(mul(mul(m("sm_str", 4, 1), b_r), m("sm_eq9")))
         # rem bookkeeping
         rem = lin([(1 << j, m("sm_rem", j)) for j in range(20)])
         rem_next = lin([(1 << j, m("sm_rem", j, 1)) for j in range(20)])
         # eq flags (inverse trick, forced zero off SYSMEM rows)
         for eqn, eqi, delta in (("sm_eq1", "sm_eq1i", 1),
-                                ("sm_eq51", "sm_eq51i", 51)):
+                                ("sm_eq51", "sm_eq51i", 51),
+                                ("sm_eq9", "sm_eq9i", 9)):
             x = sub_(rem, ops.const(delta))
             cs.append(mul(m(eqn), x))
             cs.append(mul(is_sm, sub_(sub_(one, m(eqn)), mul(x, m(eqi)))))
@@ -1905,6 +1942,8 @@ class Rv32imAir(Air):
         cs.append(mul(mul(start_gate, sk(SK_COMMIT)), lump("rs2v", False)))
         cs.append(mul(mul(start_gate, sk(SK_KECCAK)),
                       sub_(rem_next, ops.const(100))))
+        cs.append(mul(mul(start_gate, sk(SK_BIGINT)),
+                      sub_(rem_next, ops.const(32))))
         # absent runs force zero IO counts (and keccak always runs)
         no_run = mul(sys_here, sub_(one, mul(sm_next, not_last)))
         cs.append(mul(mul(no_run, sk(SK_READ)), lump("res", True)))
@@ -1912,6 +1951,7 @@ class Rv32imAir(Air):
         cs.append(mul(mul(no_run, sk(SK_COMMIT)), lump("rs2v", True)))
         cs.append(mul(mul(no_run, sk(SK_COMMIT)), lump("rs2v", False)))
         cs.append(mul(no_run, sk(SK_KECCAK)))
+        cs.append(mul(no_run, sk(SK_BIGINT)))
         # base address: a0 of the ecall, propagated through the run
         cs.append(mul(start_gate, sub_(m("sm_base_l", 0, 1),
                                        lump("rs1v", True))))
@@ -1934,9 +1974,10 @@ class Rv32imAir(Air):
                       sub_(maddr_lo_n, m("sm_base_l", 0, 1))))
         cs.append(mul(mul(m("sm_str", 3, 1), k_r),
                       sub_(maddr_hi_n, m("sm_base_h", 0, 1))))
-        for s_i in range(4):
-            prev_same = in_w if s_i == 0 else (j_r if s_i == 1 else
-                                               (k_r if s_i == 2 else k_w))
+        # b_w follows b_r with the address continuing +4 (the [a|b|m|r]
+        # region is contiguous), unlike keccak's base reset
+        for s_i in range(6):
+            prev_same = (in_w, j_r, k_r, k_w, b_r, add(b_w, b_r))[s_i]
             gate = mul(m("sm_str", s_i, 1), prev_same)
             cs.append(mul(gate,
                           sub_(add(lump("maddr", True), ops.const(4)),
@@ -1959,8 +2000,9 @@ class Rv32imAir(Air):
         wa_hi = lin([(1 << (j - 18), m("maddr", j)) for j in range(18, 32)])
         wa = add(wa_lo, mul(ops.const(1 << 16), wa_hi))
         two_cyc = mul(ops.const(2), cyc)
-        act_r = add(add(is_load, is_store), add(is_memfin, add(j_r, k_r)))
-        act_w = add(add(is_store, is_meminit), add(in_w, k_w))
+        act_r = add(add(is_load, is_store),
+                    add(is_memfin, add(j_r, add(k_r, b_r))))
+        act_w = add(add(is_store, is_meminit), add(in_w, add(k_w, b_w)))
         fp_mr = fpm(wa, two_cyc, lump("mword", True), lump("mword", False),
                     ops.const(0), mul(ops.const(2), is_memfin))
         fp_mw = fpm(wa, add(two_cyc, one), lump("mwnew", True),
@@ -2119,6 +2161,18 @@ class Rv32imAir(Air):
                      mul(m("sm_str", 3, 1), lump("mwnew", False, 1)))
         rlc_constraints(A_RK, k_act, k_act_n, k_lo, k_lo_n, k_hi, k_hi_n,
                         challenges[10])
+        b_act = add(b_r, b_w)
+        b_act_n = add(m("sm_str", 4, 1), m("sm_str", 5, 1))
+        b_lo = add(mul(b_r, lump("mword", True)),
+                   mul(b_w, lump("mwnew", True)))
+        b_lo_n = add(mul(m("sm_str", 4, 1), lump("mword", True, 1)),
+                     mul(m("sm_str", 5, 1), lump("mwnew", True, 1)))
+        b_hi = add(mul(b_r, lump("mword", False)),
+                   mul(b_w, lump("mwnew", False)))
+        b_hi_n = add(mul(m("sm_str", 4, 1), lump("mword", False, 1)),
+                     mul(m("sm_str", 5, 1), lump("mwnew", False, 1)))
+        rlc_constraints(A_RB, b_act, b_act_n, b_lo, b_lo_n, b_hi, b_hi_n,
+                        challenges[11])
 
         # --- halt / exit-code binding --------------------------------------
         # publics[4] = halted, publics[5:7] = exit code limbs
@@ -2166,7 +2220,7 @@ def _vec_modinv(x: np.ndarray) -> np.ndarray:
 def parse_publics(pubs):
     """Decode the flat segment publics (see witgen) into a dict."""
     p = [int(x) for x in pubs]
-    if len(p) < 11:
+    if len(p) < 12:
         raise ValueError("publics too short")
     out = {
         "entry_pc": p[0] | (p[1] << 16),
@@ -2174,16 +2228,16 @@ def parse_publics(pubs):
         "halted": p[4],
         "exit_code": p[5] | (p[6] << 16),
     }
-    n_init, n_fin, n_j, n_k = p[7], p[8], p[9], p[10]
-    need = 11 + 4 * (n_init + n_fin) + 2 * (n_j + n_k)
+    n_init, n_fin, n_j, n_k, n_b = p[7], p[8], p[9], p[10], p[11]
+    need = 12 + 4 * (n_init + n_fin) + 2 * (n_j + n_k + n_b)
     if len(p) != need:
         raise ValueError("bad publics length")
     # every list element is a 16-bit limb; enforcing the range here keeps
     # the host's or-compose/re-split arithmetic and the recursion
     # circuit's limb-cell arithmetic (derived_challenges_rec) identical
-    if any(x < 0 or x >= (1 << 16) for x in p[11:]):
+    if any(x < 0 or x >= (1 << 16) for x in p[12:]):
         raise ValueError("public list limb out of 16-bit range")
-    off = 11
+    off = 12
 
     def entries(cnt):
         nonlocal off
@@ -2206,6 +2260,7 @@ def parse_publics(pubs):
     out["mem_fin"] = entries(n_fin)
     out["journal_words"] = words(n_j)
     out["keccak_words"] = words(n_k)
+    out["bigint_words"] = words(n_b)
     return out
 
 
@@ -2263,17 +2318,18 @@ def prove_segment(seg, image_addrs, image_words):
 
 
 def verify_chain(publics_list, claim, image_addrs, image_words,
-                 entry_pc: int, keccak_checked: bool = False) -> dict:
+                 entry_pc: int, keccak_checked: bool = False,
+                 bigint_checked: bool = False) -> dict:
     """Chain checks over per-segment publics (no STARK verification).
 
     Checks: pc continuity; RAM continuity (each segment's public MEMINIT
     list must match the memory state replayed from the image through the
-    previous segments' MEMFIN lists); keccak accelerator IO (recomputed
-    host-side from the bound pre-states unless `keccak_checked` — i.e. an
-    accelerator proof covers it, the resolve path); and, across the
-    chain: exactly the final segment halts, with the claim's exit code,
-    and the concatenated journal words hash to the claim's journal digest
-    (the reference's journal commitment,
+    previous segments' MEMFIN lists); keccak/bigint accelerator IO
+    (recomputed host-side from the bound operands unless `*_checked` —
+    i.e. an accelerator proof covers it, the resolve path); and, across
+    the chain: exactly the final segment halts, with the claim's exit
+    code, and the concatenated journal words hash to the claim's journal
+    digest (the reference's journal commitment,
     guests/stateless-client/src/lib.rs:33).
     """
     import hashlib
@@ -2287,6 +2343,7 @@ def verify_chain(publics_list, claim, image_addrs, image_words,
     state = {int(a): int(w) for a, w in zip(image_addrs, image_words)}
     journal_words: list[int] = []
     keccak_words: list[int] = []
+    bigint_words: list[int] = []
     for i, pubs in enumerate(publics_list):
         try:
             pp = parse_publics([int(p) for p in pubs])
@@ -2325,21 +2382,37 @@ def verify_chain(publics_list, claim, image_addrs, image_words,
                     raise VerificationError(
                         f"segment {i}: keccak accelerator output mismatch")
         keccak_words += kw
+        # bigint accelerator IO: recompute a*b mod m over the bound
+        # operands unless an accelerator proof discharges them (resolve)
+        bw = pp["bigint_words"]
+        if len(bw) % 32:
+            raise VerificationError(f"segment {i}: bad bigint IO length")
+        if not bigint_checked:
+            for c in range(0, len(bw), 32):
+                vals = [sum(bw[c + 8 * j + w] << (32 * w) for w in range(8))
+                        for j in range(4)]
+                a, b, mm, r = vals
+                if mm == 0 or r != a * b % mm:
+                    raise VerificationError(
+                        f"segment {i}: bigint accelerator result mismatch")
+        bigint_words += bw
         journal_words += pp["journal_words"]
         expect_pc = pp["exit_pc"]
     journal = b"".join(int(w).to_bytes(4, "little") for w in journal_words)
     if hashlib.sha256(journal).digest() != claim.journal_digest:
         raise VerificationError("journal does not match claim digest")
-    return {"keccak_words": keccak_words}
+    return {"keccak_words": keccak_words, "bigint_words": bigint_words}
 
 
 def verify_segments(seals, claim, image_addrs, image_words, entry_pc: int,
-                    keccak_checked: bool = False) -> dict:
-    """Verify a chain of segment seals; returns {"keccak_words": [...]}.
+                    keccak_checked: bool = False,
+                    bigint_checked: bool = False) -> dict:
+    """Verify a chain of segment seals; returns the bound accelerator IO
+    ({"keccak_words", "bigint_words"}).
 
     Per segment: the STARK itself, then every chain check of
     verify_chain (pc/RAM continuity, halt/exit-code, journal digest,
-    keccak IO)."""
+    accelerator IO)."""
     from ..zkvm import VerificationError
     air = _air_for_image(image_addrs, image_words)
     publics_list = []
@@ -2352,4 +2425,5 @@ def verify_segments(seals, claim, image_addrs, image_words, entry_pc: int,
             raise VerificationError(f"segment {i}: {e}") from e
         publics_list.append(pubs)
     return verify_chain(publics_list, claim, image_addrs, image_words,
-                        entry_pc, keccak_checked=keccak_checked)
+                        entry_pc, keccak_checked=keccak_checked,
+                        bigint_checked=bigint_checked)

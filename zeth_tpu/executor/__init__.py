@@ -17,6 +17,8 @@ guests/stateless-client/src/lib.rs:17-33):
     4 CYCLE                                  -> a0 = user cycle count (lo32)
     5 KECCAK  a0 = ptr to 200-byte state        (host keccak-f[1600],
                                                  counted as accelerator call)
+    6 BIGINT  a0 = ptr to 4x32-byte [a|b|m|r]   (host writes r = a*b mod m,
+                                                 counted as accelerator call)
 
 Cycle accounting (reference categories, run-parallel.sh:67-70):
   user cycles   = executed instructions
@@ -91,6 +93,12 @@ def _lib():
     lib.ex_keccak_inputs_len.argtypes = [ctypes.c_void_p]
     lib.ex_keccak_inputs.restype = ctypes.POINTER(ctypes.c_uint64)
     lib.ex_keccak_inputs.argtypes = [ctypes.c_void_p]
+    lib.ex_bigint_count.restype = ctypes.c_uint64
+    lib.ex_bigint_count.argtypes = [ctypes.c_void_p]
+    lib.ex_bigint_inputs_len.restype = ctypes.c_size_t
+    lib.ex_bigint_inputs_len.argtypes = [ctypes.c_void_p]
+    lib.ex_bigint_inputs.restype = ctypes.POINTER(ctypes.c_uint32)
+    lib.ex_bigint_inputs.argtypes = [ctypes.c_void_p]
     lib.ex_trace_enable.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.ex_trace_len.restype = ctypes.c_size_t
     lib.ex_trace_len.argtypes = [ctypes.c_void_p]
@@ -146,6 +154,7 @@ TR_MEM_STORE = 1 << 1
 TR_ECALL = 1 << 2
 TR_SYSMEM = 1 << 3
 SM_INPUT, SM_JOURNAL, SM_KECCAK_R, SM_KECCAK_W = 1, 2, 3, 4
+SM_BIGINT_R, SM_BIGINT_W = 5, 6
 
 
 @dataclass
@@ -157,6 +166,7 @@ class ExecResult:
     paging_cycles: int
     total_cycles: int
     keccak_calls: int
+    bigint_calls: int = 0
     segments: list = field(default_factory=list)
 
 
@@ -308,6 +318,14 @@ class Executor:
                 kptr, shape=(nk,)).reshape(-1, 25).copy()
         else:
             self.keccak_inputs = np.zeros((0, 25), dtype=np.uint64)
+        nb = lib.ex_bigint_inputs_len(h)
+        if nb:
+            bptr = lib.ex_bigint_inputs(h)
+            # 32 u32 words (a|b|m|r little-endian) per recorded op
+            self.bigint_inputs = np.ctypeslib.as_array(
+                bptr, shape=(nb,)).reshape(-1, 32).astype(np.uint64)
+        else:
+            self.bigint_inputs = np.zeros((0, 32), dtype=np.uint64)
 
         journal = ctypes.create_string_buffer(lib.ex_journal_len(h))
         lib.ex_journal(h, journal)
@@ -323,5 +341,6 @@ class Executor:
             paging_cycles=paging,
             total_cycles=user + paging,
             keccak_calls=lib.ex_keccak_count(h),
+            bigint_calls=lib.ex_bigint_count(h),
             segments=segments,
         )

@@ -29,7 +29,7 @@ enum Status : int { ST_RUNNING = 0, ST_HALTED = 1, ST_SEGMENT_FULL = 2, ST_ERROR
 
 enum Syscall : uint32_t {
   SYS_HALT = 0, SYS_READ = 1, SYS_COMMIT = 2, SYS_LOG = 3,
-  SYS_CYCLE = 4, SYS_KECCAK = 5,
+  SYS_CYCLE = 4, SYS_KECCAK = 5, SYS_BIGINT = 6,
 };
 
 // Trace record flags (see TRACE_WORDS in __init__.py).
@@ -42,6 +42,7 @@ enum TraceFlag : uint32_t {
 };
 enum SysmemStream : uint32_t {
   SM_INPUT = 1, SM_JOURNAL = 2, SM_KECCAK_R = 3, SM_KECCAK_W = 4,
+  SM_BIGINT_R = 5, SM_BIGINT_W = 6,
 };
 static inline uint32_t sm_flags(uint32_t stream) {
   return TR_SYSMEM | (stream << 8);
@@ -89,6 +90,47 @@ static void keccakf(uint64_t st[25]) {
   }
 }
 
+// ---- 256-bit modular multiply (for the bigint accelerator syscall) --------
+// r = a*b mod m, m != 0. Schoolbook 512-bit product, then binary
+// shift-subtract reduction (the executor's job is semantics, not speed —
+// the proven batch runs on device via circuits/bigint2.py).
+static void modmul256(const uint64_t a[4], const uint64_t b[4],
+                      const uint64_t m[4], uint64_t r[4]) {
+  uint64_t p[8] = {0};
+  for (int i = 0; i < 4; i++) {
+    unsigned __int128 carry = 0;
+    for (int j = 0; j < 4; j++) {
+      unsigned __int128 cur = (unsigned __int128)a[i] * b[j] + p[i + j] + carry;
+      p[i + j] = (uint64_t)cur;
+      carry = cur >> 64;
+    }
+    p[i + 4] += (uint64_t)carry;
+  }
+  uint64_t rem[4] = {0};
+  for (int bit = 511; bit >= 0; bit--) {
+    uint64_t over = rem[3] >> 63;
+    uint64_t carry = (p[bit / 64] >> (bit % 64)) & 1;
+    for (int i = 0; i < 4; i++) {
+      uint64_t nc = rem[i] >> 63;
+      rem[i] = (rem[i] << 1) | carry;
+      carry = nc;
+    }
+    bool ge = true;
+    for (int i = 3; i >= 0; i--)
+      if (rem[i] != m[i]) { ge = rem[i] > m[i]; break; }
+    if (over || ge) {
+      unsigned __int128 borrow = 0;
+      for (int i = 0; i < 4; i++) {
+        unsigned __int128 cur =
+            (unsigned __int128)rem[i] - m[i] - (uint64_t)borrow;
+        rem[i] = (uint64_t)cur;
+        borrow = (cur >> 64) & 1;
+      }
+    }
+  }
+  memcpy(r, rem, 32);
+}
+
 // ---- executor -------------------------------------------------------------
 
 struct Executor {
@@ -115,6 +157,8 @@ struct Executor {
   uint64_t seg_paging = 0;
   uint64_t keccak_count = 0;
   std::vector<uint64_t> keccak_inputs;  // 25 words per accelerator call
+  uint64_t bigint_count = 0;
+  std::vector<uint32_t> bigint_inputs;  // 32 words (a|b|m|r) per call
 
   std::vector<uint8_t> input;
   size_t input_pos = 0;
@@ -314,6 +358,30 @@ struct Executor {
           push_sysmem(a0 + 4 * i, words[i], SM_KECCAK_W);
         }
         keccak_count++;
+        break;
+      }
+      case SYS_BIGINT: {
+        // a0 -> 4 x 32-byte little-endian region [a | b | m | r]; the
+        // executor reads a,b,m, writes r = a*b mod m, and records the
+        // claim for the accelerator batch (circuits/bigint2.py).
+        if (a0 & 3) { faulted = true; break; }
+        uint32_t words[32];
+        for (uint32_t i = 0; i < 24; i++)
+          words[i] = data_load_word(a0 + 4 * i);
+        uint64_t A[4], B[4], M[4], R[4];
+        memcpy(A, words, 32); memcpy(B, words + 8, 32);
+        memcpy(M, words + 16, 32);
+        if (!(M[0] | M[1] | M[2] | M[3])) { faulted = true; break; }
+        for (uint32_t i = 0; i < 24; i++)
+          push_sysmem(a0 + 4 * i, words[i], SM_BIGINT_R);
+        modmul256(A, B, M, R);
+        memcpy(words + 24, R, 32);
+        for (uint32_t i = 24; i < 32; i++) {
+          data_store_word(a0 + 4 * i, words[i]);
+          push_sysmem(a0 + 4 * i, words[i], SM_BIGINT_W);
+        }
+        bigint_inputs.insert(bigint_inputs.end(), words, words + 32);
+        bigint_count++;
         break;
       }
       default:
@@ -609,6 +677,14 @@ size_t ex_keccak_inputs_len(void* h) {
 }
 const uint64_t* ex_keccak_inputs(void* h) {
   return ((Executor*)h)->keccak_inputs.data();
+}
+uint64_t ex_bigint_count(void* h) { return ((Executor*)h)->bigint_count; }
+// recorded bigint accelerator claims: 32 u32 words (a|b|m|r) per call
+size_t ex_bigint_inputs_len(void* h) {
+  return ((Executor*)h)->bigint_inputs.size();
+}
+const uint32_t* ex_bigint_inputs(void* h) {
+  return ((Executor*)h)->bigint_inputs.data();
 }
 size_t ex_trace_len(void* h) { return ((Executor*)h)->trace.size() / 8; }
 uint32_t* ex_trace_data(void* h) { return ((Executor*)h)->trace.data(); }

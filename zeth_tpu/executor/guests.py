@@ -107,6 +107,35 @@ def keccak_guest(rounds: int) -> bytes:
     return write_elf([(a.org, a.assemble())], a.org)
 
 
+def bigint_guest(a: int, b: int, m: int, reps: int = 1) -> bytes:
+    """Compute r = a*b mod m via the bigint accelerator syscall `reps`
+    times (chained: a <- r), then commit the 32-byte result."""
+    g = Asm(org=0x10000)
+    g.li("s0", SCRATCH)        # [a | b | m | r] 4 x 32 bytes
+    for off, val in ((0, a), (32, b), (64, m)):
+        for w in range(8):
+            g.li("t0", (val >> (32 * w)) & 0xFFFFFFFF)
+            g.sw("t0", "s0", off + 4 * w)
+    g.li("s1", reps)
+    g.label("loop")
+    g.mv("a0", "s0")
+    g.li("a7", 6)
+    g.ecall()
+    # chain: copy r into a for the next round
+    for w in range(8):
+        g.lw("t0", "s0", 96 + 4 * w)
+        g.sw("t0", "s0", 4 * w)
+    g.addi("s1", "s1", -1)
+    g.bne("s1", "zero", "loop")
+    g.li("a0", SCRATCH + 96)
+    g.li("a1", 32)
+    g.li("a7", 2)
+    g.ecall()
+    g.li("a0", 0)
+    g.sys_halt()
+    return write_elf([(g.org, g.assemble())], g.org)
+
+
 def load_store(n: int = 8) -> bytes:
     """Exercise every load/store width: write a pattern with SB/SH/SW,
     read it back with LB/LH/LW/LBU/LHU, xor-fold, commit 4 bytes."""

@@ -160,17 +160,30 @@ def _upload_main(air: Air, main_std: np.ndarray, shard_rows):
     register_air(air)
     spec, mask, n_bits, n_vals = _pack_spec(air.name)
     n = main_std.shape[0]
-    bits = np.asarray(main_std[:, mask], np.uint8)
-    packed = np.packbits(bits, axis=1, bitorder="little")
-    pad = (-packed.shape[1]) % 4
-    if pad:
-        packed = np.concatenate(
-            [packed, np.zeros((n, pad), np.uint8)], axis=1)
-    packed32 = np.ascontiguousarray(packed).view(np.uint32)
-    vals = np.asarray(main_std[:, ~mask], np.uint64).astype(np.uint32)
-    if vals.shape[1] == 0:
-        vals = np.zeros((n, 1), np.uint32)
-    return _unpack_main(shard_rows(packed32), shard_rows(vals), spec)
+    with _Stage("    pack host"):
+        bits = np.asarray(main_std[:, mask], np.uint8)
+        packed = np.packbits(bits, axis=1, bitorder="little")
+        pad = (-packed.shape[1]) % 4
+        if pad:
+            packed = np.concatenate(
+                [packed, np.zeros((n, pad), np.uint8)], axis=1)
+        packed32 = np.ascontiguousarray(packed).view(np.uint32)
+        vals = np.asarray(main_std[:, ~mask], np.uint64).astype(np.uint32)
+        if vals.shape[1] == 0:
+            vals = np.zeros((n, 1), np.uint32)
+    with _Stage("    put packed"):
+        dp = shard_rows(packed32)
+        if _TIMING:
+            jax.block_until_ready(dp)
+    with _Stage("    put vals"):
+        dv = shard_rows(vals)
+        if _TIMING:
+            jax.block_until_ready(dv)
+    with _Stage("    unpack"):
+        out = _unpack_main(dp, dv, spec)
+        if _TIMING:
+            out.block_until_ready()
+    return out
 
 
 def _zinv_table(n: int) -> np.ndarray:
@@ -361,13 +374,23 @@ def prove(air: Air, main_std: np.ndarray, publics: list[int],
     control_std = air.control_trace(po2)
     for gname, std in (("control", control_std), ("main", main_std)):
         with _Stage(f"commit {gname}"):
-            if gname == "main":
-                dev = _upload_main(air, std, shard_rows)
-            else:
-                dev = shard_rows(np.asarray(std, np.uint64).astype(np.uint32))
-            coeffs[gname], ldes[gname] = _lde_group_std(dev)
+            with _Stage(f"  {gname} upload"):
+                if gname == "main":
+                    dev = _upload_main(air, std, shard_rows)
+                else:
+                    dev = shard_rows(
+                        np.asarray(std, np.uint64).astype(np.uint32))
+                # keep the tunnel dispatch queue shallow: deep async
+                # queues over the remote-chip path serialize badly (6x
+                # slowdown measured at po2=14)
+                dev.block_until_ready()
+            with _Stage(f"  {gname} lde"):
+                coeffs[gname], ldes[gname] = _lde_group_std(dev)
+                ldes[gname].block_until_ready()
             del dev          # the standard-form upload buffer is ~1 GB at po2=18
-            trees[gname] = merkle.commit_rows(ldes[gname])
+            with _Stage(f"  {gname} tree"):
+                trees[gname] = merkle.commit_rows(ldes[gname])
+                jax.block_until_ready(trees[gname].root)
             roots[gname] = trees[gname].root
         t.mix(roots[gname])
 

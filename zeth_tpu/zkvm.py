@@ -114,6 +114,7 @@ class SegmentsInner:
     image_words: np.ndarray = None
     entry_pc: int = 0
     keccak_seal: np.ndarray = None
+    bigint_seal: np.ndarray = None
     kind: str = "segments"
 
 
@@ -134,6 +135,7 @@ class SuccinctInner:
     image_words: np.ndarray = None
     entry_pc: int = 0
     keccak_seal: np.ndarray = None
+    bigint_seal: np.ndarray = None
     kind: str = "succinct"
 
 
@@ -167,25 +169,13 @@ class Receipt:
             if not (got == np.asarray(self.claim.image_id, np.uint64)).all():
                 raise VerificationError("program image does not match image id")
             # resolve: an accelerator seal discharges the keccak claims
-            acc_words = None
-            if self.inner.keccak_seal is not None:
-                try:
-                    acc_words = keccak_air.verify_batch(self.inner.keccak_seal)
-                except Exception as e:
-                    raise VerificationError(
-                        f"keccak accelerator seal: {e}") from e
+            acc_words, big_io = _resolve_accelerators(self.inner)
             out = rv.verify_segments(
                 self.inner.seals, self.claim, self.inner.image_addrs,
                 self.inner.image_words, self.inner.entry_pc,
-                keccak_checked=acc_words is not None)
-            if acc_words is not None:
-                # the batch may include padding-free extras; the segment
-                # stream must be a prefix of the proof-bound IO
-                seg_words = out["keccak_words"]
-                if acc_words[:len(seg_words)] != seg_words:
-                    raise VerificationError(
-                        "keccak accelerator IO does not match the "
-                        "segments' bound IO stream")
+                keccak_checked=acc_words is not None,
+                bigint_checked=big_io is not None)
+            _check_accelerator_io(out, acc_words, big_io)
             return
         if isinstance(self.inner, SuccinctInner):
             from .circuits import keccak as keccak_air
@@ -210,23 +200,13 @@ class Receipt:
                                      self.inner.segment_publics)
             except verifier_mod.VerificationError as e:
                 raise VerificationError(f"succinct receipt: {e}") from e
-            acc_words = None
-            if self.inner.keccak_seal is not None:
-                try:
-                    acc_words = keccak_air.verify_batch(self.inner.keccak_seal)
-                except Exception as e:
-                    raise VerificationError(
-                        f"keccak accelerator seal: {e}") from e
+            acc_words, big_io = _resolve_accelerators(self.inner)
             out = rv.verify_chain(
                 self.inner.segment_publics, self.claim,
                 self.inner.image_addrs, self.inner.image_words,
-                self.inner.entry_pc, keccak_checked=acc_words is not None)
-            if acc_words is not None:
-                seg_words = out["keccak_words"]
-                if acc_words[:len(seg_words)] != seg_words:
-                    raise VerificationError(
-                        "keccak accelerator IO does not match the "
-                        "segments' bound IO stream")
+                self.inner.entry_pc, keccak_checked=acc_words is not None,
+                bigint_checked=big_io is not None)
+            _check_accelerator_io(out, acc_words, big_io)
             return
         raise VerificationError(f"unknown receipt kind: {self.inner!r}")
 
@@ -244,6 +224,50 @@ class SessionStats:
 class ProveInfo:
     receipt: Receipt
     stats: SessionStats
+
+
+
+
+def _resolve_accelerators(inner):
+    """Verify attached accelerator batch seals (the reference's resolve
+    step): returns (keccak_io_words | None, bigint_io_words | None)."""
+    from .circuits import bigint2 as bigint_air
+    from .circuits import keccak as keccak_air
+    acc_words = None
+    if inner.keccak_seal is not None:
+        try:
+            acc_words = keccak_air.verify_batch(inner.keccak_seal)
+        except Exception as e:
+            raise VerificationError(f"keccak accelerator seal: {e}") from e
+    big_io = None
+    if getattr(inner, "bigint_seal", None) is not None:
+        try:
+            claims = bigint_air.verify_batch(inner.bigint_seal)
+        except Exception as e:
+            raise VerificationError(f"bigint accelerator seal: {e}") from e
+        # flatten to the segments' 32-bit word stream (a|b|m|r per op)
+        big_io = []
+        for a, b, m, r in claims:
+            for v in (a, b, m, r):
+                big_io += [(v >> (32 * w)) & 0xFFFFFFFF for w in range(8)]
+    return acc_words, big_io
+
+
+def _check_accelerator_io(out, acc_words, big_io):
+    """The segments' bound IO streams must be prefixes of the proof-bound
+    accelerator batches (batches may carry padding extras)."""
+    if acc_words is not None:
+        seg_words = out["keccak_words"]
+        if acc_words[:len(seg_words)] != seg_words:
+            raise VerificationError(
+                "keccak accelerator IO does not match the segments' "
+                "bound IO stream")
+    if big_io is not None:
+        seg_words = out["bigint_words"]
+        if big_io[:len(seg_words)] != seg_words:
+            raise VerificationError(
+                "bigint accelerator IO does not match the segments' "
+                "bound IO stream")
 
 
 class DevModeProver:
@@ -293,6 +317,16 @@ class LocalProver:
                 and len(ex.keccak_inputs):
             from .circuits import keccak as keccak_air
             keccak_seal, _ = keccak_air.prove_batch(ex.keccak_inputs)
+        bigint_seal = None
+        if getattr(ex, "bigint_inputs", None) is not None \
+                and len(ex.bigint_inputs):
+            from .circuits import bigint2 as bigint_air
+            ops = []
+            for row in np.asarray(ex.bigint_inputs, np.uint64):
+                a, b, m = (sum(int(row[8 * j + w]) << (32 * w)
+                               for w in range(8)) for j in range(3))
+                ops.append((a, b, m))
+            bigint_seal, _ = bigint_air.prove_batch(ops)
         if os.environ.get("ZETH_SUCCINCT", "0") == "1":
             from .circuits.rv32im import Rv32imAir
             from .recursion import succinct
@@ -306,11 +340,12 @@ class LocalProver:
                                  for pf in proofs],
                 segment_po2s=[pf.po2 for pf in proofs],
                 image_addrs=img_a, image_words=img_w, entry_pc=entry_pc,
-                keccak_seal=keccak_seal)
+                keccak_seal=keccak_seal, bigint_seal=bigint_seal)
         else:
             inner = SegmentsInner(seals=seals, image_addrs=img_a,
                                   image_words=img_w, entry_pc=entry_pc,
-                                  keccak_seal=keccak_seal)
+                                  keccak_seal=keccak_seal,
+                                  bigint_seal=bigint_seal)
         receipt = Receipt(journal=res.journal, claim=claim, inner=inner)
         stats = SessionStats(
             user_cycles=res.user_cycles, paging_cycles=res.paging_cycles,
