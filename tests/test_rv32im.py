@@ -315,11 +315,37 @@ def test_forged_bigint_result_detected():
         journal_digest=hashlib.sha256(journal).digest())
     verify_chain([pubs], claim, ia, iw, entry)     # sanity: passes
     bad = list(pubs)
-    # locate the first result limb in the flat publics: header 12 +
-    # 4*(n_init+n_fin) + 2*n_j then keccak then bigint... use parse order
+    # locate the first result limb in the flat publics (parse order:
+    # 13-scalar header, 4-limb mem lists, then 2-limb word lists)
     n_init, n_fin = len(pp["mem_init"]), len(pp["mem_fin"])
     n_j, n_k = len(pp["journal_words"]), len(pp["keccak_words"])
-    off = 12 + 4 * (n_init + n_fin) + 2 * (n_j + n_k) + 2 * 24
+    off = 13 + 4 * (n_init + n_fin) + 2 * (n_j + n_k) + 2 * 24
     bad[off] ^= 1                 # low limb of the first result word
     with pytest.raises(VerificationError):
         verify_chain([bad], claim, ia, iw, entry)
+
+
+# -- sha-256 accelerator syscall binding --------------------------------------
+
+
+def test_sha256_guest_satisfies_constraints():
+    from zeth_tpu.hash.sha256 import IV
+    air, ctrl, main, pubs = _witness(
+        guests.sha256_guest(list(IV), list(range(16)), reps=2))
+    assert _check(air, ctrl, main, pubs) == {}
+    from zeth_tpu.circuits.rv32im import _sha_compress_words, parse_publics
+    sw = parse_publics(pubs)["sha_words"]
+    assert len(sw) == 64          # 2 calls x 32 words
+    assert sw[24:32] == _sha_compress_words(sw[:8], sw[8:24])
+
+
+def test_forged_sha_result_detected():
+    from zeth_tpu.hash.sha256 import IV
+    air, ctrl, main, pubs = _witness(
+        guests.sha256_guest(list(IV), [7] * 16))
+    from zeth_tpu.circuits.rv32im import LAYOUT as L
+    sm7 = np.where(main[:, L.idx("sm_str", 7)] == 1)[0]
+    assert len(sm7) == 8
+    main2 = main.copy()
+    main2[sm7[0], L.idx("mwnew", 0)] ^= 1
+    assert _check(air, ctrl, main2, pubs) != {}

@@ -97,3 +97,31 @@ def test_bigint_accelerator_resolve_roundtrip():
     info.receipt.inner.bigint_seal = bad
     with pytest.raises(zkvm.VerificationError):
         info.receipt.verify(compute_image_id(elf))
+
+
+def test_sha256_accelerator_resolve_roundtrip():
+    """A guest using the sha-256 syscall proves end-to-end; the attached
+    accelerator seal discharges the segment's sha claims (resolve)."""
+    import hashlib
+
+    import numpy as np
+
+    from zeth_tpu import zkvm
+    from zeth_tpu.executor import compute_image_id, guests
+    from zeth_tpu.hash.sha256 import IV, pad_message
+
+    block = [int(w) for w in pad_message(b"abc")[0]]
+    elf = guests.sha256_guest([int(w) for w in IV], block)
+    info = zkvm.LocalProver().prove(zkvm.ExecutorEnv.builder().build(), elf)
+    assert info.receipt.inner.sha_seal is not None
+    want = hashlib.sha256(b"abc").digest()
+    got = b"".join(int.from_bytes(info.receipt.journal[4 * i:4 * i + 4],
+                                  "little").to_bytes(4, "big")
+                   for i in range(8))
+    assert got == want
+    info.receipt.verify(compute_image_id(elf))
+    bad = info.receipt.inner.sha_seal.copy()
+    bad[100] ^= 1
+    info.receipt.inner.sha_seal = bad
+    with pytest.raises(zkvm.VerificationError):
+        info.receipt.verify(compute_image_id(elf))

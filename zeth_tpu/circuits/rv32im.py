@@ -67,11 +67,11 @@ MS_ORD_BITS = 30     # mem arg: word-address diffs < 2^30
 WB_CLASSES = ("LUI", "AUIPC", "JAL", "JALR", "OPIMM", "OP", "LOAD")
 # syscall numbers (one-hot "sk" selector order; zkVM ABI in executor)
 SYSCALLS = ("HALT", "READ", "COMMIT", "LOG", "CYCLE", "KECCAK",
-            "BIGINT")
-# SYSMEM stream one-hot order: input write / journal read / keccak read /
-# keccak write / bigint read / bigint write (trace stream tags SM_* in
-# the executor)
-SM_STREAMS = ("in_w", "j_r", "k_r", "k_w", "b_r", "b_w")
+            "BIGINT", "SHA256")
+# SYSMEM stream one-hot order: input write / journal read / keccak r/w /
+# bigint r/w / sha-256 r/w (trace stream tags SM_* in the executor; the
+# bigint and sha runs share the 24-read+8-write accelerator shape)
+SM_STREAMS = ("in_w", "j_r", "k_r", "k_w", "b_r", "b_w", "s_r", "s_w")
 
 
 class Layout:
@@ -107,7 +107,7 @@ class Layout:
             # initiating ecall), +4 chain carry, words-remaining counter,
             # rem==1 / rem==51 / rem==9 indicators (keccak / bigint
             # read->write switch rows)
-            ("sm_str", 6), ("sm_base_l", 1), ("sm_base_h", 1), ("sm_c", 1),
+            ("sm_str", 8), ("sm_base_l", 1), ("sm_base_h", 1), ("sm_c", 1),
             ("sm_rem", 20), ("sm_eq1", 1), ("sm_eq1i", 1),
             ("sm_eq51", 1), ("sm_eq51i", 1),
             ("sm_eq9", 1), ("sm_eq9i", 1),
@@ -170,9 +170,10 @@ A_LI, A_LF = 17, 18      # MEMINIT / MEMFIN list-binding terms
 A_LIA, A_LFA = 19, 20    # their running sums (bound to derived scalars)
 A_RJ, A_RK = 21, 22      # journal / keccak-IO RLC chains
 A_RB = 23                # bigint-accelerator-IO RLC chain
+A_RSH = 24               # sha-256-accelerator-IO RLC chain
 # (SYS_READ input words are nondeterministic witness, as in the
 # reference zkVM — they are NOT exposed or bound in publics)
-N_AUX_SLOTS = 24
+N_AUX_SLOTS = 25
 N_AUX = 4 * N_AUX_SLOTS
 
 # bit lists for immediates: entry is ("b", insn_bit_index) or 0
@@ -231,9 +232,9 @@ class Rv32imAir(Air):
     n_challenges = 7
     # derived (not sampled) challenge-like scalars, computed by prover AND
     # verifier from the public lists + sampled challenges:
-    # d0/d1 = MEMINIT/MEMFIN LogUp sums, d2/d3/d4 = journal/keccak/bigint
-    # RLCs
-    n_derived = 5
+    # d0/d1 = MEMINIT/MEMFIN LogUp sums, d2..d5 = journal/keccak/bigint/
+    # sha RLCs
+    n_derived = 6
     # publics beyond index 6 are the variable-length lists; only the first
     # 7 scalars enter constraints directly
     n_public_scalars = 7
@@ -290,8 +291,8 @@ class Rv32imAir(Air):
         """
         from ..executor import (SM_BIGINT_R, SM_BIGINT_W, SM_INPUT,
                                 SM_JOURNAL, SM_KECCAK_R, SM_KECCAK_W,
-                                TR_ECALL, TR_MEM_LOAD, TR_MEM_STORE,
-                                TR_SYSMEM)
+                                SM_SHA_R, SM_SHA_W, TR_ECALL,
+                                TR_MEM_LOAD, TR_MEM_STORE, TR_SYSMEM)
         trace = seg.trace
         exit_pc = int(seg.exit_pc)
         entry_regs = seg.entry_regs
@@ -326,7 +327,7 @@ class Rv32imAir(Air):
         flags = trace[:, 7].astype(np.uint64)
 
         is_sm = (flags & np.uint64(TR_SYSMEM)) != 0
-        sm_stream = (flags >> np.uint64(8)) & np.uint64(7)
+        sm_stream = (flags >> np.uint64(8)) & np.uint64(15)
         is_instr = ~is_sm
 
         opcode = np.where(is_instr, insn & np.uint64(0x7F), np.uint64(0))
@@ -639,10 +640,12 @@ class Rv32imAir(Air):
         # loaded/old word; byte-select one-hot
         sm_read = is_sm & ((sm_stream == SM_JOURNAL)
                            | (sm_stream == SM_KECCAK_R)
-                           | (sm_stream == SM_BIGINT_R))
+                           | (sm_stream == SM_BIGINT_R)
+                           | (sm_stream == SM_SHA_R))
         sm_write = is_sm & ((sm_stream == SM_INPUT)
                             | (sm_stream == SM_KECCAK_W)
-                            | (sm_stream == SM_BIGINT_W))
+                            | (sm_stream == SM_BIGINT_W)
+                            | (sm_stream == SM_SHA_W))
         put_bits("mword", np.where(is_load | is_store | sm_read,
                                    mword_rec, 0))
         bsel_rows = np.nonzero(is_load | is_store)[0]
@@ -668,7 +671,8 @@ class Rv32imAir(Air):
         m[B + sys_rows, L.idx("sk") + a7.astype(np.int64)] = 1
         # SYSMEM stream one-hot + run structure (base/rem/carry/eq flags)
         stream_slot = {SM_INPUT: 0, SM_JOURNAL: 1, SM_KECCAK_R: 2,
-                       SM_KECCAK_W: 3, SM_BIGINT_R: 4, SM_BIGINT_W: 5}
+                       SM_KECCAK_W: 3, SM_BIGINT_R: 4, SM_BIGINT_W: 5,
+                       SM_SHA_R: 6, SM_SHA_W: 7}
         sm_rows = np.nonzero(is_sm)[0]
         for i in sm_rows:
             m[B + i, L.idx("sm_str", stream_slot[int(sm_stream[i])])] = 1
@@ -859,18 +863,20 @@ class Rv32imAir(Air):
             is_sm & ((sm_stream == SM_KECCAK_R) | (sm_stream == SM_KECCAK_W))]]
         bigint_words = [int(w) for w in mword_rec[
             is_sm & ((sm_stream == SM_BIGINT_R) | (sm_stream == SM_BIGINT_W))]]
+        sha_words = [int(w) for w in mword_rec[
+            is_sm & ((sm_stream == SM_SHA_R) | (sm_stream == SM_SHA_W))]]
         publics = [entry_pc_i & 0xFFFF, entry_pc_i >> 16,
                    int(pad_pc) & 0xFFFF, int(pad_pc) >> 16,
                    halted, exit_code & 0xFFFF, exit_code >> 16,
                    n_mem, n_mem, len(journal_words), len(keccak_words),
-                   len(bigint_words)]
+                   len(bigint_words), len(sha_words)]
         for a, v in zip(mem_addrs, mem_pre):
             publics += [int(a) & 0xFFFF, int(a) >> 16,
                         int(v) & 0xFFFF, int(v) >> 16]
         for a, v in zip(mem_addrs, mem_post):
             publics += [int(a) & 0xFFFF, int(a) >> 16,
                         int(v) & 0xFFFF, int(v) >> 16]
-        for w in journal_words + keccak_words + bigint_words:
+        for w in journal_words + keccak_words + bigint_words + sha_words:
             publics += [w & 0xFFFF, w >> 16]
         return m, publics
 
@@ -993,7 +999,7 @@ class Rv32imAir(Air):
         is_memfin = sel("MEMFIN")
         smc = lambda k: main_std[:, L.idx("sm_str", k)]
         in_w, j_r, k_r, k_w = smc(0), smc(1), smc(2), smc(3)
-        b_r, b_w = smc(4), smc(5)
+        b_r, b_w, sh_r, sh_w = smc(4), smc(5), smc(6), smc(7)
         wa = bits("maddr", 2, 32)
         mword_lo, mword_hi = bits("mword", 0, 16), bits("mword", 16, 32)
         mwnew_lo, mwnew_hi = bits("mwnew", 0, 16), bits("mwnew", 16, 32)
@@ -1001,8 +1007,9 @@ class Rv32imAir(Air):
         def fpm(wav, ts, vlo, vhi, wr, kind):
             return fingerprint((wav, ts, vlo, vhi, wr, kind), g5p)
 
-        act_r = (is_load + is_store + is_memfin + j_r + k_r + b_r) % PU
-        act_w = (is_store + is_meminit + in_w + k_w + b_w) % PU
+        act_r = (is_load + is_store + is_memfin + j_r + k_r + b_r
+                 + sh_r) % PU
+        act_w = (is_store + is_meminit + in_w + k_w + b_w + sh_w) % PU
         mu_r = term(g4, fpm(wa, 2 * cyc, mword_lo, mword_hi, 0,
                             2 * is_memfin), act_r)
         mu_w = term(g4, fpm(wa, 2 * cyc + 1, mwnew_lo, mwnew_hi, 1,
@@ -1058,12 +1065,16 @@ class Rv32imAir(Air):
         b_lo = (b_r * mword_lo + b_w * mwnew_lo) % PU
         b_hi = (b_r * mword_hi + b_w * mwnew_hi) % PU
         r_b = rlc_chain(bact, b_lo, b_hi)
+        shact = (sh_r + sh_w) % PU
+        sh_lo = (sh_r * mword_lo + sh_w * mwnew_lo) % PU
+        sh_hi = (sh_r * mword_hi + sh_w * mwnew_hi) % PU
+        r_sh = rlc_chain(shact, sh_lo, sh_hi)
 
         aux = np.concatenate(
             [t, u, acc, t_r1, t_r2, t_w, t_a7,
              s_terms[0], s_terms[1], s_terms[2], s_terms[3], racc,
              mu_r, mu_w, msort[0], msort[1], macc,
-             li, lf, liacc, lfacc, r_j, r_k, r_b], axis=1)
+             li, lf, liacc, lfacc, r_j, r_k, r_b, r_sh], axis=1)
         assert aux.shape == (n, N_AUX)
         return aux
 
@@ -1087,6 +1098,7 @@ class Rv32imAir(Air):
             _rlc(pp["journal_words"], g6),
             _rlc(pp["keccak_words"], g6),
             _rlc(pp["bigint_words"], g6),
+            _rlc(pp["sha_words"], g6),
         ])
 
     # -- recursion-circuit hooks --------------------------------------------
@@ -1096,7 +1108,7 @@ class Rv32imAir(Air):
         pp = parse_publics([int(p) for p in publics])
         return (len(pp["mem_init"]), len(pp["mem_fin"]),
                 len(pp["journal_words"]), len(pp["keccak_words"]),
-                len(pp["bigint_words"]))
+                len(pp["bigint_words"]), len(pp["sha_words"]))
 
     def derived_challenges_rec(self, b, pub_cells, chal_ext, pub_shape):
         """In-circuit mirror of derived_challenges for the lift program.
@@ -1107,13 +1119,13 @@ class Rv32imAir(Air):
         host's ``a >> 2`` exactly (parse_publics pins all list limbs to
         16 bits, making or-compose equal to addition on both sides).
         """
-        n_init, n_fin, n_j, n_k, n_b = pub_shape
+        n_init, n_fin, n_j, n_k, n_b, n_s = pub_shape
         for j, cnt in ((7, n_init), (8, n_fin), (9, n_j), (10, n_k),
-                       (11, n_b)):
+                       (11, n_b), (12, n_s)):
             b.assert_eq(pub_cells[j], cnt)
         g4, g5, g6 = chal_ext[4], chal_ext[5], chal_ext[6]
         g5sq = b.mul(g5, g5)
-        off = 12
+        off = 13
 
         def limb16(cell):
             """Committed bits of a 16-bit limb (range-binding included)."""
@@ -1153,8 +1165,9 @@ class Rv32imAir(Air):
         d2 = rlc(n_j)
         d3 = rlc(n_k)
         d4 = rlc(n_b)
+        d5 = rlc(n_s)
         assert off == len(pub_cells)
-        return [d0, d1, d2, d3, d4]
+        return [d0, d1, d2, d3, d4, d5]
 
     # -- constraints -------------------------------------------------------
 
@@ -1774,10 +1787,11 @@ class Rv32imAir(Air):
         is_meminit = sel("MEMINIT")
         is_memfin = sel("MEMFIN")
         is_sm = sel("SYSMEM")
-        in_w, j_r, k_r, k_w, b_r, b_w = (m("sm_str", k) for k in range(6))
+        in_w, j_r, k_r, k_w, b_r, b_w, s_r, s_w = (
+            m("sm_str", k) for k in range(8))
         # stream one-hot sums to the SYSMEM selector
         cs.append(sub_(add(add(add(in_w, j_r), add(k_r, k_w)),
-                           add(b_r, b_w)), is_sm))
+                           add(add(b_r, b_w), add(s_r, s_w))), is_sm))
 
         # --- load/store address adder + alignment + byte select -----------
         two16m = ops.const(1 << 16)
@@ -1890,15 +1904,17 @@ class Rv32imAir(Air):
         cs.append(mul(mul(sm_next, not_last),
                       sub_(one, add(sys_here, sm_here))))
         # run-start stream must match the initiating syscall
-        SK_READ, SK_COMMIT, SK_KECCAK, SK_BIGINT = 1, 2, 5, 6
+        SK_READ, SK_COMMIT, SK_KECCAK, SK_BIGINT, SK_SHA = 1, 2, 5, 6, 7
         for str_col, sk_i in ((m("sm_str", 0, 1), SK_READ),
                               (m("sm_str", 1, 1), SK_COMMIT),
                               (m("sm_str", 2, 1), SK_KECCAK),
-                              (m("sm_str", 4, 1), SK_BIGINT)):
+                              (m("sm_str", 4, 1), SK_BIGINT),
+                              (m("sm_str", 6, 1), SK_SHA)):
             cs.append(mul(mul(str_col, sys_here),
                           sub_(one, sk(sk_i))))
-        cs.append(mul(m("sm_str", 3, 1), sys_here))   # k_w can't start a run
-        cs.append(mul(m("sm_str", 5, 1), sys_here))   # b_w can't start a run
+        # write streams can't start a run
+        for w_slot in (3, 5, 7):
+            cs.append(mul(m("sm_str", w_slot, 1), sys_here))
         # continuation keeps the stream (keccak r->w switches at rem==51)
         cs.append(mul(mul(m("sm_str", 0, 1), sm_here), sub_(one, in_w)))
         cs.append(mul(mul(m("sm_str", 1, 1), sm_here), sub_(one, j_r)))
@@ -1906,12 +1922,15 @@ class Rv32imAir(Air):
         cs.append(mul(mul(m("sm_str", 3, 1), sm_here),
                       sub_(one, add(k_w, mul(k_r, m("sm_eq51"))))))
         cs.append(mul(mul(m("sm_str", 2, 1), k_r), m("sm_eq51")))
-        # bigint: 24 reads (rem 32..9), then 8 writes (rem 8..1); the
-        # read->write switch happens after the rem==9 read row
-        cs.append(mul(mul(m("sm_str", 4, 1), sm_here), sub_(one, b_r)))
-        cs.append(mul(mul(m("sm_str", 5, 1), sm_here),
-                      sub_(one, add(b_w, mul(b_r, m("sm_eq9"))))))
-        cs.append(mul(mul(m("sm_str", 4, 1), b_r), m("sm_eq9")))
+        # bigint/sha: 24 reads (rem 32..9), then 8 writes (rem 8..1);
+        # the read->write switch happens after the rem==9 read row
+        for rs, ws, rcur in ((4, 5, b_r), (6, 7, s_r)):
+            cs.append(mul(mul(m("sm_str", rs, 1), sm_here),
+                          sub_(one, rcur)))
+            cs.append(mul(mul(m("sm_str", ws, 1), sm_here),
+                          sub_(one, add(m("sm_str", ws),
+                                        mul(rcur, m("sm_eq9"))))))
+            cs.append(mul(mul(m("sm_str", rs, 1), rcur), m("sm_eq9")))
         # rem bookkeeping
         rem = lin([(1 << j, m("sm_rem", j)) for j in range(20)])
         rem_next = lin([(1 << j, m("sm_rem", j, 1)) for j in range(20)])
@@ -1944,6 +1963,8 @@ class Rv32imAir(Air):
                       sub_(rem_next, ops.const(100))))
         cs.append(mul(mul(start_gate, sk(SK_BIGINT)),
                       sub_(rem_next, ops.const(32))))
+        cs.append(mul(mul(start_gate, sk(SK_SHA)),
+                      sub_(rem_next, ops.const(32))))
         # absent runs force zero IO counts (and keccak always runs)
         no_run = mul(sys_here, sub_(one, mul(sm_next, not_last)))
         cs.append(mul(mul(no_run, sk(SK_READ)), lump("res", True)))
@@ -1952,6 +1973,7 @@ class Rv32imAir(Air):
         cs.append(mul(mul(no_run, sk(SK_COMMIT)), lump("rs2v", False)))
         cs.append(mul(no_run, sk(SK_KECCAK)))
         cs.append(mul(no_run, sk(SK_BIGINT)))
+        cs.append(mul(no_run, sk(SK_SHA)))
         # base address: a0 of the ecall, propagated through the run
         cs.append(mul(start_gate, sub_(m("sm_base_l", 0, 1),
                                        lump("rs1v", True))))
@@ -1974,10 +1996,12 @@ class Rv32imAir(Air):
                       sub_(maddr_lo_n, m("sm_base_l", 0, 1))))
         cs.append(mul(mul(m("sm_str", 3, 1), k_r),
                       sub_(maddr_hi_n, m("sm_base_h", 0, 1))))
-        # b_w follows b_r with the address continuing +4 (the [a|b|m|r]
-        # region is contiguous), unlike keccak's base reset
-        for s_i in range(6):
-            prev_same = (in_w, j_r, k_r, k_w, b_r, add(b_w, b_r))[s_i]
+        # b_w/s_w follow b_r/s_r with the address continuing +4 (the
+        # 32-word accelerator regions are contiguous), unlike keccak's
+        # base reset
+        for s_i in range(8):
+            prev_same = (in_w, j_r, k_r, k_w, b_r, add(b_w, b_r),
+                         s_r, add(s_w, s_r))[s_i]
             gate = mul(m("sm_str", s_i, 1), prev_same)
             cs.append(mul(gate,
                           sub_(add(lump("maddr", True), ops.const(4)),
@@ -2001,8 +2025,9 @@ class Rv32imAir(Air):
         wa = add(wa_lo, mul(ops.const(1 << 16), wa_hi))
         two_cyc = mul(ops.const(2), cyc)
         act_r = add(add(is_load, is_store),
-                    add(is_memfin, add(j_r, add(k_r, b_r))))
-        act_w = add(add(is_store, is_meminit), add(in_w, add(k_w, b_w)))
+                    add(is_memfin, add(j_r, add(k_r, add(b_r, s_r)))))
+        act_w = add(add(is_store, is_meminit),
+                    add(in_w, add(k_w, add(b_w, s_w))))
         fp_mr = fpm(wa, two_cyc, lump("mword", True), lump("mword", False),
                     ops.const(0), mul(ops.const(2), is_memfin))
         fp_mw = fpm(wa, add(two_cyc, one), lump("mwnew", True),
@@ -2173,6 +2198,18 @@ class Rv32imAir(Air):
                      mul(m("sm_str", 5, 1), lump("mwnew", False, 1)))
         rlc_constraints(A_RB, b_act, b_act_n, b_lo, b_lo_n, b_hi, b_hi_n,
                         challenges[11])
+        s_act = add(s_r, s_w)
+        s_act_n = add(m("sm_str", 6, 1), m("sm_str", 7, 1))
+        s_lo = add(mul(s_r, lump("mword", True)),
+                   mul(s_w, lump("mwnew", True)))
+        s_lo_n = add(mul(m("sm_str", 6, 1), lump("mword", True, 1)),
+                     mul(m("sm_str", 7, 1), lump("mwnew", True, 1)))
+        s_hi = add(mul(s_r, lump("mword", False)),
+                   mul(s_w, lump("mwnew", False)))
+        s_hi_n = add(mul(m("sm_str", 6, 1), lump("mword", False, 1)),
+                     mul(m("sm_str", 7, 1), lump("mwnew", False, 1)))
+        rlc_constraints(A_RSH, s_act, s_act_n, s_lo, s_lo_n, s_hi, s_hi_n,
+                        challenges[12])
 
         # --- halt / exit-code binding --------------------------------------
         # publics[4] = halted, publics[5:7] = exit code limbs
@@ -2220,7 +2257,7 @@ def _vec_modinv(x: np.ndarray) -> np.ndarray:
 def parse_publics(pubs):
     """Decode the flat segment publics (see witgen) into a dict."""
     p = [int(x) for x in pubs]
-    if len(p) < 12:
+    if len(p) < 13:
         raise ValueError("publics too short")
     out = {
         "entry_pc": p[0] | (p[1] << 16),
@@ -2228,16 +2265,16 @@ def parse_publics(pubs):
         "halted": p[4],
         "exit_code": p[5] | (p[6] << 16),
     }
-    n_init, n_fin, n_j, n_k, n_b = p[7], p[8], p[9], p[10], p[11]
-    need = 12 + 4 * (n_init + n_fin) + 2 * (n_j + n_k + n_b)
+    n_init, n_fin, n_j, n_k, n_b, n_s = p[7:13]
+    need = 13 + 4 * (n_init + n_fin) + 2 * (n_j + n_k + n_b + n_s)
     if len(p) != need:
         raise ValueError("bad publics length")
     # every list element is a 16-bit limb; enforcing the range here keeps
     # the host's or-compose/re-split arithmetic and the recursion
     # circuit's limb-cell arithmetic (derived_challenges_rec) identical
-    if any(x < 0 or x >= (1 << 16) for x in p[12:]):
+    if any(x < 0 or x >= (1 << 16) for x in p[13:]):
         raise ValueError("public list limb out of 16-bit range")
-    off = 12
+    off = 13
 
     def entries(cnt):
         nonlocal off
@@ -2261,6 +2298,7 @@ def parse_publics(pubs):
     out["journal_words"] = words(n_j)
     out["keccak_words"] = words(n_k)
     out["bigint_words"] = words(n_b)
+    out["sha_words"] = words(n_s)
     return out
 
 
@@ -2319,7 +2357,8 @@ def prove_segment(seg, image_addrs, image_words):
 
 def verify_chain(publics_list, claim, image_addrs, image_words,
                  entry_pc: int, keccak_checked: bool = False,
-                 bigint_checked: bool = False) -> dict:
+                 bigint_checked: bool = False,
+                 sha_checked: bool = False) -> dict:
     """Chain checks over per-segment publics (no STARK verification).
 
     Checks: pc continuity; RAM continuity (each segment's public MEMINIT
@@ -2344,6 +2383,7 @@ def verify_chain(publics_list, claim, image_addrs, image_words,
     journal_words: list[int] = []
     keccak_words: list[int] = []
     bigint_words: list[int] = []
+    sha_words: list[int] = []
     for i, pubs in enumerate(publics_list):
         try:
             pp = parse_publics([int(p) for p in pubs])
@@ -2396,17 +2436,54 @@ def verify_chain(publics_list, claim, image_addrs, image_words,
                     raise VerificationError(
                         f"segment {i}: bigint accelerator result mismatch")
         bigint_words += bw
+        # sha-256 accelerator IO: recompute the compression over the
+        # bound operands unless an accelerator proof discharges them
+        sw = pp["sha_words"]
+        if len(sw) % 32:
+            raise VerificationError(f"segment {i}: bad sha IO length")
+        if not sha_checked:
+            for c in range(0, len(sw), 32):
+                if _sha_compress_words(sw[c:c + 8], sw[c + 8:c + 24]) \
+                        != sw[c + 24:c + 32]:
+                    raise VerificationError(
+                        f"segment {i}: sha accelerator result mismatch")
+        sha_words += sw
         journal_words += pp["journal_words"]
         expect_pc = pp["exit_pc"]
     journal = b"".join(int(w).to_bytes(4, "little") for w in journal_words)
     if hashlib.sha256(journal).digest() != claim.journal_digest:
         raise VerificationError("journal does not match claim digest")
-    return {"keccak_words": keccak_words, "bigint_words": bigint_words}
+    return {"keccak_words": keccak_words, "bigint_words": bigint_words,
+            "sha_words": sha_words}
+
+
+def _sha_compress_words(state, block):
+    """Pure-python SHA-256 compression (FIPS 180-4) for the host-side
+    accelerator-IO recompute."""
+    from ..hash.sha256 import _K
+    M = 0xFFFFFFFF
+    rotr = lambda x, n: ((x >> n) | (x << (32 - n))) & M
+    w = list(block)
+    for t in range(16, 64):
+        s0 = rotr(w[t - 15], 7) ^ rotr(w[t - 15], 18) ^ (w[t - 15] >> 3)
+        s1 = rotr(w[t - 2], 17) ^ rotr(w[t - 2], 19) ^ (w[t - 2] >> 10)
+        w.append((w[t - 16] + s0 + w[t - 7] + s1) & M)
+    a, b, c, d, e, f, g, h = state
+    for t in range(64):
+        S1 = rotr(e, 6) ^ rotr(e, 11) ^ rotr(e, 25)
+        ch = (e & f) ^ (~e & g & M)
+        t1 = (h + S1 + ch + int(_K[t]) + w[t]) & M
+        S0 = rotr(a, 2) ^ rotr(a, 13) ^ rotr(a, 22)
+        maj = (a & b) ^ (a & c) ^ (b & c)
+        t2 = (S0 + maj) & M
+        h, g, f, e, d, c, b, a = g, f, e, (d + t1) & M, c, b, a, (t1 + t2) & M
+    return [(x + y) & M for x, y in zip(state, [a, b, c, d, e, f, g, h])]
 
 
 def verify_segments(seals, claim, image_addrs, image_words, entry_pc: int,
                     keccak_checked: bool = False,
-                    bigint_checked: bool = False) -> dict:
+                    bigint_checked: bool = False,
+                    sha_checked: bool = False) -> dict:
     """Verify a chain of segment seals; returns the bound accelerator IO
     ({"keccak_words", "bigint_words"}).
 
@@ -2426,4 +2503,5 @@ def verify_segments(seals, claim, image_addrs, image_words, entry_pc: int,
         publics_list.append(pubs)
     return verify_chain(publics_list, claim, image_addrs, image_words,
                         entry_pc, keccak_checked=keccak_checked,
-                        bigint_checked=bigint_checked)
+                        bigint_checked=bigint_checked,
+                        sha_checked=sha_checked)

@@ -19,6 +19,8 @@ guests/stateless-client/src/lib.rs:17-33):
                                                  counted as accelerator call)
     6 BIGINT  a0 = ptr to 4x32-byte [a|b|m|r]   (host writes r = a*b mod m,
                                                  counted as accelerator call)
+    7 SHA256  a0 = ptr to [state 8w|block 16w|out 8w]  (host writes the
+                                                 compression feed-forward)
 
 Cycle accounting (reference categories, run-parallel.sh:67-70):
   user cycles   = executed instructions
@@ -99,6 +101,12 @@ def _lib():
     lib.ex_bigint_inputs_len.argtypes = [ctypes.c_void_p]
     lib.ex_bigint_inputs.restype = ctypes.POINTER(ctypes.c_uint32)
     lib.ex_bigint_inputs.argtypes = [ctypes.c_void_p]
+    lib.ex_sha_count.restype = ctypes.c_uint64
+    lib.ex_sha_count.argtypes = [ctypes.c_void_p]
+    lib.ex_sha_inputs_len.restype = ctypes.c_size_t
+    lib.ex_sha_inputs_len.argtypes = [ctypes.c_void_p]
+    lib.ex_sha_inputs.restype = ctypes.POINTER(ctypes.c_uint32)
+    lib.ex_sha_inputs.argtypes = [ctypes.c_void_p]
     lib.ex_trace_enable.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.ex_trace_len.restype = ctypes.c_size_t
     lib.ex_trace_len.argtypes = [ctypes.c_void_p]
@@ -155,6 +163,7 @@ TR_ECALL = 1 << 2
 TR_SYSMEM = 1 << 3
 SM_INPUT, SM_JOURNAL, SM_KECCAK_R, SM_KECCAK_W = 1, 2, 3, 4
 SM_BIGINT_R, SM_BIGINT_W = 5, 6
+SM_SHA_R, SM_SHA_W = 7, 8
 
 
 @dataclass
@@ -167,6 +176,7 @@ class ExecResult:
     total_cycles: int
     keccak_calls: int
     bigint_calls: int = 0
+    sha_calls: int = 0
     segments: list = field(default_factory=list)
 
 
@@ -326,6 +336,14 @@ class Executor:
                 bptr, shape=(nb,)).reshape(-1, 32).astype(np.uint64)
         else:
             self.bigint_inputs = np.zeros((0, 32), dtype=np.uint64)
+        ns = lib.ex_sha_inputs_len(h)
+        if ns:
+            sptr = lib.ex_sha_inputs(h)
+            # 32 u32 words (state|block|out) per recorded compression
+            self.sha_inputs = np.ctypeslib.as_array(
+                sptr, shape=(ns,)).reshape(-1, 32).astype(np.uint64)
+        else:
+            self.sha_inputs = np.zeros((0, 32), dtype=np.uint64)
 
         journal = ctypes.create_string_buffer(lib.ex_journal_len(h))
         lib.ex_journal(h, journal)
@@ -342,5 +360,6 @@ class Executor:
             total_cycles=user + paging,
             keccak_calls=lib.ex_keccak_count(h),
             bigint_calls=lib.ex_bigint_count(h),
+            sha_calls=lib.ex_sha_count(h),
             segments=segments,
         )

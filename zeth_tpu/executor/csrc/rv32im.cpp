@@ -29,7 +29,7 @@ enum Status : int { ST_RUNNING = 0, ST_HALTED = 1, ST_SEGMENT_FULL = 2, ST_ERROR
 
 enum Syscall : uint32_t {
   SYS_HALT = 0, SYS_READ = 1, SYS_COMMIT = 2, SYS_LOG = 3,
-  SYS_CYCLE = 4, SYS_KECCAK = 5, SYS_BIGINT = 6,
+  SYS_CYCLE = 4, SYS_KECCAK = 5, SYS_BIGINT = 6, SYS_SHA256 = 7,
 };
 
 // Trace record flags (see TRACE_WORDS in __init__.py).
@@ -42,7 +42,7 @@ enum TraceFlag : uint32_t {
 };
 enum SysmemStream : uint32_t {
   SM_INPUT = 1, SM_JOURNAL = 2, SM_KECCAK_R = 3, SM_KECCAK_W = 4,
-  SM_BIGINT_R = 5, SM_BIGINT_W = 6,
+  SM_BIGINT_R = 5, SM_BIGINT_W = 6, SM_SHA_R = 7, SM_SHA_W = 8,
 };
 static inline uint32_t sm_flags(uint32_t stream) {
   return TR_SYSMEM | (stream << 8);
@@ -131,6 +131,48 @@ static void modmul256(const uint64_t a[4], const uint64_t b[4],
   memcpy(r, rem, 32);
 }
 
+// ---- SHA-256 compression (for the accelerator syscall) --------------------
+static const uint32_t SHA_K[64] = {
+  0x428a2f98, 0x71374491, 0xb5c0fbcf, 0xe9b5dba5, 0x3956c25b, 0x59f111f1,
+  0x923f82a4, 0xab1c5ed5, 0xd807aa98, 0x12835b01, 0x243185be, 0x550c7dc3,
+  0x72be5d74, 0x80deb1fe, 0x9bdc06a7, 0xc19bf174, 0xe49b69c1, 0xefbe4786,
+  0x0fc19dc6, 0x240ca1cc, 0x2de92c6f, 0x4a7484aa, 0x5cb0a9dc, 0x76f988da,
+  0x983e5152, 0xa831c66d, 0xb00327c8, 0xbf597fc7, 0xc6e00bf3, 0xd5a79147,
+  0x06ca6351, 0x14292967, 0x27b70a85, 0x2e1b2138, 0x4d2c6dfc, 0x53380d13,
+  0x650a7354, 0x766a0abb, 0x81c2c92e, 0x92722c85, 0xa2bfe8a1, 0xa81a664b,
+  0xc24b8b70, 0xc76c51a3, 0xd192e819, 0xd6990624, 0xf40e3585, 0x106aa070,
+  0x19a4c116, 0x1e376c08, 0x2748774c, 0x34b0bcb5, 0x391c0cb3, 0x4ed8aa4a,
+  0x5b9cca4f, 0x682e6ff3, 0x748f82ee, 0x78a5636f, 0x84c87814, 0x8cc70208,
+  0x90befffa, 0xa4506ceb, 0xbef9a3f7, 0xc67178f2};
+static inline uint32_t rotr32(uint32_t x, int n) {
+  return (x >> n) | (x << (32 - n));
+}
+static void sha256_compress(const uint32_t st[8], const uint32_t blk[16],
+                            uint32_t out[8]) {
+  uint32_t w[64];
+  memcpy(w, blk, 64);
+  for (int t = 16; t < 64; t++) {
+    uint32_t s0 = rotr32(w[t - 15], 7) ^ rotr32(w[t - 15], 18) ^ (w[t - 15] >> 3);
+    uint32_t s1 = rotr32(w[t - 2], 17) ^ rotr32(w[t - 2], 19) ^ (w[t - 2] >> 10);
+    w[t] = w[t - 16] + s0 + w[t - 7] + s1;
+  }
+  uint32_t a = st[0], b = st[1], c = st[2], d = st[3];
+  uint32_t e = st[4], f = st[5], g = st[6], h = st[7];
+  for (int t = 0; t < 64; t++) {
+    uint32_t S1 = rotr32(e, 6) ^ rotr32(e, 11) ^ rotr32(e, 25);
+    uint32_t ch = (e & f) ^ (~e & g);
+    uint32_t t1 = h + S1 + ch + SHA_K[t] + w[t];
+    uint32_t S0 = rotr32(a, 2) ^ rotr32(a, 13) ^ rotr32(a, 22);
+    uint32_t maj = (a & b) ^ (a & c) ^ (b & c);
+    uint32_t t2 = S0 + maj;
+    h = g; g = f; f = e; e = d + t1;
+    d = c; c = b; b = a; a = t1 + t2;
+  }
+  out[0] = st[0] + a; out[1] = st[1] + b; out[2] = st[2] + c;
+  out[3] = st[3] + d; out[4] = st[4] + e; out[5] = st[5] + f;
+  out[6] = st[6] + g; out[7] = st[7] + h;
+}
+
 // ---- executor -------------------------------------------------------------
 
 struct Executor {
@@ -159,6 +201,8 @@ struct Executor {
   std::vector<uint64_t> keccak_inputs;  // 25 words per accelerator call
   uint64_t bigint_count = 0;
   std::vector<uint32_t> bigint_inputs;  // 32 words (a|b|m|r) per call
+  uint64_t sha_count = 0;
+  std::vector<uint32_t> sha_inputs;  // 32 words (state|block|out) per call
 
   std::vector<uint8_t> input;
   size_t input_pos = 0;
@@ -382,6 +426,25 @@ struct Executor {
         }
         bigint_inputs.insert(bigint_inputs.end(), words, words + 32);
         bigint_count++;
+        break;
+      }
+      case SYS_SHA256: {
+        // a0 -> [state(8w) | block(16w) | out(8w)]; the executor reads
+        // state+block, writes out = compress(state, block), and records
+        // the claim for the accelerator batch (circuits/sha256.py).
+        if (a0 & 3) { faulted = true; break; }
+        uint32_t words[32];
+        for (uint32_t i = 0; i < 24; i++) {
+          words[i] = data_load_word(a0 + 4 * i);
+          push_sysmem(a0 + 4 * i, words[i], SM_SHA_R);
+        }
+        sha256_compress(words, words + 8, words + 24);
+        for (uint32_t i = 24; i < 32; i++) {
+          data_store_word(a0 + 4 * i, words[i]);
+          push_sysmem(a0 + 4 * i, words[i], SM_SHA_W);
+        }
+        sha_inputs.insert(sha_inputs.end(), words, words + 32);
+        sha_count++;
         break;
       }
       default:
@@ -685,6 +748,14 @@ size_t ex_bigint_inputs_len(void* h) {
 }
 const uint32_t* ex_bigint_inputs(void* h) {
   return ((Executor*)h)->bigint_inputs.data();
+}
+uint64_t ex_sha_count(void* h) { return ((Executor*)h)->sha_count; }
+// recorded sha-256 accelerator claims: 32 u32 words (state|block|out)
+size_t ex_sha_inputs_len(void* h) {
+  return ((Executor*)h)->sha_inputs.size();
+}
+const uint32_t* ex_sha_inputs(void* h) {
+  return ((Executor*)h)->sha_inputs.data();
 }
 size_t ex_trace_len(void* h) { return ((Executor*)h)->trace.size() / 8; }
 uint32_t* ex_trace_data(void* h) { return ((Executor*)h)->trace.data(); }

@@ -136,6 +136,33 @@ def bigint_guest(a: int, b: int, m: int, reps: int = 1) -> bytes:
     return write_elf([(g.org, g.assemble())], g.org)
 
 
+def sha256_guest(state: list, block: list, reps: int = 1) -> bytes:
+    """Chain `reps` SHA-256 compressions via the accelerator syscall
+    (state <- compress(state, block)), then commit the 32-byte state."""
+    g = Asm(org=0x10000)
+    g.li("s0", SCRATCH)        # [state 8w | block 16w | out 8w]
+    for i, w in enumerate(list(state) + list(block)):
+        g.li("t0", int(w) & 0xFFFFFFFF)
+        g.sw("t0", "s0", 4 * i)
+    g.li("s1", reps)
+    g.label("loop")
+    g.mv("a0", "s0")
+    g.li("a7", 7)
+    g.ecall()
+    for w in range(8):
+        g.lw("t0", "s0", 96 + 4 * w)
+        g.sw("t0", "s0", 4 * w)
+    g.addi("s1", "s1", -1)
+    g.bne("s1", "zero", "loop")
+    g.li("a0", SCRATCH + 96)
+    g.li("a1", 32)
+    g.li("a7", 2)
+    g.ecall()
+    g.li("a0", 0)
+    g.sys_halt()
+    return write_elf([(g.org, g.assemble())], g.org)
+
+
 def load_store(n: int = 8) -> bytes:
     """Exercise every load/store width: write a pattern with SB/SH/SW,
     read it back with LB/LH/LW/LBU/LHU, xor-fold, commit 4 bytes."""

@@ -115,6 +115,7 @@ class SegmentsInner:
     entry_pc: int = 0
     keccak_seal: np.ndarray = None
     bigint_seal: np.ndarray = None
+    sha_seal: np.ndarray = None
     kind: str = "segments"
 
 
@@ -136,6 +137,7 @@ class SuccinctInner:
     entry_pc: int = 0
     keccak_seal: np.ndarray = None
     bigint_seal: np.ndarray = None
+    sha_seal: np.ndarray = None
     kind: str = "succinct"
 
 
@@ -169,13 +171,14 @@ class Receipt:
             if not (got == np.asarray(self.claim.image_id, np.uint64)).all():
                 raise VerificationError("program image does not match image id")
             # resolve: an accelerator seal discharges the keccak claims
-            acc_words, big_io = _resolve_accelerators(self.inner)
+            acc_words, big_io, sha_io = _resolve_accelerators(self.inner)
             out = rv.verify_segments(
                 self.inner.seals, self.claim, self.inner.image_addrs,
                 self.inner.image_words, self.inner.entry_pc,
                 keccak_checked=acc_words is not None,
-                bigint_checked=big_io is not None)
-            _check_accelerator_io(out, acc_words, big_io)
+                bigint_checked=big_io is not None,
+                sha_checked=sha_io is not None)
+            _check_accelerator_io(out, acc_words, big_io, sha_io)
             return
         if isinstance(self.inner, SuccinctInner):
             from .circuits import keccak as keccak_air
@@ -200,13 +203,14 @@ class Receipt:
                                      self.inner.segment_publics)
             except verifier_mod.VerificationError as e:
                 raise VerificationError(f"succinct receipt: {e}") from e
-            acc_words, big_io = _resolve_accelerators(self.inner)
+            acc_words, big_io, sha_io = _resolve_accelerators(self.inner)
             out = rv.verify_chain(
                 self.inner.segment_publics, self.claim,
                 self.inner.image_addrs, self.inner.image_words,
                 self.inner.entry_pc, keccak_checked=acc_words is not None,
-                bigint_checked=big_io is not None)
-            _check_accelerator_io(out, acc_words, big_io)
+                bigint_checked=big_io is not None,
+                sha_checked=sha_io is not None)
+            _check_accelerator_io(out, acc_words, big_io, sha_io)
             return
         raise VerificationError(f"unknown receipt kind: {self.inner!r}")
 
@@ -230,9 +234,11 @@ class ProveInfo:
 
 def _resolve_accelerators(inner):
     """Verify attached accelerator batch seals (the reference's resolve
-    step): returns (keccak_io_words | None, bigint_io_words | None)."""
+    step): returns (keccak_io | None, bigint_io | None, sha_io | None)
+    as the segments' 32-bit word streams."""
     from .circuits import bigint2 as bigint_air
     from .circuits import keccak as keccak_air
+    from .circuits import sha256 as sha_air
     acc_words = None
     if inner.keccak_seal is not None:
         try:
@@ -250,10 +256,19 @@ def _resolve_accelerators(inner):
         for a, b, m, r in claims:
             for v in (a, b, m, r):
                 big_io += [(v >> (32 * w)) & 0xFFFFFFFF for w in range(8)]
-    return acc_words, big_io
+    sha_io = None
+    if getattr(inner, "sha_seal", None) is not None:
+        try:
+            claims = sha_air.verify_batch(inner.sha_seal)
+        except Exception as e:
+            raise VerificationError(f"sha accelerator seal: {e}") from e
+        sha_io = []
+        for st, blk, outw in claims:
+            sha_io += list(st) + list(blk) + list(outw)
+    return acc_words, big_io, sha_io
 
 
-def _check_accelerator_io(out, acc_words, big_io):
+def _check_accelerator_io(out, acc_words, big_io, sha_io=None):
     """The segments' bound IO streams must be prefixes of the proof-bound
     accelerator batches (batches may carry padding extras)."""
     if acc_words is not None:
@@ -267,6 +282,12 @@ def _check_accelerator_io(out, acc_words, big_io):
         if big_io[:len(seg_words)] != seg_words:
             raise VerificationError(
                 "bigint accelerator IO does not match the segments' "
+                "bound IO stream")
+    if sha_io is not None:
+        seg_words = out["sha_words"]
+        if sha_io[:len(seg_words)] != seg_words:
+            raise VerificationError(
+                "sha accelerator IO does not match the segments' "
                 "bound IO stream")
 
 
@@ -327,6 +348,12 @@ class LocalProver:
                                for w in range(8)) for j in range(3))
                 ops.append((a, b, m))
             bigint_seal, _ = bigint_air.prove_batch(ops)
+        sha_seal = None
+        if getattr(ex, "sha_inputs", None) is not None \
+                and len(ex.sha_inputs):
+            from .circuits import sha256 as sha_air
+            rows = np.asarray(ex.sha_inputs, np.uint64)
+            sha_seal, _ = sha_air.prove_batch(rows[:, :8], rows[:, 8:24])
         if os.environ.get("ZETH_SUCCINCT", "0") == "1":
             from .circuits.rv32im import Rv32imAir
             from .recursion import succinct
@@ -340,12 +367,14 @@ class LocalProver:
                                  for pf in proofs],
                 segment_po2s=[pf.po2 for pf in proofs],
                 image_addrs=img_a, image_words=img_w, entry_pc=entry_pc,
-                keccak_seal=keccak_seal, bigint_seal=bigint_seal)
+                keccak_seal=keccak_seal, bigint_seal=bigint_seal,
+                sha_seal=sha_seal)
         else:
             inner = SegmentsInner(seals=seals, image_addrs=img_a,
                                   image_words=img_w, entry_pc=entry_pc,
                                   keccak_seal=keccak_seal,
-                                  bigint_seal=bigint_seal)
+                                  bigint_seal=bigint_seal,
+                                  sha_seal=sha_seal)
         receipt = Receipt(journal=res.journal, claim=claim, inner=inner)
         stats = SessionStats(
             user_cycles=res.user_cycles, paging_cycles=res.paging_cycles,
