@@ -108,6 +108,35 @@ def _lde_group_std(trace_std_u32):
     return _lde_group(F.to_monty(trace_std_u32))
 
 
+@jax.jit
+def _lde_only(trace_monty):
+    """LDE without keeping the coefficient array (it doubles HBM at
+    po2>=18; DEEP taps are evaluated barycentrically from the LDE)."""
+    return _lde_group(trace_monty)[1]
+
+
+@jax.jit
+def _lde_only_std(trace_std_u32):
+    return _lde_group(F.to_monty(trace_std_u32))[1]
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _eval_rows_ext(rows, w, chunk: int):
+    """Weighted row reduction: (4n, c) Montgomery base rows x (4n, 4)
+    Montgomery ext weights -> (c, 4). Chunked so the (chunk, c, 4)
+    intermediate stays small."""
+    n, c = rows.shape
+    def body(acc, i):
+        rc = jax.lax.dynamic_slice(rows, (i * chunk, 0), (chunk, c))
+        wc = jax.lax.dynamic_slice(w, (i * chunk, 0), (chunk, 4))
+        t = F.mul(rc[:, :, None], wc[:, None, :])
+        return F.add(acc, ntt.modsum(t, axis=0)), None
+    acc0 = jnp.zeros((c, 4), _U32)
+    acc, _ = jax.lax.scan(body, acc0,
+                          jnp.arange(n // chunk, dtype=jnp.int32))
+    return acc
+
+
 # -- bit-packed witness upload ----------------------------------------------
 #
 # Most rv32im/keccak witness columns are bits; uploading them as uint32
@@ -396,7 +425,7 @@ def prove(air: Air, main_std: np.ndarray, publics: list[int],
     t.mix_values(np.array([po2] + [int(p) for p in publics], dtype=np.uint64))
 
     # --- commit control / main ------------------------------------------
-    groups, coeffs, ldes, trees, roots = {}, {}, {}, {}, {}
+    ldes, trees, roots = {}, {}, {}
     control_std = air.control_trace(po2)
     for gname, std in (("control", control_std), ("main", main_std)):
         with _Stage(f"commit {gname}"):
@@ -411,7 +440,7 @@ def prove(air: Air, main_std: np.ndarray, publics: list[int],
                 # slowdown measured at po2=14)
                 dev.block_until_ready()
             with _Stage(f"  {gname} lde"):
-                coeffs[gname], ldes[gname] = _lde_group_std(dev)
+                ldes[gname] = _lde_only_std(dev)
                 ldes[gname].block_until_ready()
             del dev          # the standard-form upload buffer is ~1 GB at po2=18
             with _Stage(f"  {gname} tree"):
@@ -432,12 +461,11 @@ def prove(air: Air, main_std: np.ndarray, publics: list[int],
             np.copyto(aux32, np.asarray(aux_std, np.uint64),
                       casting="unsafe")
             dev = shard_rows(aux32)
-            coeffs["aux"], ldes["aux"] = _lde_group_std(dev)
+            ldes["aux"] = _lde_only_std(dev)
             trees["aux"] = merkle.commit_rows(ldes["aux"])
             roots["aux"] = trees["aux"].root
         t.mix(roots["aux"])
     else:
-        coeffs["aux"] = jnp.zeros((n, 0), _U32)
         ldes["aux"] = jnp.zeros((BLOWUP * n, 0), _U32)
 
     # --- composition / check group --------------------------------------
@@ -445,25 +473,46 @@ def prove(air: Air, main_std: np.ndarray, publics: list[int],
     with _Stage("check group"):
         check_cols = _check_group(air, ldes, alpha, publics, challenges, n,
                                   mesh=mesh)
-        coeffs["check"], ldes["check"] = _lde_group(check_cols)
+        ldes["check"] = _lde_only(check_cols)
         trees["check"] = merkle.commit_rows(ldes["check"])
         roots["check"] = trees["check"].root
     t.mix(roots["check"])
 
     # --- DEEP taps -------------------------------------------------------
+    # Evaluated barycentrically from the LDE evaluations (no coefficient
+    # arrays are kept — they double HBM at po2>=18). On the coset gH of
+    # size 4n: f(z) = K(z) * sum_i f(x_i) * x_i / (z - x_i) with
+    # K(z) = (z^4n - g^4n) / (4n * g^4n); we fold the sign of the
+    # precomputed 1/(x_i - z) table into K.
     z = t.sample_ext()
     _tap_t0 = _time.time()
     w_n = H.rou_fwd(n)
     zg = H.ext_mul(H.ext(z), H.ext(w_n))
+    m4 = BLOWUP * n
+    w_monty = jnp.asarray(_to_monty_np(H.rou_fwd(m4)))
+    x_pows = F.mul(base_power_series(w_monty, m4),
+                   jnp.asarray(_to_monty_np(GENERATOR)))
+    inv_z = _point_inverses(x_pows, jnp.asarray(_to_monty_np(z)))
+    inv_zg = _point_inverses(x_pows, jnp.asarray(_to_monty_np(zg)))
+
+    g4n = pow(GENERATOR, m4, P)
+    den_inv = pow((m4 * g4n) % P, P - 2, P)
+
+    def _bary_weights(zz, inv_xz):
+        z4n = H.ext_pow(H.ext(zz), m4)
+        k = H.ext_mul(H.ext_sub(z4n, H.ext(g4n)), H.ext(den_inv))
+        mk = jnp.asarray(_to_monty_np(H.ext_neg(k)))
+        return F.ext_mul(F.ext_mul_base(inv_xz, x_pows), mk[None, :])
+
+    bw = {0: _bary_weights(z, inv_z), 1: _bary_weights(zg, inv_zg)}
+    chunk = min(4096, m4)
     tap_vals = []
-    zp = {0: ext_power_series(jnp.asarray(_to_monty_np(z)), n),
-          1: ext_power_series(jnp.asarray(_to_monty_np(zg)), n)}
     for (gname, offset) in TAP_STREAMS:
-        cf = coeffs[gname]
-        if cf.shape[1] == 0:
+        lde = ldes[gname]
+        if lde.shape[1] == 0:
             tap_vals.append(np.zeros((0, 4), dtype=np.uint64))
             continue
-        vals = _tap_eval(cf, zp[offset])                  # (c, 4)
+        vals = _eval_rows_ext(lde, bw[offset], chunk)     # (c, 4)
         tap_vals.append(_from_monty(vals))
     if _TIMING:
         print(f"[prover] taps: {_time.time() - _tap_t0:.2f}s",
@@ -484,12 +533,6 @@ def prove(air: Air, main_std: np.ndarray, publics: list[int],
     for j in range(n_zg):
         const_zg = H.ext_add(const_zg,
                              H.ext_mul(beta_pows[n_z + j], taps[n_z + j]))
-
-    w_monty = jnp.asarray(_to_monty_np(H.rou_fwd(BLOWUP * n)))
-    x_pows = F.mul(base_power_series(w_monty, BLOWUP * n),
-                   jnp.asarray(_to_monty_np(GENERATOR)))
-    inv_z = _point_inverses(x_pows, jnp.asarray(_to_monty_np(z)))
-    inv_zg = _point_inverses(x_pows, jnp.asarray(_to_monty_np(zg)))
 
     groups_z, bps_z = [], []
     groups_zg, bps_zg = [], []
