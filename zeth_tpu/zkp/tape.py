@@ -399,7 +399,6 @@ def _build_leafmat(specs, ldes):
     """(N, n_leaves) Montgomery leaf matrix. specs: static tuple of
     (group, col, offset); '__one__' is the constant-one row."""
     n = next(iter(ldes.values())).shape[0]
-    cols = []
     # group leaves by (group, offset) for single gathers
     from collections import defaultdict
     grouped = defaultdict(list)
@@ -416,6 +415,30 @@ def _build_leafmat(specs, ldes):
         if off:
             # next trace row = +BLOWUP in natural LDE order
             mat = jnp.roll(mat, -4 * off, axis=0)
+        for k, (i, _) in enumerate(items):
+            out[i] = mat[:, k]
+    return jnp.stack(out, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("specs", "nb"))
+def _build_leafblock(specs, ldes, start, nb: int):
+    """(nb, n_leaves) Montgomery leaf matrix for rows [start, start+nb)
+    (wrapping) — the full (N, n_leaves) matrix is ~8 GB at po2=18."""
+    n = next(iter(ldes.values())).shape[0]
+    rows = (jnp.arange(nb, dtype=jnp.int32) + start) % n
+    from collections import defaultdict
+    grouped = defaultdict(list)
+    for i, (g, c, off) in enumerate(specs):
+        grouped[(g, off)].append((i, c))
+    out = [None] * len(specs)
+    for (g, off), items in grouped.items():
+        if g == "__one__":
+            for i, _ in items:
+                out[i] = jnp.full((nb,), F.mont_one(), _U32)
+            continue
+        idxs = np.array([c for _, c in items], dtype=np.int32)
+        r = (rows + 4 * off) % n if off else rows
+        mat = jnp.take(ldes[g][:, idxs], r, axis=0)
         for k, (i, _) in enumerate(items):
             out[i] = mat[:, k]
     return jnp.stack(out, axis=1)
@@ -484,12 +507,18 @@ def eval_check(tp: TapeProgram, ldes: dict, publics, challenges,
     W[:tp.n_stage] = np.asarray(alpha_pows_std, np.uint64)[:tp.n_stage]
     W = jnp.asarray(_to_monty_np(W))
     ops = jnp.asarray(tp.ops)
-    leafmat = _build_leafmat(tuple(tp.leaves), ldes)
-    n = leafmat.shape[0]
-    nb = n if single_block else min(n, BLOCK_ROWS)
+    n = next(iter(ldes.values())).shape[0]
+    if single_block:
+        # mesh-sharded path: one GSPMD dispatch over the whole domain
+        leafmat = _build_leafmat(tuple(tp.leaves), ldes)
+        return _run_block(leafmat, ops, S, W, tp.n_regs, tp.n_stage)
+    # row-blocked: leaf blocks are gathered per block (never the full
+    # (N, n_leaves) matrix), sized to a ~0.5 GB memory budget
+    n_leaves = max(len(tp.leaves), 1)
+    target = max(8192, (1 << 27) // n_leaves)
+    nb = min(n, BLOCK_ROWS, 1 << (target.bit_length() - 1))
     outs = []
     for start in range(0, n, nb):
-        outs.append(_run_block(
-            jax.lax.dynamic_slice(leafmat, (start, 0), (nb, leafmat.shape[1])),
-            ops, S, W, tp.n_regs, tp.n_stage))
+        lb = _build_leafblock(tuple(tp.leaves), ldes, jnp.int32(start), nb)
+        outs.append(_run_block(lb, ops, S, W, tp.n_regs, tp.n_stage))
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
