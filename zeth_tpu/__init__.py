@@ -16,3 +16,23 @@ risc0/zeth's Ethereum block proofs bottom out in (see SURVEY.md):
 """
 
 __version__ = "0.1.0"
+
+# Large numpy buffers default to mmap/munmap per allocation (glibc's
+# 128 KiB threshold); on this VM class page faults cost ~1 ms, which made
+# witgen/aux host stages 10-50x slower than their arithmetic. Keep big
+# blocks on the heap free list so repeated prove calls reuse warm pages.
+def _tune_malloc():
+    import ctypes
+    import sys
+    if not sys.platform.startswith("linux"):
+        return
+    try:
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        libc.mallopt(-3, 1 << 30)    # M_MMAP_THRESHOLD
+        libc.mallopt(-1, 1 << 28)    # M_TRIM_THRESHOLD
+    except Exception:
+        pass
+
+
+_tune_malloc()
+del _tune_malloc
