@@ -348,7 +348,14 @@ class Rv32imAir(Air):
         put_bits("insn", insn)
         put_bits("rs1v", rs1v)
         put_bits("rs2v", rs2v)
-        put_bits("res", rdv)
+        # the JAL/JALR link constraint (res = pc + 4) is ungated by rd_nz,
+        # but the executor records rdv = 0 for rd = x0 (plain jumps `j`,
+        # returns `ret`); commit the link value itself — the register-file
+        # write is rd_nz-gated, so an x0 row's res is otherwise unused
+        is_link = is_instr & ((opcode == 0x6F) | (opcode == 0x67))
+        res_vals = np.where(is_link, (pc + np.uint64(4)) & np.uint64(0xFFFFFFFF),
+                            rdv)
+        put_bits("res", res_vals)
         m[BF:, L.slices["pc"].start:L.slices["pc"].stop] = (
             (pad_pc >> np.arange(32).astype(np.uint64)) & 1)
         # init + meminit rows: pc frozen at the entry pc; init rows' res
