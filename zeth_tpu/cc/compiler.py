@@ -516,8 +516,11 @@ class Compiler:
             return self.expr_type(node.iftrue)
         if isinstance(node, c_ast.FuncCall):
             if isinstance(node.name, c_ast.ID) and \
-                    node.name.name == "__ecall":
+                    node.name.name in ("__ecall", "__mulhu"):
                 return U32
+            if isinstance(node.name, c_ast.ID) and \
+                    node.name.name in ("__mulh", "__mulhsu"):
+                return I32
             ft = self.expr_type(node.name)
             if ft.is_ptr():
                 ft = ft.to
@@ -575,12 +578,12 @@ class Compiler:
         t.pinned = False
 
     def spill_all(self):
-        """Spill every live temp to its frame slot (canonical location on
-        all runtime paths — required before conditional regions)."""
+        """Spill every live unpinned temp to its frame slot (canonical
+        location on all runtime paths — required before conditional
+        regions). Pinned temps stay put: nothing may displace them, so
+        their register is the canonical location on every path."""
         for t in self.live:
-            if t.reg is not None:
-                if t.pinned:
-                    raise CompileError("spill_all with pinned temp")
+            if t.reg is not None and not t.pinned:
                 t.slot = self.alloc_slot()
                 self.store_frame(t.reg, t.slot)
                 self.free_regs.insert(0, t.reg)
@@ -1002,32 +1005,29 @@ class Compiler:
     def gen_local_init(self, v, t, init):
         a = self.asm
         if isinstance(init, c_ast.InitList):
+            # pins never persist across gen_expr recursion: materialize
+            # addr/value pairwise per element
             addr = self.new_tmp(PtrT(U8))
-            ra = self.reg_of(addr, pin=True)
-            self.frame_addr(ra, v.off)
+            self.frame_addr(self.reg_of(addr), v.off)
             self.gen_memclear(addr, (t.size + 3) & ~3)
-            ra = self.reg_of(addr, pin=True)
+            addr.pinned = False
+            elems = []
             if t.is_arr():
-                for i, e in enumerate(init.exprs):
-                    if isinstance(e, c_ast.InitList):
-                        raise CompileError(
-                            "nested local init lists unsupported")
-                    et = self.gen_expr(e)
-                    re_ = self.reg_of(et)
-                    self.gen_store_at(self.reg_of(addr, pin=True),
-                                      i * t.elem.size, re_, t.elem)
-                    self.free(et)
+                elems = [(i * t.elem.size, t.elem, e)
+                         for i, e in enumerate(init.exprs)]
             elif t.is_struct():
-                for (fname, (foff, ftp)), e in zip(t.fields.items(),
-                                                   init.exprs):
-                    et = self.gen_expr(e)
-                    self.gen_store_at(self.reg_of(addr, pin=True), foff,
-                                      self.reg_of(et), ftp)
-                    self.free(et)
+                elems = [(foff, ftp, e) for (fname, (foff, ftp)), e
+                         in zip(t.fields.items(), init.exprs)]
             else:
-                et = self.gen_expr(init.exprs[0])
-                self.gen_store_at(self.reg_of(addr, pin=True), 0,
-                                  self.reg_of(et), t)
+                elems = [(0, t, init.exprs[0])]
+            for off, ftp, e in elems:
+                if isinstance(e, c_ast.InitList):
+                    raise CompileError("nested local init lists unsupported")
+                et = self.gen_expr(e)
+                re_ = self.reg_of(et, pin=True)
+                ra = self.reg_of(addr, pin=True)
+                self.gen_store_at(ra, off, re_, ftp)
+                et.pinned = addr.pinned = False
                 self.free(et)
             self.free(addr)
             return
@@ -1060,14 +1060,20 @@ class Compiler:
         self.free(et)
 
     def gen_memclear(self, addr_tmp, size):
+        """Zero size bytes at addr_tmp; does NOT consume addr_tmp."""
         a = self.asm
         if size <= 64 and size % 4 == 0:
             r = self.reg_of(addr_tmp, pin=True)
             for off in range(0, size, 4):
                 a.sw("zero", r, off)
+            addr_tmp.pinned = False
             return
+        ra = self.reg_of(addr_tmp, pin=True)
+        dup = self.new_tmp(addr_tmp.type)
+        a.mv(self.reg_of(dup), ra)
+        addr_tmp.pinned = False
         self.call_symbol("memset",
-                         [addr_tmp, self.const_tmp(0), self.const_tmp(size)])
+                         [dup, self.const_tmp(0), self.const_tmp(size)])
 
     def gen_memcpy(self, dst, src, size):
         """Copy size bytes; consumes dst/src temps."""
@@ -1771,9 +1777,10 @@ class Compiler:
 
         if node.op == "=":
             val = self.gen_expr(node.rvalue)
-            rv = self.reg_of(val, pin=True)
             addr = self.gen_expr_addr(node.lvalue)
-            self.gen_store_at(self.reg_of(addr), 0, self.reg_of(val), lt)
+            rv = self.reg_of(val, pin=True)
+            ra = self.reg_of(addr, pin=True)
+            self.gen_store_at(ra, 0, rv, lt)
             self.free(addr)
             val.pinned = False
             if want_value:
@@ -1784,28 +1791,29 @@ class Compiler:
 
         binop = node.op[:-1]
         addr = self.gen_expr_addr(node.lvalue)
-        ra = self.reg_of(addr, pin=True)
         cur = self.new_tmp(lt)
+        ra = self.reg_of(addr, pin=True)
         rc = self.reg_of(cur, pin=True)
         self.gen_load_at(ra, 0, rc, lt)
+        addr.pinned = cur.pinned = False
+        val = self.gen_expr(node.rvalue)
         if lt.is_ptr() and binop in ("+", "-"):
-            val = self.gen_expr(node.rvalue)
             self._scale(val, lt.to.size)
             rv = self.reg_of(val, pin=True)
-            rc = self.reg_of(cur)
+            rc = self.reg_of(cur, pin=True)
             (self.asm.add if binop == "+" else self.asm.sub)(rc, rc, rv)
             self.free(val)
         else:
-            val = self.gen_expr(node.rvalue)
             rv = self.reg_of(val, pin=True)
-            rc = self.reg_of(cur)
+            rc = self.reg_of(cur, pin=True)
             rtt = self.expr_type(node.rvalue)
             signed = lt.signed and rtt.is_int() and rtt.signed
             self._emit_binop(binop, rc, rc, rv, signed, lt)
             if lt.is_int() and lt.size < 4:
                 self.gen_truncate(rc, lt)
             self.free(val)
-        self.gen_store_at(self.reg_of(addr), 0, self.reg_of(cur), lt)
+        ra = self.reg_of(addr, pin=True)
+        self.gen_store_at(ra, 0, self.reg_of(cur), lt)
         self.free(addr)
         cur.pinned = False
         if want_value:
@@ -1815,10 +1823,25 @@ class Compiler:
 
     # -- calls --------------------------------------------------------------
 
+    _MUL_BUILTINS = {"__mulhu": "mulhu", "__mulh": "mulh",
+                     "__mulhsu": "mulhsu"}
+
     def gen_call(self, node):
         a = self.asm
         if isinstance(node.name, c_ast.ID) and node.name.name == "__ecall":
             return self.gen_ecall(node)
+        if isinstance(node.name, c_ast.ID) and \
+                node.name.name in self._MUL_BUILTINS:
+            insn = self._MUL_BUILTINS[node.name.name]
+            tl = self.gen_expr(node.args.exprs[0])
+            tr = self.gen_expr(node.args.exprs[1])
+            rl = self.reg_of(tl, pin=True)
+            rr = self.reg_of(tr, pin=True)
+            getattr(a, insn)(rl, rl, rr)
+            self.free(tr)
+            tl.pinned = False
+            tl.type = U32 if insn == "mulhu" else I32
+            return tl
 
         fp = None
         if isinstance(node.name, c_ast.ID):
@@ -1835,9 +1858,6 @@ class Compiler:
         else:
             fp = self.gen_expr(node.name)
             ft = fp.type.to if fp.type.is_ptr() else fp.type
-        if fp is not None:
-            self.reg_of(fp, pin=True)
-
         args = node.args.exprs if node.args else []
         if len(args) > 8:
             raise CompileError("more than 8 call arguments")
@@ -1864,7 +1884,7 @@ class Compiler:
         if fp is None:
             a.jal("ra", node.name.name)
         else:
-            a.jalr("ra", fp.reg, 0)
+            a.jalr("ra", self.reg_of(fp), 0)
             self.free(fp)
         ret = self.new_tmp(ft.ret if not ft.ret.is_void() else U32)
         r = self.reg_of(ret)

@@ -29,6 +29,17 @@ void *memcpy(void *dst, const void *src, size_t n) {
   return dst;
 }
 
+void *memmove(void *dst, const void *src, size_t n) {
+  uint8_t *d = (uint8_t *)dst;
+  const uint8_t *s = (const uint8_t *)src;
+  if (d == s || n == 0) return dst;
+  if (d < s) return memcpy(dst, src, n);
+  d += n;
+  s += n;
+  while (n) { *--d = *--s; n--; }
+  return dst;
+}
+
 void *memset(void *dst, int c, size_t n) {
   uint8_t *d = (uint8_t *)dst;
   uint32_t b = (uint32_t)c & 0xFF;
