@@ -45,5 +45,7 @@ uint32_t u256_low_u32(const u256 *a);
 void u256_redc(u256 *r, const u256 *a, const u256 *m);
 /* r = (a mod m) * (b mod m) mod m via the accelerator (m != 0) */
 void u256_modmul(u256 *r, const u256 *a, const u256 *b, const u256 *m);
+/* single-syscall modmul; REQUIRES a*b < m*2^256 (e.g. a < m or b < m) */
+void u256_modmul_raw(u256 *r, const u256 *a, const u256 *b, const u256 *m);
 
 #endif

@@ -260,6 +260,10 @@ static void bigint_raw(u256 *r, const u256 *a, const u256 *b, const u256 *m) {
   memcpy(r->w, big_io + 24, 32);
 }
 
+void u256_modmul_raw(u256 *r, const u256 *a, const u256 *b, const u256 *m) {
+  bigint_raw(r, a, b, m);
+}
+
 void u256_redc(u256 *r, const u256 *a, const u256 *m) {
   u256 one;
   u256_from_u32(&one, 1);
