@@ -1,0 +1,108 @@
+"""In-zkVM stateless-client guest: differential validation vs the host.
+
+The guest (zeth_tpu/guest/stateless, the role of the reference's
+guests/stateless-client) re-executes blocks inside the RV32IM zkVM and
+commits the block hash; these tests feed it the same self-consistent
+blocks the host EVM test-suite builds (tests/test_evm.py::_mk_block) and
+require journal == block hash — i.e. guest EVM/trie/receipt semantics
+match the host engine end-to-end."""
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "tests")
+
+from zeth_tpu.app.guest_input import build_stateless_elf, encode_guest_input
+from zeth_tpu.app.host import StatelessInput, validate_block
+from zeth_tpu.app.chainspec import BY_CHAIN_ID
+from zeth_tpu.executor import Executor
+
+
+def run_guest_block(d, expect_hash):
+    inp = StatelessInput.from_json(d)
+    # the host validates it too (so a failure here means fixture trouble)
+    assert validate_block(inp, BY_CHAIN_ID[1]) == expect_hash
+    elf = build_stateless_elf()
+    raw = encode_guest_input(inp, 1)
+    res = Executor(elf, input_bytes=raw).run()
+    assert res.exit_code == 0, \
+        f"guest exit {res.exit_code}: {bytes(res.log)!r}"
+    assert bytes(res.journal) == expect_hash
+    return res
+
+
+def test_guest_empty_block():
+    from test_app import _fixture_input
+    d, block = _fixture_input()
+    res = run_guest_block(d, block.hash())
+    assert res.user_cycles > 0
+
+
+def test_guest_block_transfer_and_contract_call():
+    from test_evm import CONTRACT, _mk_block, _signed_tx
+    bob = b"\x44" * 20
+    txs = [_signed_tx(0, bob, 10**15, b""),
+           _signed_tx(1, CONTRACT, 0, b"\x00" * 4)]
+    d, header, gas = _mk_block(txs)
+    res = run_guest_block(d, header.hash())
+    assert res.bigint_calls > 0          # sender recovery used SYS_BIGINT
+
+
+def test_guest_block_reverted_tx():
+    from test_evm import CONTRACT, _mk_block, _signed_tx
+    # insufficient gas: the call reverts; block (status-0 receipt) is valid
+    txs = [_signed_tx(0, CONTRACT, 0, (5).to_bytes(32, "big"), gas=22_000)]
+    d, header, gas = _mk_block(txs)
+    run_guest_block(d, header.hash())
+
+
+def test_guest_block_precompiles():
+    from test_evm import _mk_block, _signed_tx
+    sha = b"\x00" * 19 + b"\x02"
+    ident = b"\x00" * 19 + b"\x04"
+    txs = [_signed_tx(0, sha, 0, b"abc"),
+           _signed_tx(1, ident, 0, b"hello world")]
+    d, header, gas = _mk_block(txs)
+    run_guest_block(d, header.hash())
+    assert gas > 42000
+
+
+def test_guest_block_create_contract():
+    from test_evm import _mk_block, _signed_tx
+    # initcode: PUSH1 4; PUSH1 12; PUSH0; CODECOPY; PUSH1 4; PUSH0; RETURN
+    # runtime: PUSH0 PUSH0 REVERT STOP
+    initcode = bytes.fromhex("6004600c5f395f60045ff3") + b"\x00" \
+        + bytes.fromhex("5f5ffd00")
+    txs = [_signed_tx(0, None, 0, initcode, gas=300_000)]
+    d, header, gas = _mk_block(txs)
+    run_guest_block(d, header.hash())
+
+
+def test_guest_block_storage_and_logs():
+    from test_evm import _mk_block, _signed_tx, CONTRACT
+    # fixture contract: sstore(0, calldataload(0)), log1, return 42
+    txs = [_signed_tx(0, CONTRACT, 5, (77).to_bytes(32, "big"))]
+    d, header, gas = _mk_block(txs)
+    run_guest_block(d, header.hash())
+
+
+def test_guest_block_withdrawals():
+    from test_evm import _mk_block
+    w1 = (b"\x77" * 20, 123456)
+    w2 = (b"\x88" * 20, 1)
+    d, header, gas = _mk_block([], withdrawals=[w1, w2])
+    run_guest_block(d, header.hash())
+
+
+def test_guest_rejects_tampered_block():
+    from test_evm import CONTRACT, _mk_block, _signed_tx
+    txs = [_signed_tx(0, b"\x44" * 20, 10**15, b"")]
+    d, header, gas = _mk_block(txs)
+    bad = StatelessInput.from_json(d)
+    bad.block.fields["gas_used"] = gas + 1
+    elf = build_stateless_elf()
+    raw = encode_guest_input(bad, 1)
+    res = Executor(elf, input_bytes=raw).run()
+    assert res.exit_code != 0
+    assert b"gas used" in bytes(res.log)

@@ -253,7 +253,7 @@ _PROLOGUE_WORDS = 7
 
 
 class Compiler:
-    def __init__(self, org=0x10000, stack_top=0x00F0_0000):
+    def __init__(self, org=0x10000, stack_top=0x0400_0000):
         self.asm = Asm(org=org)
         self.org = org
         self.stack_top = stack_top
@@ -269,6 +269,8 @@ class Compiler:
 
     def _reset_func(self):
         self.frame = 8            # [-4]=saved ra, [-8]=saved s0
+        self.frame_max = 8
+        self.spill_next = 0       # sp-relative spill band high-water
         self.locals_scopes = []
         self.live: list[Tmp] = []
         self.free_regs = list(TMP_REGS)
@@ -534,10 +536,16 @@ class Compiler:
     # -- registers / spilling ----------------------------------------------
 
     def alloc_slot(self):
+        """Spill slots live in an sp-relative band at the frame bottom
+        (non-negative offsets), disjoint from the s0-relative scoped
+        locals, so scope-watermark reuse cannot alias a live slot."""
         if self.spill_free:
             return self.spill_free.pop()
-        self.frame += 4
-        return -self.frame
+        off = 4 * self.spill_next
+        self.spill_next += 1
+        if off >= 2048:
+            raise CompileError("spill band overflow")
+        return off
 
     def take_reg(self):
         if self.free_regs:
@@ -606,7 +614,9 @@ class Compiler:
 
     def _frame_access(self, op, reg, off):
         a = self.asm
-        if -2048 <= off < 2048:
+        if off >= 0:                      # spill band: sp-relative
+            getattr(a, op)(reg, "sp", off)
+        elif off >= -2048:
             getattr(a, op)(reg, "s0", off)
         else:
             raise CompileError(f"frame too large ({off}); "
@@ -614,7 +624,7 @@ class Compiler:
 
     def frame_addr(self, reg, off):
         a = self.asm
-        if -2048 <= off < 2048:
+        if 0 > off >= -2048:
             a.addi(reg, "s0", off)
         else:
             raise CompileError(f"frame too large ({off})")
@@ -622,21 +632,23 @@ class Compiler:
     # -- scopes ------------------------------------------------------------
 
     def push_scope(self):
-        self.locals_scopes.append({})
+        self.locals_scopes.append({"__watermark__": self.frame})
 
     def pop_scope(self):
-        self.locals_scopes.pop()
+        sc = self.locals_scopes.pop()
+        self.frame = sc["__watermark__"]
 
     def declare_local(self, name, ctype):
         size = max(4, (ctype.size + 3) & ~3)
         self.frame += size
+        self.frame_max = max(self.frame_max, self.frame)
         v = Var("local", ctype, off=-self.frame)
         self.locals_scopes[-1][name] = v
         return v
 
     def lookup(self, name):
         for sc in reversed(self.locals_scopes):
-            if name in sc:
+            if name in sc and name != "__watermark__":
                 return sc[name]
         if name in self.globals:
             return self.globals[name]
@@ -657,6 +669,15 @@ class Compiler:
 
     def emit_global(self, name, ctype, init):
         sym = f"g_{name}"
+        for d0 in self.data:
+            if d0.sym == sym:      # tentative definition already emitted
+                v = self.globals.get(name)
+                if v is None or v.kind != "global":
+                    v = Var("global", ctype, sym=sym)
+                    self.globals[name] = v
+                if init is not None:
+                    self._init_data(d0, 0, ctype, init)
+                return v
         d = _Data(sym, max(ctype.size, 4), ctype.align)
         if init is not None:
             self._init_data(d, 0, ctype, init)
@@ -783,9 +804,6 @@ class Compiler:
                     Var("global", t, sym=f"g_{decl.name}")
             return
         t = self._complete_array(t, decl.init)
-        if decl.name in self.globals and \
-                self.globals[decl.name].kind == "global" and decl.init is None:
-            return
         self.emit_global(decl.name, t, decl.init)
 
     @staticmethod
@@ -849,8 +867,9 @@ class Compiler:
             a.li("a0", 0)
         self.gen_return()
 
-        # patch the prologue now the frame size is final
-        frame = (self.frame + 15) & ~15
+        # patch the prologue now the frame size is final: scoped locals
+        # below s0, spill band above sp, no overlap
+        frame = (self.frame_max + 4 * self.spill_next + 15) & ~15
         if frame >= 2048:
             raise CompileError(
                 f"{name}: frame {frame}B too large; move arrays off-stack")
@@ -1944,7 +1963,7 @@ def preprocess(path, include_dirs=(), defines=()) -> str:
 
 
 def compile_c(sources, include_dirs=(), defines=(), org=0x10000,
-              stack_top=0x00F0_0000) -> bytes:
+              stack_top=0x0400_0000) -> bytes:
     """Compile C sources (paths or inline code strings) to an RV32IM ELF."""
     asts = []
     for src in sources:

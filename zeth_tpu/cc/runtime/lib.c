@@ -79,9 +79,10 @@ size_t strlen(const char *s) {
   return n;
 }
 
-/* heap: [0x0100_0000, ...) — above the stack (top 0x00F0_0000, grows
- * down) and the data section (capped at 0x00E0_0000 by the compiler) */
-#define HEAP_BASE 0x01000000u
+/* heap: [0x0800_0000, ...) — far above the stack (top 0x0400_0000,
+ * grows down toward the data section, which the compiler caps at
+ * 0x00E0_0000); pages cost cycles only when touched */
+#define HEAP_BASE 0x08000000u
 static uint32_t heap_next = HEAP_BASE;
 
 void *gmalloc(size_t n) {
