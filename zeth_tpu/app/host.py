@@ -401,38 +401,33 @@ class BlockProcessor:
         return validate_block(inp, self.spec)
 
     def prove(self, inp: StatelessInput, segment_po2: int | None = None):
-        """Dev-mode proving of the validated block (config 1 of
-        BASELINE.json): validation runs natively, the receipt commits the
-        block hash as journal. Real in-zkVM EVM proving is pending the
-        EVM guest (documented gap)."""
+        """Prove the block IN the zkVM: host-validate first (cli.rs:96),
+        then run the stateless-client guest (zeth_tpu/guest/stateless)
+        under default_prover() — dev-mode executes only (the reference's
+        RISC0_DEV_MODE seam); otherwise every segment is STARK-proven.
+        Returns the receipt; `.stats` carries the executor cycle
+        accounting (total/user/paging/keccak — run-parallel.sh:67-70
+        categories)."""
         from .. import zkvm
-        if not zkvm.dev_mode_enabled():
-            raise NotImplementedError(
-                "real block proving requires the EVM guest (pending); "
-                "set ZETH_DEV_MODE=1 for dev-mode receipts")
+        from .guest_input import build_stateless_elf, encode_guest_input
         block_hash = self.validate(inp)
-        claim = zkvm.ReceiptClaim(
-            image_id=self._pseudo_image_id(),
-            journal_digest=hashlib.sha256(block_hash).digest(),
-            exit_code=0)
-        receipt = zkvm.Receipt(journal=block_hash, claim=claim,
-                               inner=zkvm.FakeInner())
+        elf = build_stateless_elf()
+        builder = zkvm.ExecutorEnv.builder().write_slice(
+            encode_guest_input(inp, self.spec.chain_id))
+        if segment_po2 is not None:
+            builder = builder.segment_limit_po2(segment_po2)
+        info = zkvm.default_prover().prove(builder.build(), elf)
+        if info.receipt.journal != block_hash:
+            raise ValidationError(
+                "guest journal does not match the block hash")
+        receipt = info.receipt
+        receipt.stats = info.stats
         return receipt
 
     def image_id(self):
         """The image ID a verifier expects for this chain's guest —
-        computed independently of any receipt (the reference verifies
-        against `compute_image_id(elf)`, cli.rs:100-108). Today this is
-        the native-validator pseudo-ID; it becomes the EVM guest ELF's
-        image ID once the real guest exists."""
-        return self._pseudo_image_id()
-
-    def _pseudo_image_id(self):
-        """Image ID of the native validation path (per-chain constant)."""
-        import numpy as np
-        from ..hash import poseidon2 as P2
-        tag = f"zeth-tpu:native-validator:{self.spec.name}:v1".encode()
-        tag += b"\x00" * (-len(tag) % 4)
-        words = np.frombuffer(tag, dtype="<u4").astype(np.uint64) % np.uint64(
-            2013265921)
-        return P2.hash_rows_np(words[None])[0]
+        computed independently of any receipt from the guest ELF itself
+        (the reference's compute_image_id(elf), cli.rs:100-108)."""
+        from ..executor import compute_image_id
+        from .guest_input import build_stateless_elf
+        return compute_image_id(build_stateless_elf())

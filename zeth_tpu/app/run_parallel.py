@@ -44,24 +44,14 @@ def process_file(path: str) -> dict:
     # verify against the independently derived image ID (cli.rs:100-108)
     receipt.verify(proc.image_id())
     gas_used = inp.block.fields.get("gas_used", 0)
-    # cycle columns come from the zkVM executor when a guest ELF is
-    # configured (ZETH_GUEST_ELF); the native-validation dev path has no
-    # zkVM execution, so they are honestly zero there
-    cycles = {"total_cycles": 0, "user_cycles": 0, "paging_cycles": 0,
-              "keccak_calls": 0}
-    guest = os.environ.get("ZETH_GUEST_ELF")
-    if guest:
-        from .. import zkvm
-        from ..executor import Executor
-        with open(guest, "rb") as f:
-            elf = f.read()
-        env = zkvm.ExecutorEnv.builder().write(json.dumps(data)).build()
-        res = Executor(elf, env.input_bytes,
-                       segment_po2=env.segment_limit_po2).run()
-        cycles = {"total_cycles": res.total_cycles,
-                  "user_cycles": res.user_cycles,
-                  "paging_cycles": res.paging_cycles,
-                  "keccak_calls": res.keccak_calls}
+    # cycle columns come straight from the stateless-client guest's zkVM
+    # execution (prove runs it even in dev mode) — the reference's
+    # scrape categories, run-parallel.sh:67-70
+    st = receipt.stats
+    cycles = {"total_cycles": st.total_cycles,
+              "user_cycles": st.user_cycles,
+              "paging_cycles": st.paging_cycles,
+              "keccak_calls": st.keccak_calls}
     return {
         "block_number": inp.block.number,
         "execution_time": f"{dt_ms:.0f}ms",
