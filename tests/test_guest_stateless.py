@@ -106,3 +106,26 @@ def test_guest_rejects_tampered_block():
     res = Executor(elf, input_bytes=raw).run()
     assert res.exit_code != 0
     assert b"gas used" in bytes(res.log)
+
+
+import os
+
+
+@pytest.mark.skipif(
+    os.environ.get("ZETH_E2E", "0") != "1",
+    reason="slow e2e (set ZETH_E2E=1): real multi-segment block proof")
+def test_guest_block_real_proof():
+    """BASELINE config 3 with real content: STARK-prove every segment of
+    the stateless-client guest validating a block, verify the receipt
+    against the guest image ID and the journal against the block hash."""
+    from test_app import _fixture_input
+    from zeth_tpu.app.host import BlockProcessor
+
+    d, block = _fixture_input()
+    proc = BlockProcessor.for_chain_id(1)
+    assert "ZETH_DEV_MODE" not in os.environ or \
+        os.environ["ZETH_DEV_MODE"] != "1"
+    inp = StatelessInput.from_json(d)
+    receipt = proc.prove(inp, segment_po2=14)
+    receipt.verify(proc.image_id())
+    assert receipt.journal == block.hash()
