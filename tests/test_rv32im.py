@@ -349,3 +349,29 @@ def test_forged_sha_result_detected():
     main2 = main.copy()
     main2[sm7[0], L.idx("mwnew", 0)] ^= 1
     assert _check(air, ctrl, main2, pubs) != {}
+
+
+def test_build_aux_device_matches_host():
+    """The device aux builder (rv32im._build_aux_jit) is bit-identical to
+    the host build_aux oracle on a real traced segment."""
+    from zeth_tpu.zkp.prover import all_challenges
+
+    elf = guests.echo_input(16)
+    entry, ia, iw = load_image(elf)
+    res = Executor(elf, bytes(range(16)), segment_po2=12, trace=True).run()
+    seg = res.segments[0]
+    air = Rv32imAir(ia, iw)
+    po2 = choose_po2(seg, len(ia))
+    main_std, publics = air.witgen(seg, po2)
+    ctrl = air.control_trace(po2)
+    rng = np.random.default_rng(3)
+    chals = rng.integers(1, 2**31 - 1,
+                         size=(air.n_challenges, 4)).astype(np.uint64)
+    ch = all_challenges(air, publics, chals)
+    host_aux = np.asarray(air.build_aux(np.asarray(main_std, np.uint64), ch),
+                          np.uint64) % np.uint64(P)
+    dev_main = jnp.asarray(np.asarray(main_std, np.uint64).astype(np.uint32))
+    dev_ctrl = jnp.asarray(np.asarray(ctrl, np.uint64).astype(np.uint32))
+    dev_aux = np.asarray(F.from_monty(
+        air.build_aux_device(dev_main, dev_ctrl, ch))).astype(np.uint64)
+    assert np.array_equal(host_aux, dev_aux % np.uint64(P))

@@ -1085,6 +1085,18 @@ class Rv32imAir(Air):
         assert aux.shape == (n, N_AUX)
         return aux
 
+    def build_aux_device(self, main_dev_std, ctrl_dev_std, challenges):
+        """Device twin of build_aux: the LogUp/permutation accumulator
+        columns computed from the ALREADY-UPLOADED standard-form main and
+        control traces (no (n, aux) host matrix, no second upload).
+        Returns Montgomery form. Bit-identical to the host path (tested);
+        the host version remains the oracle and the non-device
+        fallback."""
+        import jax.numpy as jnp
+        chal = np.asarray(challenges, np.uint64)[:7].astype(np.uint32)
+        return _build_aux_jit(main_dev_std, ctrl_dev_std,
+                              jnp.asarray(chal))
+
     # -- derived challenge scalars ----------------------------------------
 
     def derived_challenges(self, publics, challenges):
@@ -2512,3 +2524,263 @@ def verify_segments(seals, claim, image_addrs, image_words, entry_pc: int,
                         entry_pc, keccak_checked=keccak_checked,
                         bigint_checked=bigint_checked,
                         sha_checked=sha_checked)
+
+
+# ---------------------------------------------------------------------------
+# Device aux builder: the jitted twin of Rv32imAir.build_aux. All
+# multiplicative work happens in Montgomery form on device; running
+# sums/products use log-depth associative scans; the RLC chains are
+# affine-map scans. Output is the standard-form (n, N_AUX) uint32 matrix
+# (ready for the prover's coset LDE), bit-identical to the host path.
+# ---------------------------------------------------------------------------
+
+import functools as _functools
+
+import jax as _jax
+import jax.numpy as _jnp
+
+from .. import field as _F
+
+
+def _dx_lump(main, name, lo):
+    s = LAYOUT.slices[name]
+    base = s.start + (0 if lo else 16)
+    cols = main[:, base:base + 16]
+    w = _jnp.asarray((np.uint32(1) << np.arange(16, dtype=np.uint32)))
+    return _jnp.sum(cols * w[None, :], axis=1, dtype=_jnp.uint32)
+
+
+def _dx_bits(main, name, lo, hi):
+    s = LAYOUT.slices[name]
+    cols = main[:, s.start + lo:s.start + hi]
+    w = _jnp.asarray(np.uint32(1) << np.arange(hi - lo, dtype=np.uint32))
+    return _jnp.sum(cols * w[None, :], axis=1, dtype=_jnp.uint32)
+
+
+def _dx_ext_powers(g_m, k):
+    """g (4,) monty -> (k, 4) monty powers g^0..g^(k-1)."""
+    one = _jnp.zeros((4,), _jnp.uint32).at[0].set(_F.mont_one())
+    out = [one]
+    for _ in range(k - 1):
+        out.append(_F.ext_mul(out[-1], g_m))
+    return _jnp.stack(out)
+
+
+def _dx_fingerprint(parts_m, gp):
+    """sum_k parts[k] * g^k; parts are (n,) base monty; gp (k,4) monty."""
+    n = parts_m[0].shape[0]
+    acc = _jnp.zeros((n, 4), _jnp.uint32)
+    for k, b in enumerate(parts_m):
+        acc = _F.ext_add(acc, _F.ext_mul_base(
+            _jnp.broadcast_to(gp[k][None, :], (n, 4)), b))
+    return acc
+
+
+def _dx_term(gamma_m, fp_m, act_m):
+    inv = _F.ext_inv(_F.ext_sub(
+        _jnp.broadcast_to(gamma_m[None, :], fp_m.shape), fp_m))
+    return _F.ext_mul_base(inv, act_m)
+
+
+def _dx_cumsum(x):
+    return _jax.lax.associative_scan(_F.add, x, axis=0)
+
+
+def _dx_rlc_chain(act_m, val_m, g6sq_m, one_ext):
+    """Affine scan: r_i = act ? r_{i-1}*g6^2 + val_i : r_{i-1}."""
+    n = act_m.shape[0]
+    act4 = _jnp.broadcast_to(act_m[:, None], (n, 4))
+    m = _jnp.where(act4 != 0,
+                   _jnp.broadcast_to(g6sq_m[None, :], (n, 4)),
+                   _jnp.broadcast_to(one_ext[None, :], (n, 4)))
+    c = _F.ext_mul_base(val_m, act_m)    # act is 0/1 monty? see caller
+
+    def comb(a, b):
+        am, ac = a
+        bm, bc = b
+        return (_F.ext_mul(am, bm),
+                _F.ext_add(_F.ext_mul(bm, ac), bc))
+
+    _, cs = _jax.lax.associative_scan(comb, (m, c), axis=0)
+    return cs
+
+
+@_jax.jit
+def _build_aux_jit(main, ctrl, chal_std):
+    """main/ctrl: standard-form uint32 device arrays; chal_std: (7,4)
+    standard uint32. Returns the MONTGOMERY-form (n, N_AUX) aux matrix
+    (feeds the coset LDE directly)."""
+    n = main.shape[0]
+    L = LAYOUT
+    mm = _F.to_monty(main)               # (n, cols) monty
+    cm = _F.to_monty(ctrl)
+    ch = _F.to_monty(chal_std)           # (7, 4) monty
+    one_ext = _jnp.zeros((4,), _jnp.uint32).at[0].set(_F.mont_one())
+
+    def monty(v_std_u32):
+        return _F.to_monty(v_std_u32)
+
+    sel = lambda nm: main[:, L.idx("sel", CLASS_IDX[nm])]
+    selm = lambda nm: mm[:, L.idx("sel", CLASS_IDX[nm])]
+
+    # --- ROM fetch argument (g0, g1) -----------------------------------
+    g0, g1 = ch[0], ch[1]
+    g1p = _dx_ext_powers(g1, 4)
+    key_f = _dx_fingerprint(
+        [monty(_dx_lump(main, "pc", True)), monty(_dx_lump(main, "pc", False)),
+         monty(_dx_lump(main, "insn", True)),
+         monty(_dx_lump(main, "insn", False))], g1p)
+    key_r = _dx_fingerprint(
+        [cm[:, C_ROM_ALO], cm[:, C_ROM_AHI],
+         cm[:, C_ROM_WLO], cm[:, C_ROM_WHI]], g1p)
+    active = (sel("PAD") + sel("INIT") + sel("SYSMEM") + sel("MEMINIT")
+              + sel("MEMFIN"))
+    active = monty(_jnp.uint32(1) - active)    # 1 - sum of inactive sels
+    rom_m = mm[:, L.idx("rom_m")]
+    t = _dx_term(g0, key_f, active)
+    u = _dx_term(g0, key_r, rom_m)
+    acc = _dx_cumsum(_F.ext_sub(t, u))
+
+    # --- register-file argument (g2, g3) --------------------------------
+    g2, g3 = ch[2], ch[3]
+    g3p = _dx_ext_powers(g3, 5)
+    cyc = _jnp.arange(n, dtype=_jnp.uint32)
+    cyc_m = monty(cyc)
+    K = np.uint32(N_REG_UNITS)
+    rs1_f = _dx_bits(main, "insn", 15, 20)
+    rs2_f = _dx_bits(main, "insn", 20, 25)
+    rd_f = _dx_bits(main, "insn", 7, 12)
+    rd_nz = main[:, L.idx("rd_nz")]
+    maddr_lo = _dx_bits(main, "maddr", 0, 16)
+    maddr_hi = _dx_bits(main, "maddr", 16, 32)
+    is_init = sel("INIT")
+    is_sys = sel("SYSTEM")
+    wb = sum(sel(nm) for nm in WB_CLASSES)
+    w_act = wb * rd_nz + is_sys
+    # w_reg = wb*rd_nz*rd_f + 10*is_sys + cyc*is_init (all < p, u32-safe:
+    # rd_f < 32, cyc < 2^21)
+    w_reg = wb * rd_nz * rd_f + np.uint32(10) * is_sys + is_init * cyc
+    w_act_all = w_act + is_init
+    r1_reg = rs1_f + np.uint32(10) * is_sys
+    r2_reg = rs2_f + np.uint32(11) * is_sys
+    zero_m = _jnp.zeros((n,), _jnp.uint32)
+    one_m = _jnp.full((n,), _F.mont_one(), _jnp.uint32)
+
+    def fp(reg, ts, vlo, vhi, wr):
+        return _dx_fingerprint([reg, ts, vlo, vhi, wr], g3p)
+
+    active_m = active
+    t_r1 = _dx_term(g2, fp(monty(r1_reg), monty(K * cyc),
+                           monty(_dx_bits(main, "rs1v", 0, 16)),
+                           monty(_dx_bits(main, "rs1v", 16, 32)),
+                           zero_m), active_m)
+    t_r2 = _dx_term(g2, fp(monty(r2_reg), monty(K * cyc + np.uint32(1)),
+                           monty(_dx_bits(main, "rs2v", 0, 16)),
+                           monty(_dx_bits(main, "rs2v", 16, 32)),
+                           zero_m), active_m)
+    t_w = _dx_term(g2, fp(monty(w_reg), monty(K * cyc + np.uint32(2)),
+                          monty(_dx_bits(main, "res", 0, 16)),
+                          monty(_dx_bits(main, "res", 16, 32)),
+                          one_m), monty(w_act_all))
+    t_a7 = _dx_term(g2, fp(monty(np.uint32(17) * is_sys),
+                           monty(K * cyc + np.uint32(3)),
+                           monty(maddr_lo), monty(maddr_hi), zero_m),
+                    selm("SYSTEM"))
+    s_terms = []
+    for u2 in range(N_REG_UNITS):
+        s_terms.append(_dx_term(
+            g2,
+            fp(mm[:, L.idx("m_reg", u2)], mm[:, L.idx("m_cyc", u2)],
+               mm[:, L.idx("m_vlo", u2)], mm[:, L.idx("m_vhi", u2)],
+               mm[:, L.idx("m_wr", u2)]),
+            mm[:, L.idx("m_act", u2)]))
+    delta = _F.ext_sub(_F.ext_sub(
+        _F.ext_sub(_F.ext_sub(_F.ext_add(_F.ext_add(t_r1, t_r2),
+                                         _F.ext_add(t_w, t_a7)),
+                              s_terms[0]), s_terms[1]), s_terms[2]),
+        s_terms[3])
+    racc = _dx_cumsum(delta)
+
+    # --- data-memory argument (g4, g5) -----------------------------------
+    g4, g5 = ch[4], ch[5]
+    g5p = _dx_ext_powers(g5, 6)
+    is_load = sel("LOAD")
+    is_store = sel("STORE")
+    is_meminit = sel("MEMINIT")
+    is_memfin = sel("MEMFIN")
+    smc = lambda k: main[:, L.idx("sm_str", k)]
+    in_w, j_r, k_r, k_w = smc(0), smc(1), smc(2), smc(3)
+    b_r, b_w, sh_r, sh_w = smc(4), smc(5), smc(6), smc(7)
+    wa = _dx_bits(main, "maddr", 2, 32)
+    mword_lo = _dx_bits(main, "mword", 0, 16)
+    mword_hi = _dx_bits(main, "mword", 16, 32)
+    mwnew_lo = _dx_bits(main, "mwnew", 0, 16)
+    mwnew_hi = _dx_bits(main, "mwnew", 16, 32)
+
+    def fpm(wav, ts, vlo, vhi, wr, kind):
+        return _dx_fingerprint([wav, ts, vlo, vhi, wr, kind], g5p)
+
+    act_r = is_load + is_store + is_memfin + j_r + k_r + b_r + sh_r
+    act_w = is_store + is_meminit + in_w + k_w + b_w + sh_w
+    two_cyc = np.uint32(2) * cyc
+    mu_r = _dx_term(g4, fpm(monty(wa), monty(two_cyc), monty(mword_lo),
+                            monty(mword_hi), zero_m,
+                            monty(np.uint32(2) * is_memfin)),
+                    monty(act_r))
+    mu_w = _dx_term(g4, fpm(monty(wa), monty(two_cyc + np.uint32(1)),
+                            monty(mwnew_lo), monty(mwnew_hi), one_m,
+                            monty(is_meminit)),
+                    monty(act_w))
+    msort = []
+    for u2 in range(N_MEM_UNITS):
+        msort.append(_dx_term(
+            g4,
+            fpm(mm[:, L.idx("ms_wa", u2)], mm[:, L.idx("ms_ts", u2)],
+                mm[:, L.idx("ms_vlo", u2)], mm[:, L.idx("ms_vhi", u2)],
+                mm[:, L.idx("ms_wr", u2)], mm[:, L.idx("ms_kind", u2)]),
+            mm[:, L.idx("ms_act", u2)]))
+    mdelta = _F.ext_sub(_F.ext_sub(_F.ext_add(mu_r, mu_w), msort[0]),
+                        msort[1])
+    macc = _dx_cumsum(mdelta)
+
+    # --- MEMINIT/MEMFIN list-binding sums --------------------------------
+    fp2_i = _dx_fingerprint([monty(wa), monty(mwnew_lo), monty(mwnew_hi)],
+                            g5p)
+    fp2_f = _dx_fingerprint([monty(wa), monty(mword_lo), monty(mword_hi)],
+                            g5p)
+    li = _dx_term(g4, fp2_i, selm("MEMINIT"))
+    lf = _dx_term(g4, fp2_f, selm("MEMFIN"))
+    liacc = _dx_cumsum(li)
+    lfacc = _dx_cumsum(lf)
+
+    # --- IO RLC chains (g6) ----------------------------------------------
+    g6 = ch[6]
+    g6sq = _F.ext_mul(g6, g6)
+
+    def rlc(act_std, lo_std, hi_std):
+        val = _F.ext_add(
+            _F.ext_mul_base(_jnp.broadcast_to(g6[None, :], (n, 4)),
+                            monty(lo_std)),
+            _jnp.concatenate([monty(hi_std)[:, None],
+                              _jnp.zeros((n, 3), _jnp.uint32)], axis=1))
+        return _dx_rlc_chain(monty(act_std), val, g6sq, one_ext)
+
+    r_j = rlc(j_r, mword_lo, mword_hi)
+    kact = k_r + k_w
+    k_lo = k_r * mword_lo + k_w * mwnew_lo
+    k_hi = k_r * mword_hi + k_w * mwnew_hi
+    r_k = rlc(kact, k_lo, k_hi)
+    bact = b_r + b_w
+    b_lo = b_r * mword_lo + b_w * mwnew_lo
+    b_hi = b_r * mword_hi + b_w * mwnew_hi
+    r_b = rlc(bact, b_lo, b_hi)
+    shact = sh_r + sh_w
+    sh_lo = sh_r * mword_lo + sh_w * mwnew_lo
+    sh_hi = sh_r * mword_hi + sh_w * mwnew_hi
+    r_sh = rlc(shact, sh_lo, sh_hi)
+
+    return _jnp.concatenate(
+        [t, u, acc, t_r1, t_r2, t_w, t_a7,
+         s_terms[0], s_terms[1], s_terms[2], s_terms[3], racc,
+         mu_r, mu_w, msort[0], msort[1], macc,
+         li, lf, liacc, lfacc, r_j, r_k, r_b, r_sh], axis=1)

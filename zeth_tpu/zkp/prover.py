@@ -206,36 +206,49 @@ def _pack_spec(air_name: str):
 
 
 def _upload_main(air: Air, main_std: np.ndarray, shard_rows):
-    """Host->device transfer of the main trace, bit-packed when the AIR
-    declares its bit columns."""
+    """Host->device transfer of the main trace. Bit columns (the vast
+    majority for the rv32im AIR) ship packed 32-per-word — ~8x less
+    tunnel traffic than the previous byte matrix; value columns ship as
+    uint32. The device reassembles with static gather/shift indices."""
     if getattr(air, "main_bit_mask", None) is None:
         return shard_rows(np.asarray(main_std, np.uint64).astype(np.uint32))
     register_air(air)
     spec, mask, n_bits, n_vals = _pack_spec(air.name)
     n, n_cols = main_std.shape
     val_idx = np.nonzero(~mask)[0]
+    bit_idx = np.nonzero(mask)[0]
+    n_words = (n_bits + 31) // 32
     with _Stage("    pack host"):
-        # stream-cast the trace into a REUSED uint8 staging buffer (one
-        # sequential pass; the measured tunnel bandwidth of ~245 MB/s
-        # makes the byte matrix cheap to ship, and reuse avoids this
-        # VM's ~1 ms page faults on every fresh large allocation)
-        m8 = _staged("m8", (n, n_cols), np.uint8)
-        np.copyto(m8, main_std, casting="unsafe")
+        # transpose-copy the bit columns once (numpy's blocked 2D copy),
+        # then pack along CONTIGUOUS rows — ~5x faster than per-column
+        # strided ORs at po2=18, and only REUSED staging buffers (fresh
+        # large allocations fault ~1 ms/page on this VM class)
+        mT8 = _staged("mT8", (n_cols, n), np.uint8)
+        np.copyto(mT8, main_std.T, casting="unsafe")   # blocked 2D copy
+        packedT = _staged("packedT", (n_words, n), np.uint32)
+        packedT[:] = 0
+        rowT = _staged("rowT", (n,), np.uint32)
+        for k, c in enumerate(bit_idx):
+            np.copyto(rowT, mT8[c], casting="unsafe")
+            np.left_shift(rowT, np.uint32(k % 32), out=rowT)
+            np.bitwise_or(packedT[k // 32], rowT, out=packedT[k // 32])
+        packed = _staged("packed", (n, n_words), np.uint32)
+        np.copyto(packed, packedT.T)
         vals64 = _staged("vals", (n, max(len(val_idx), 1)), np.uint64)
         if len(val_idx):
             np.take(main_std, val_idx, axis=1, out=vals64)
         vals = _staged("vals32", vals64.shape, np.uint32)
         np.copyto(vals, vals64, casting="unsafe")
-    with _Stage("    put bytes"):
-        dm = shard_rows(m8)
+    with _Stage("    put packed"):
+        dm = shard_rows(packed)
         if _TIMING:
             jax.block_until_ready(dm)
     with _Stage("    put vals"):
         dv = shard_rows(vals)
         if _TIMING:
             jax.block_until_ready(dv)
-    with _Stage("    select"):
-        out = _select_main8(dm, dv, spec)
+    with _Stage("    unpack"):
+        out = _unpack_main(dm, dv, spec)
         if _TIMING:
             out.block_until_ready()
     return out
@@ -425,7 +438,11 @@ def prove(air: Air, main_std: np.ndarray, publics: list[int],
     t.mix_values(np.array([po2] + [int(p) for p in publics], dtype=np.uint64))
 
     # --- commit control / main ------------------------------------------
+    # keep the std-form device arrays when the AIR can build its aux
+    # group on device (no host aux matrix, no second big upload)
+    device_aux = mesh is None and hasattr(air, "build_aux_device")
     ldes, trees, roots = {}, {}, {}
+    dev_std = {}
     control_std = air.control_trace(po2)
     for gname, std in (("control", control_std), ("main", main_std)):
         with _Stage(f"commit {gname}"):
@@ -442,6 +459,8 @@ def prove(air: Air, main_std: np.ndarray, publics: list[int],
             with _Stage(f"  {gname} lde"):
                 ldes[gname] = _lde_only_std(dev)
                 ldes[gname].block_until_ready()
+            if device_aux:
+                dev_std[gname] = dev
             del dev          # the standard-form upload buffer is ~1 GB at po2=18
             with _Stage(f"  {gname} tree"):
                 trees[gname] = merkle.commit_rows(ldes[gname])
@@ -455,13 +474,20 @@ def prove(air: Air, main_std: np.ndarray, publics: list[int],
     challenges = all_challenges(air, publics, sampled)
     if air.aux_cols:
         with _Stage("commit aux"):
-            aux_std = air.build_aux(np.asarray(main_std, np.uint64),
-                                    challenges)
-            aux32 = _staged("aux32", tuple(aux_std.shape), np.uint32)
-            np.copyto(aux32, np.asarray(aux_std, np.uint64),
-                      casting="unsafe")
-            dev = shard_rows(aux32)
-            ldes["aux"] = _lde_only_std(dev)
+            if device_aux:
+                aux_m = air.build_aux_device(dev_std["main"],
+                                             dev_std["control"], challenges)
+                dev_std.clear()
+                ldes["aux"] = _lde_only(aux_m)
+                del aux_m
+            else:
+                aux_std = air.build_aux(np.asarray(main_std, np.uint64),
+                                        challenges)
+                aux32 = _staged("aux32", tuple(aux_std.shape), np.uint32)
+                np.copyto(aux32, np.asarray(aux_std, np.uint64),
+                          casting="unsafe")
+                dev = shard_rows(aux32)
+                ldes["aux"] = _lde_only_std(dev)
             trees["aux"] = merkle.commit_rows(ldes["aux"])
             roots["aux"] = trees["aux"].root
         t.mix(roots["aux"])
