@@ -729,7 +729,13 @@ struct Evm {
   u256 load_storage(const Addr& a, const H256& k) {
     auto key = std::make_pair(a, k);
     auto it = storage.find(key);
-    if (it != storage.end()) return it->second;
+    if (it != storage.end()) {
+      // first touch THIS tx of a block-cached slot: the EIP-2200
+      // "original" is the value at tx start (original_storage is
+      // cleared per tx; emplace records it exactly once)
+      original_storage.emplace(key, it->second);
+      return it->second;
+    }
     u256 v;
     // storage of an account created in this tx starts empty
     if (!created_this_tx.count(a)) {

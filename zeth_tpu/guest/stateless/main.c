@@ -207,6 +207,23 @@ static uint8_t *encode_receipt(uint32_t tx_type, uint32_t status,
   }
 }
 
+/* log "label a b" with decimal u32s (mismatch diagnostics) */
+static void log_nums(const char *label, uint32_t a, uint32_t b) {
+  char buf[64];
+  uint32_t i = 0, j;
+  char tmp[12];
+  while (label[i]) { buf[i] = label[i]; i++; }
+  buf[i++] = ' ';
+  j = 0;
+  do { tmp[j++] = (char)('0' + a % 10); a /= 10; } while (a);
+  while (j) buf[i++] = tmp[--j];
+  buf[i++] = ' ';
+  j = 0;
+  do { tmp[j++] = (char)('0' + b % 10); b /= 10; } while (b);
+  while (j) buf[i++] = tmp[--j];
+  env_log(buf, i);
+}
+
 /* ordered trie key: rlp(i) */
 static uint32_t index_key(uint32_t i, uint8_t out[6]) {
   rlpw_t w;
@@ -439,8 +456,10 @@ int main(void) {
     }
 
     /* post-execution header commitments */
-    if (cumulative != header.gas_used)
+    if (cumulative != header.gas_used) {
+      log_nums("gas got/want:", cumulative, header.gas_used);
       gpanic("gas used mismatch", 131);
+    }
     if (header.has_blob && blob_gas_total != header.blob_gas_used)
       gpanic("blob gas used mismatch", 132);
     {
