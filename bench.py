@@ -7,8 +7,9 @@ when available (BENCH_PREV env or 1.0).
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 
-Env knobs: BENCH_PO2 (default 16 — the measured best
-Mcycles/s operating point on the attached chip), BENCH_REPS,
+Env knobs: BENCH_PO2 (default 18 — the measured best
+Mcycles/s operating point on the attached chip: 0.0116 Mc/s at
+22.2s/segment steady-state), BENCH_REPS,
 BENCH_PLATFORM (default:
 jax default — the attached TPU under the driver; set cpu for local
 smoke). XLA programs are persisted in .jax_cache at the repo root, so a
@@ -23,7 +24,7 @@ import time
 
 
 def main():
-    po2 = int(os.environ.get("BENCH_PO2", "16"))
+    po2 = int(os.environ.get("BENCH_PO2", "18"))
     if os.environ.get("BENCH_PLATFORM"):
         os.environ["JAX_PLATFORMS"] = os.environ["BENCH_PLATFORM"]
 
