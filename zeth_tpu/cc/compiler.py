@@ -1845,10 +1845,114 @@ class Compiler:
     _MUL_BUILTINS = {"__mulhu": "mulhu", "__mulh": "mulh",
                      "__mulhsu": "mulhsu"}
 
+    def _gen_u256_carry_chain(self, node, is_add):
+        """__u256_add/__u256_sub(r, a, b): unrolled 8-limb carry chain,
+        ~7 instructions per limb, no frame traffic. Returns carry/borrow."""
+        a = self.asm
+        args = [self.gen_expr(e) for e in node.args.exprs]
+        rr = self.reg_of(args[0], pin=True)
+        ra = self.reg_of(args[1], pin=True)
+        rb = self.reg_of(args[2], pin=True)
+        x = self.new_tmp(U32)
+        y = self.new_tmp(U32)
+        s = self.new_tmp(U32)
+        carry = self.new_tmp(U32)
+        rx, ry, rs = self.reg_of(x, pin=True), self.reg_of(y, pin=True), \
+            self.reg_of(s, pin=True)
+        rc = self.reg_of(carry, pin=True)
+        a.li(rc, 0)
+        for i in range(8):
+            a.lw(rx, ra, 4 * i)
+            a.lw(ry, rb, 4 * i)
+            if is_add:
+                a.add(rs, rx, ry)        # s = x + y
+                a.sltu(rx, rs, rx)       # c1 = s < x
+                a.add(ry, rs, rc)        # t = s + carry
+                a.sltu(rs, ry, rs)       # c2 = t < s
+                a.or_(rc, rx, rs)
+                a.sw(ry, rr, 4 * i)
+            else:
+                a.sub(rs, rx, ry)        # d = x - y
+                a.sltu(rx, rx, ry)       # b1 = x < y
+                a.sltu(ry, rs, rc)       # b2 = d < borrow
+                a.sub(rs, rs, rc)        # t = d - borrow
+                a.or_(rc, rx, ry)
+                a.sw(rs, rr, 4 * i)
+        for t in (args[0], args[1], args[2], x, y, s):
+            self.free(t)
+        carry.pinned = False
+        carry.type = U32
+        return carry
+
+    def _gen_u256_lt(self, node):
+        """__u256_lt(a, b) -> 1 if a < b (unsigned 256-bit), else 0."""
+        a = self.asm
+        args = [self.gen_expr(e) for e in node.args.exprs]
+        ra = self.reg_of(args[0], pin=True)
+        rb = self.reg_of(args[1], pin=True)
+        x = self.new_tmp(U32)
+        y = self.new_tmp(U32)
+        out = self.new_tmp(U32)
+        rx, ry = self.reg_of(x, pin=True), self.reg_of(y, pin=True)
+        ro = self.reg_of(out, pin=True)
+        done = self.lbl("u256lt")
+        a.li(ro, 0)
+        for i in range(7, -1, -1):
+            a.lw(rx, ra, 4 * i)
+            a.lw(ry, rb, 4 * i)
+            a.sltu(ro, rx, ry)           # a < b at this limb
+            self.cbr("bne", rx, ry, done)
+        a.label(done)
+        for t in (args[0], args[1], x, y):
+            self.free(t)
+        out.pinned = False
+        return out
+
+    def _gen_inline_memcpy(self, node, n):
+        """Constant-size word-aligned-checked memcpy: unrolled word copy
+        behind a runtime alignment test, byte loop otherwise."""
+        a = self.asm
+        dst = self.gen_expr(node.args.exprs[0])
+        src = self.gen_expr(node.args.exprs[1])
+        rd = self.reg_of(dst, pin=True)
+        rs = self.reg_of(src, pin=True)
+        t = self.new_tmp(U32)
+        rt = self.reg_of(t, pin=True)
+        bytelbl = self.lbl("mcpyb")
+        end = self.lbl("mcpye")
+        a.or_(rt, rd, rs)
+        a.andi(rt, rt, 3)
+        self.cbr("bne", rt, "zero", bytelbl)
+        for off in range(0, n, 4):
+            a.lw(rt, rs, off)
+            a.sw(rt, rd, off)
+        a.j(end)
+        a.label(bytelbl)
+        for off in range(n):
+            a.lb(rt, rs, off)
+            a.sb(rt, rd, off)
+        a.label(end)
+        self.free(t)
+        self.free(src)
+        dst.pinned = False
+        dst.type = PtrT(U8)
+        return dst
+
     def gen_call(self, node):
         a = self.asm
         if isinstance(node.name, c_ast.ID) and node.name.name == "__ecall":
             return self.gen_ecall(node)
+        if isinstance(node.name, c_ast.ID) and \
+                node.name.name in ("__u256_add", "__u256_sub"):
+            return self._gen_u256_carry_chain(
+                node, node.name.name == "__u256_add")
+        if isinstance(node.name, c_ast.ID) and node.name.name == "__u256_lt":
+            return self._gen_u256_lt(node)
+        if isinstance(node.name, c_ast.ID) and node.name.name == "memcpy" \
+                and node.args and len(node.args.exprs) == 3:
+            nconst = self._fold(node.args.exprs[2])
+            if nconst is not None and 0 < nconst <= 96 and nconst % 4 == 0:
+                return self._gen_inline_memcpy(node, nconst)
         if isinstance(node.name, c_ast.ID) and \
                 node.name.name in self._MUL_BUILTINS:
             insn = self._MUL_BUILTINS[node.name.name]
@@ -1963,8 +2067,11 @@ def preprocess(path, include_dirs=(), defines=()) -> str:
 
 
 def compile_c(sources, include_dirs=(), defines=(), org=0x10000,
-              stack_top=0x0400_0000) -> bytes:
-    """Compile C sources (paths or inline code strings) to an RV32IM ELF."""
+              stack_top=0x0400_0000, want_symbols=False):
+    """Compile C sources (paths or inline code strings) to an RV32IM ELF.
+
+    With want_symbols=True returns (elf, {function_name: address}) — the
+    profiler's symbolization table."""
     asts = []
     for src in sources:
         s = str(src)
@@ -1981,4 +2088,9 @@ def compile_c(sources, include_dirs=(), defines=(), org=0x10000,
             text = preprocess(s, include_dirs, defines)
         asts.append(c_parser.CParser().parse(text, s[:40]))
     comp = Compiler(org=org, stack_top=stack_top)
-    return comp.compile(asts)
+    elf = comp.compile(asts)
+    if want_symbols:
+        syms = {name: comp.asm.labels[name]
+                for name in comp.emitted_funcs if name in comp.asm.labels}
+        return elf, syms
+    return elf

@@ -7,6 +7,10 @@
 typedef struct { uint32_t w[8]; } u256;
 
 extern uint32_t __mulhu(uint32_t a, uint32_t b);
+/* compiler builtins: unrolled 8-limb carry chains / compare */
+extern uint32_t __u256_add(uint32_t *r, const uint32_t *a, const uint32_t *b);
+extern uint32_t __u256_sub(uint32_t *r, const uint32_t *a, const uint32_t *b);
+extern uint32_t __u256_lt(const uint32_t *a, const uint32_t *b);
 
 void u256_zero(u256 *r);
 void u256_from_u32(u256 *r, uint32_t v);

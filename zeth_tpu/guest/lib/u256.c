@@ -25,11 +25,8 @@ uint32_t u256_is_zero(const u256 *a) {
 }
 
 int u256_cmp(const u256 *a, const u256 *b) {
-  int i;
-  for (i = 7; i >= 0; i--) {
-    if (a->w[i] < b->w[i]) return -1;
-    if (a->w[i] > b->w[i]) return 1;
-  }
+  if (__u256_lt(a->w, b->w)) return -1;
+  if (__u256_lt(b->w, a->w)) return 1;
   return 0;
 }
 
@@ -40,27 +37,11 @@ uint32_t u256_eq(const u256 *a, const u256 *b) {
 }
 
 uint32_t u256_add(u256 *r, const u256 *a, const u256 *b) {
-  uint32_t c = 0, i;
-  for (i = 0; i < 8; i++) {
-    uint32_t s = a->w[i] + b->w[i];
-    uint32_t c1 = s < a->w[i];
-    uint32_t t = s + c;
-    c = c1 | (t < s);
-    r->w[i] = t;
-  }
-  return c;
+  return __u256_add(r->w, a->w, b->w);
 }
 
 uint32_t u256_sub(u256 *r, const u256 *a, const u256 *b) {
-  uint32_t brw = 0, i;
-  for (i = 0; i < 8; i++) {
-    uint32_t d = a->w[i] - b->w[i];
-    uint32_t b1 = a->w[i] < b->w[i];
-    uint32_t t = d - brw;
-    brw = b1 | (d < brw);
-    r->w[i] = t;
-  }
-  return brw;
+  return __u256_sub(r->w, a->w, b->w);
 }
 
 void u256_mul(u256 *r, const u256 *a, const u256 *b) {
