@@ -314,7 +314,17 @@ class Rv32imAir(Air):
             entry_regs = np.zeros(32, dtype=np.uint64)
         entry_regs = np.asarray(entry_regs, dtype=np.uint64)
         assert entry_regs[0] == 0
-        m = np.zeros((n, LAYOUT.n), dtype=np.uint64)
+        # big segments reuse a staged buffer: a fresh (n, 1001) uint64
+        # matrix page-faults at ~120 MB/s on this VM class (~18 s at
+        # po2=18); the staged buffer parallel-faults once and is reused
+        # for every later segment. Small (test-sized) witnesses stay
+        # fresh allocations so held references never alias.
+        if n >= (1 << 15):
+            from .. import staging
+            m = staging.staged("rv32im_witgen_main", (n, LAYOUT.n),
+                               np.uint64, zero=True)
+        else:
+            m = np.zeros((n, LAYOUT.n), dtype=np.uint64)
         L = LAYOUT
 
         pc = trace[:, 0].astype(np.uint64)
