@@ -259,6 +259,12 @@ class Compiler:
         self.stack_top = stack_top
         self.globals: dict[str, Var] = {}
         self.structs: dict[str, StructT] = {}
+        # anonymous-struct naming: keyed by node identity, with the node
+        # PINNED so a freed AST node's address can never be reused by a
+        # later file's struct (an id() collision silently aliased two
+        # different anonymous structs — wrong size/fields)
+        self._anon_names: dict[int, str] = {}
+        self._anon_pins: list = []
         self.typedefs: dict[str, CType] = {}
         self.data: list[_Data] = []
         self.strlits: dict[bytes, str] = {}
@@ -352,7 +358,13 @@ class Compiler:
 
     def struct_type(self, node):
         is_union = isinstance(node, c_ast.Union)
-        name = node.name or f"__anon{id(node)}"
+        name = node.name
+        if name is None:
+            name = self._anon_names.get(id(node))
+            if name is None:
+                name = f"__anon{len(self._anon_names)}"
+                self._anon_names[id(node)] = name
+                self._anon_pins.append(node)
         key = ("union " if is_union else "struct ") + name
         st = self.structs.get(key)
         if st is None:

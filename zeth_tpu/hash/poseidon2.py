@@ -217,11 +217,23 @@ def _dbl(x):
     return F.add(x, x)
 
 
-def _m4_block(x):
-    """M4 over each 4-block via the Poseidon2 paper's add chain. x: (24, ...)."""
+def _sbox(x):
+    x2 = F.mul(x, x)
+    x4 = F.mul(x2, x2)
+    return F.mul(F.mul(x4, x2), x)
+
+
+# The permutation operates on a *tuple of 24 same-shaped arrays* (one per
+# cell) rather than a stacked (24, batch) array: every round is then pure
+# elementwise ops that XLA fuses, with zero sublane slicing/stacking or
+# relayouts inside the round chain (the stacked form cost ~6x on the
+# main-group Merkle commit at po2=18). Rounds are statically unrolled.
+
+
+def _m4_cells(cells):
     outs = []
     for b in range(CELLS // 4):
-        x0, x1, x2, x3 = x[4 * b], x[4 * b + 1], x[4 * b + 2], x[4 * b + 3]
+        x0, x1, x2, x3 = cells[4 * b:4 * b + 4]
         t0 = F.add(x0, x1)
         t1 = F.add(x2, x3)
         t2 = F.add(_dbl(x1), t1)
@@ -231,63 +243,74 @@ def _m4_block(x):
         t6 = F.add(t3, t5)
         t7 = F.add(t2, t4)
         outs.extend([t6, t5, t7, t4])
-    return jnp.stack(outs, axis=0)
+    return outs
 
 
-def _external(x):
-    z = _m4_block(x)
-    s = z[0:4]
+def _external_cells(cells):
+    z = _m4_cells(cells)
+    s = list(z[0:4])
     for b in range(1, CELLS // 4):
-        s = F.add(s, z[4 * b:4 * b + 4])
-    return F.add(z, jnp.tile(s, (CELLS // 4,) + (1,) * (x.ndim - 1)))
+        for j in range(4):
+            s[j] = F.add(s[j], z[4 * b + j])
+    return [F.add(z[i], s[i % 4]) for i in range(CELLS)]
 
 
-def _sbox(x):
-    x2 = F.mul(x, x)
-    x4 = F.mul(x2, x2)
-    return F.mul(F.mul(x4, x2), x)
+def permute_cells(cells):
+    """Poseidon2 permutation over a list of 24 same-shaped Montgomery arrays.
 
-
-def _cell_sum(x):
-    """Modular sum over the cells axis (axis 0) via a pairwise tree."""
-    n = x.shape[0]
-    while n > 1:
-        half = n // 2
-        x = jnp.concatenate([F.add(x[:half], x[half:2 * half]), x[2 * half:]], axis=0)
-        n = x.shape[0]
-    return x[0]
-
-
-@jax.jit
-def permute(state):
-    """Poseidon2 permutation on device. state: (24, batch...) uint32 Montgomery.
-
-    Rounds run under ``lax.scan`` (round constants are the scanned input) so
-    the traced program stays small — compile time matters because this body
-    is inlined into every prover jit.
+    Rounds run under ``lax.scan`` (round constants are the scanned input):
+    a fully unrolled round chain executes the same but costs ~50 s of XLA
+    compile per batch shape — this body stays ~200 HLO ops.
     """
     mc = _monty_constants()
     rc_ext = jnp.asarray(mc["rc_ext"])
     rc_int = jnp.asarray(mc["rc_int"])
-    diag_m1 = jnp.asarray(mc["diag_m1"])
-    bshape = (1,) * (state.ndim - 1)
+    diag_m1 = mc["diag_m1"]          # numpy: per-cell constants stay scalars
+    half = ROUNDS_FULL // 2
 
     def ext_round(x, rc):
-        x = F.add(x, rc.reshape((CELLS,) + bshape))
-        return _external(_sbox(x)), None
+        x = [F.add(x[i], rc[i]) for i in range(CELLS)]
+        return tuple(_external_cells([_sbox(c) for c in x])), None
 
     def int_round(x, rc):
-        c0 = _sbox(F.add(x[0], rc))
-        x = x.at[0].set(c0)
-        s = _cell_sum(x)
-        return F.add(s[None], F.mul(x, diag_m1.reshape((CELLS,) + bshape))), None
+        x = list(x)
+        x[0] = _sbox(F.add(x[0], rc))
+        t = x
+        while len(t) > 1:
+            nxt = [F.add(t[i], t[i + 1]) for i in range(0, len(t) - 1, 2)]
+            if len(t) % 2:
+                nxt.append(t[-1])
+            t = nxt
+        s = t[0]
+        return tuple(F.add(s, F.mul(x[i], jnp.uint32(diag_m1[i])))
+                     for i in range(CELLS)), None
 
-    half = ROUNDS_FULL // 2
-    x = _external(state)
+    x = tuple(_external_cells(list(cells)))
     x, _ = jax.lax.scan(ext_round, x, rc_ext[:half])
     x, _ = jax.lax.scan(int_round, x, rc_int)
     x, _ = jax.lax.scan(ext_round, x, rc_ext[half:])
-    return x
+    return list(x)
+
+
+@jax.jit
+def permute(state):
+    """Poseidon2 permutation on device. state: (24, batch...) uint32 Montgomery."""
+    cells = permute_cells([state[i] for i in range(CELLS)])
+    return jnp.stack(cells, axis=0)
+
+
+def _absorb_chunks(cells, chunks):
+    """Scan `chunks` (nch, RATE, n) into a 24-cell sponge tuple."""
+    def body(cs, chunk):
+        cs = tuple(F.add(cs[j], chunk[j]) for j in range(RATE)) + cs[RATE:]
+        return tuple(permute_cells(list(cs))), None
+    cells, _ = jax.lax.scan(body, cells, chunks)
+    return cells
+
+
+def _zero_cells(n):
+    z = jnp.zeros((n,), _U32)
+    return tuple(z for _ in range(CELLS))
 
 
 @jax.jit
@@ -296,48 +319,33 @@ def hash_rows(rows):
 
     Matches hash_rows_np on (from_monty o hash o to_monty). The sponge
     absorbs RATE=16 elements per permutation (add-into-rate); zero-padding
-    the last chunk is equivalent to the host's partial absorb. The chunk
-    loop is a lax.scan so wide traces trace ONE permutation, not k/16.
-    Chunks are dynamic-sliced from the input (a padded/transposed copy of
-    a trace-LDE-sized matrix would transiently double HBM use — the
-    po2=18 bench OOM'd on exactly that); only the ragged tail chunk pays
-    a small pad.
+    the last chunk is equivalent to the host's partial absorb. The matrix
+    transposes ONCE to chunk-major (nch, RATE, n) so every absorb is a
+    contiguous slice — per-chunk lane-dim dynamic slices + transposes were
+    the dominant relayout cost of the Merkle commit.
     """
     n, k = rows.shape
-    nfull = k // RATE
-
-    def body(state, i):
-        chunk = jax.lax.dynamic_slice(rows, (0, i * RATE), (n, RATE))
-        state = state.at[:RATE].set(F.add(state[:RATE], chunk.T))
-        return permute(state), None
-
-    state = jnp.zeros((CELLS, n), _U32)
-    if nfull:
-        state, _ = jax.lax.scan(body, state,
-                                jnp.arange(nfull, dtype=jnp.int32))
-    if k % RATE or k == 0:
-        tail = jnp.zeros((RATE, n), _U32).at[:k % RATE].set(
-            rows[:, nfull * RATE:].T)
-        state = state.at[:RATE].set(F.add(state[:RATE], tail))
-        state = permute(state)
-    return state[:DIGEST_LEN].T
+    nch = max(-(-k // RATE), 1)
+    pad = nch * RATE - k
+    if pad:
+        rows = jnp.concatenate([rows, jnp.zeros((n, pad), _U32)], axis=1)
+    chunks = rows.T.reshape(nch, RATE, n)
+    cells = _absorb_chunks(_zero_cells(n), chunks)
+    return jnp.stack(cells[:DIGEST_LEN], axis=0).T
 
 
-@functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(3,))
-def _absorb_cols(state, rows, off, nch: int):
-    """Absorb `nch` RATE-wide chunks starting at column `off` into a
-    running sponge state (CELLS, n). The matrix is aliased (never
-    copied); the state buffer is donated."""
-    n = rows.shape[0]
-
-    def body(st, i):
-        chunk = jax.lax.dynamic_slice(rows, (0, i * RATE), (n, RATE))
-        st = st.at[:RATE].set(F.add(st[:RATE], chunk.T))
-        return permute(st), None
-
-    state, _ = jax.lax.scan(
-        body, state, off // RATE + jnp.arange(nch, dtype=jnp.int32))
-    return state
+@functools.partial(jax.jit, static_argnums=(3,))
+def _absorb_slab(cells, rows, off, c: int):
+    """Absorb columns [off, off+c) (c a RATE multiple or the final ragged
+    tail, zero-padded) into a sponge-cells tuple. One slab-sized
+    transpose; chunks then slice contiguously."""
+    n, k = rows.shape
+    slab = jax.lax.dynamic_slice(rows, (jnp.int32(0), off), (n, c))
+    pad = (-c) % RATE
+    if pad:
+        slab = jnp.concatenate([slab, jnp.zeros((n, pad), _U32)], axis=1)
+    chunks = slab.T.reshape((c + pad) // RATE, RATE, n)
+    return _absorb_chunks(cells, chunks)
 
 
 # Above this many matrix elements, hash_rows streams column slabs through
@@ -350,35 +358,23 @@ _STREAM_COLS = 256          # multiple of RATE
 
 def hash_rows_large(rows):
     """hash_rows for matrices too big to absorb in one XLA program.
-    Bit-identical to hash_rows; state is carried across dispatches."""
+    Bit-identical to hash_rows; sponge cells carry across dispatches."""
     n, k = rows.shape
-    state = jnp.zeros((CELLS, n), _U32)
-    nfull = k // RATE
-    full = nfull * RATE
-    for off in range(0, full, _STREAM_COLS):
-        c = min(_STREAM_COLS, full - off)
-        state = _absorb_cols(state, rows, jnp.int32(off), c // RATE)
-    if k % RATE or k == 0:
-        state = _absorb_tail(state, rows, full)
-    return state[:DIGEST_LEN].T
-
-
-@functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(2,))
-def _absorb_tail(state, rows, full: int):
-    n, k = rows.shape
-    tail = jnp.zeros((RATE, n), _U32).at[:k - full].set(
-        rows[:, full:].T)
-    state = state.at[:RATE].set(F.add(state[:RATE], tail))
-    return permute(state)
+    cells = _zero_cells(n)
+    for off in range(0, max(k, 1), _STREAM_COLS):
+        c = min(_STREAM_COLS, k - off)
+        cells = _absorb_slab(cells, rows, jnp.int32(off), c)
+    return jnp.stack(cells[:DIGEST_LEN], axis=0).T
 
 
 @jax.jit
 def hash_pairs(left, right):
     """Combine digest pairs on device: (n, 8) x (n, 8) -> (n, 8), Montgomery."""
     n = left.shape[0]
-    state = jnp.zeros((CELLS, n), _U32)
-    state = state.at[:DIGEST_LEN].set(left.T)
-    state = state.at[DIGEST_LEN:2 * DIGEST_LEN].set(right.T)
-    state = state.at[2 * DIGEST_LEN].set(
-        jnp.full((n,), np.uint32((PAIR_TAG << 32) % P), _U32))
-    return permute(state)[:DIGEST_LEN].T
+    zeros = jnp.zeros((n,), _U32)
+    tag = jnp.full((n,), np.uint32((PAIR_TAG << 32) % P), _U32)
+    cells = ([left[:, j] for j in range(DIGEST_LEN)]
+             + [right[:, j] for j in range(DIGEST_LEN)]
+             + [tag] + [zeros] * (CELLS - 2 * DIGEST_LEN - 1))
+    out = permute_cells(cells)
+    return jnp.stack(out[:DIGEST_LEN], axis=0).T

@@ -162,12 +162,15 @@ def rou_rev(n: int) -> int:
 
 
 def powers(base: int, n: int) -> np.ndarray:
-    """[1, base, base^2, ..., base^(n-1)] mod p."""
-    out = np.empty(n, dtype=_U64)
-    acc = 1
-    for i in range(n):
-        out[i] = acc
-        acc = (acc * base) % P
+    """[1, base, base^2, ..., base^(n-1)] mod p (vectorized log-doubling:
+    python per-element loops cost ~0.5 s/M on the prove path)."""
+    out = np.ones(n, dtype=_U64)
+    k, cur = 1, base % P
+    while k < n:
+        m = min(k, n - k)
+        out[k:k + m] = out[:m] * _U64(cur) % PU
+        cur = cur * cur % P
+        k *= 2
     return out
 
 

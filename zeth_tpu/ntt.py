@@ -50,15 +50,12 @@ def bitrev_perm(n: int) -> np.ndarray:
 @functools.lru_cache(maxsize=None)
 def _stage_twiddles(n: int, inverse: bool) -> tuple[np.ndarray, ...]:
     """Montgomery twiddle table w_m^j (j < m/2) for each DIT stage m=2,4,..,n."""
+    from . import hostmath as H
     out = []
     for s in range(1, n.bit_length()):
         m = 1 << s
         w = F.rou_rev(m) if inverse else F.rou_fwd(m)
-        tw = np.empty(m // 2, dtype=np.uint64)
-        acc = 1
-        for j in range(m // 2):
-            tw[j] = acc
-            acc = acc * w % P
+        tw = H.powers(w, m // 2)
         out.append(((tw << np.uint64(32)) % np.uint64(P)).astype(np.uint32))
     return tuple(out)
 
@@ -97,11 +94,8 @@ def intt(x):
 @functools.lru_cache(maxsize=None)
 def _power_table(base: int, n: int) -> np.ndarray:
     """[base^0 .. base^(n-1)] mod p, in Montgomery form (numpy uint32)."""
-    out = np.empty(n, dtype=np.uint64)
-    acc = 1
-    for i in range(n):
-        out[i] = acc
-        acc = acc * base % P
+    from . import hostmath as H
+    out = H.powers(base, n)
     return ((out << np.uint64(32)) % np.uint64(P)).astype(np.uint32)
 
 
@@ -123,13 +117,8 @@ def coset_lde(values, blowup: int = 4, shift: int = GENERATOR):
 
 def coset_points(n: int, shift: int = GENERATOR) -> np.ndarray:
     """Host-side: the evaluation points shift * w_n^i (standard form)."""
-    w = F.rou_fwd(n)
-    out = np.empty(n, dtype=np.uint64)
-    acc = shift % P
-    for i in range(n):
-        out[i] = acc
-        acc = acc * w % P
-    return out
+    from . import hostmath as H
+    return H.powers(F.rou_fwd(n), n) * np.uint64(shift % P) % np.uint64(P)
 
 
 def modsum(x, axis: int = 0):

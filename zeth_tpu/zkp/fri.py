@@ -87,13 +87,8 @@ class FriProof:
 def _inv_x0_table(shift: int, n: int) -> np.ndarray:
     """Montgomery table of (shift * w_n^g)^-1 for g < n/16."""
     m = n // FRI_FOLD
-    w_inv = H.rou_rev(n)
     s_inv = pow(int(shift), P - 2, P)
-    tab = np.empty(m, dtype=np.uint64)
-    acc = s_inv
-    for g in range(m):
-        tab[g] = acc
-        acc = acc * w_inv % P
+    tab = H.powers(H.rou_rev(n), m) * np.uint64(s_inv) % np.uint64(P)
     return _to_monty_np(tab)
 
 

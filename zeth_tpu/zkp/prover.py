@@ -122,16 +122,18 @@ def _lde_only_std(trace_std_u32):
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
 def _eval_rows_ext(rows, w, chunk: int):
-    """Weighted row reduction: (4n, c) Montgomery base rows x (4n, 4)
-    Montgomery ext weights -> (c, 4). Chunked so the (chunk, c, 4)
-    intermediate stays small."""
+    """Weighted row reduction: (4n, c) Montgomery base rows x (4n, e)
+    Montgomery ext weights -> (c, e). Chunked so the (chunk, c, e)
+    intermediate stays small. e = 4 for one tap point, 8 for the fused
+    z / z*w pair (the group's LDE is then read once for both)."""
     n, c = rows.shape
+    e = w.shape[1]
     def body(acc, i):
         rc = jax.lax.dynamic_slice(rows, (i * chunk, 0), (chunk, c))
-        wc = jax.lax.dynamic_slice(w, (i * chunk, 0), (chunk, 4))
+        wc = jax.lax.dynamic_slice(w, (i * chunk, 0), (chunk, e))
         t = F.mul(rc[:, :, None], wc[:, None, :])
         return F.add(acc, ntt.modsum(t, axis=0)), None
-    acc0 = jnp.zeros((c, 4), _U32)
+    acc0 = jnp.zeros((c, e), _U32)
     acc, _ = jax.lax.scan(body, acc0,
                           jnp.arange(n // chunk, dtype=jnp.int32))
     return acc
@@ -364,33 +366,53 @@ def _check_group(air: Air, ldes: dict, alpha: np.ndarray, publics, challenges,
     return _finish_check(acc, zinv, sinv)
 
 
-@jax.jit
-def _deep_stage(groups_z, groups_zg, bps_z, bps_zg, cz, czg, iz, izg):
-    """f0(x) = [sum_j b_j f_j(x) - const] * inv for the two tap points.
+@functools.partial(jax.jit, static_argnames=("chunk", "n_zg_groups"))
+def _deep_stage(groups, bps_z, bps_zg, cz, czg, iz, izg,
+                chunk: int, n_zg_groups: int):
+    """f0(x) = [mix_z(x) - c_z]/(x - z) + [mix_zg(x) - c_zg]/(x - zg).
 
-    Groups are passed as tuples (not pre-concatenated — a concat of all
-    LDEs would transiently double HBM use at po2>=18)."""
-    n4 = groups_z[0].shape[0]
+    One row-chunked pass: each group's LDE rows are read ONCE per chunk
+    (sublane-aligned contiguous slices — no transposes, no per-column
+    scans) and weighted into both tap-point mixes simultaneously.
+    groups: tuple of (4n, C_g); the first n_zg_groups also enter the zg
+    mix. bps_*: per-group (C_g, 4) Montgomery weight tables.
+    """
+    n4 = groups[0].shape[0]
 
-    def mix(groups, bps):
-        acc = jnp.zeros((n4, 4), _U32)
-        for cat, bp in zip(groups, bps):
-            def body(a, jx):
-                col, b = jx            # col: (4n,), b: (4,)
-                return F.add(a, F.mul(col[:, None], b[None, :])), None
-            acc, _ = jax.lax.scan(body, acc,
-                                  (jnp.swapaxes(cat, 0, 1), bp))
-        return acc                                   # (4n, 4)
+    def body(_, i):
+        acc_z = jnp.zeros((chunk, 4), _U32)
+        acc_zg = jnp.zeros((chunk, 4), _U32)
+        for gi, (cat, bz) in enumerate(zip(groups, bps_z)):
+            rc = jax.lax.dynamic_slice(
+                cat, (i * chunk, 0), (chunk, cat.shape[1]))
+            if gi < n_zg_groups:
+                w = F.mul(rc[:, :, None],
+                          jnp.concatenate([bz, bps_zg[gi]], axis=1)[None])
+                acc_z = F.add(acc_z, ntt.modsum(w[:, :, :4], axis=1))
+                acc_zg = F.add(acc_zg, ntt.modsum(w[:, :, 4:], axis=1))
+            else:
+                w = F.mul(rc[:, :, None], bz[None])
+                acc_z = F.add(acc_z, ntt.modsum(w, axis=1))
+        num_z = F.ext_sub(acc_z, jnp.broadcast_to(cz, (chunk, 4)))
+        num_zg = F.ext_sub(acc_zg, jnp.broadcast_to(czg, (chunk, 4)))
+        izc = jax.lax.dynamic_slice(iz, (i * chunk, 0), (chunk, 4))
+        izgc = jax.lax.dynamic_slice(izg, (i * chunk, 0), (chunk, 4))
+        return None, F.add(F.ext_mul(num_z, izc), F.ext_mul(num_zg, izgc))
 
-    num_z = F.ext_sub(mix(groups_z, bps_z), jnp.broadcast_to(cz, (n4, 4)))
-    num_zg = F.ext_sub(mix(groups_zg, bps_zg), jnp.broadcast_to(czg, (n4, 4)))
-    return F.ext_add(F.ext_mul(num_z, iz), F.ext_mul(num_zg, izg))
+    _, out = jax.lax.scan(body, None,
+                          jnp.arange(n4 // chunk, dtype=jnp.int32))
+    return out.reshape(n4, 4)
 
 
 def _deep_combine(groups_z, groups_zg, beta_pows_z, beta_pows_zg,
                   const_z, const_zg, inv_z, inv_zg):
-    return _deep_stage(groups_z, groups_zg, beta_pows_z, beta_pows_zg,
-                       const_z, const_zg, inv_z, inv_zg)
+    # groups_zg (control/main/aux) is a prefix of groups_z (... + check)
+    assert all(a is b for a, b in zip(groups_zg, groups_z))
+    n4 = groups_z[0].shape[0]
+    chunk = min(n4, 2048)
+    return _deep_stage(tuple(groups_z), tuple(beta_pows_z),
+                       tuple(beta_pows_zg), const_z, const_zg,
+                       inv_z, inv_zg, chunk, len(groups_zg))
 
 
 @jax.jit
@@ -549,15 +571,21 @@ def prove(air: Air, main_std: np.ndarray, publics: list[int],
         return F.ext_mul(F.ext_mul_base(inv_xz, x_pows), mk[None, :])
 
     bw = {0: _bary_weights(z, inv_z), 1: _bary_weights(zg, inv_zg)}
+    bw_pair = jnp.concatenate([bw[0], bw[1]], axis=1)     # (4n, 8)
     chunk = min(4096, m4)
-    tap_vals = []
-    for (gname, offset) in TAP_STREAMS:
+    group_vals = {}
+    for gname in ("control", "main", "aux", "check"):
         lde = ldes[gname]
         if lde.shape[1] == 0:
+            continue
+        w = bw[0] if gname == "check" else bw_pair
+        group_vals[gname] = _from_monty(_eval_rows_ext(lde, w, chunk))
+    tap_vals = []
+    for (gname, offset) in TAP_STREAMS:
+        if ldes[gname].shape[1] == 0:
             tap_vals.append(np.zeros((0, 4), dtype=np.uint64))
             continue
-        vals = _eval_rows_ext(lde, bw[offset], chunk)     # (c, 4)
-        tap_vals.append(_from_monty(vals))
+        tap_vals.append(group_vals[gname][:, 4 * offset:4 * offset + 4])
     if _TIMING:
         print(f"[prover] taps: {_time.time() - _tap_t0:.2f}s",
               file=_sys.stderr, flush=True)
