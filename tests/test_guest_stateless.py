@@ -68,6 +68,30 @@ def test_guest_block_precompiles():
     assert gas > 42000
 
 
+def test_guest_block_pairing_precompile():
+    """A tx calling the bn254 pairing precompile (0x08) with the
+    cancelling pair e(P,Q)*e(-P,Q): the guest must execute it in-zkVM
+    (lib/bn254.c over SYS_BIGINT) and agree with the host engine's
+    receipts/gas/post-state."""
+    from test_evm import _mk_block, _signed_tx
+    from zeth_tpu.app import bn254 as B
+    pair_addr = b"\x00" * 19 + b"\x08"
+    g1 = (1, 2)
+    g2 = ((10857046999023057135944570762232829481370756359578518086990519993285655852781,
+           11559732032986387107991004021392285783925812861821192530917403151452391805634),
+          (8495653923123431417604973247489272438418190587263600148770280649306958101930,
+           4082367875863433681332203403145435568316851327593401208105741076214120093531))
+    def enc(p1, q2):
+        (ax, ay), ((xr, xi), (yr, yi)) = p1, q2
+        return b"".join(int(v).to_bytes(32, "big")
+                        for v in (ax, ay, xi, xr, yi, yr))
+    data = enc(g1, g2) + enc((1, B.P - 2), g2)
+    txs = [_signed_tx(0, pair_addr, 0, data, gas=300_000)]
+    d, header, gas = _mk_block(txs)
+    run_guest_block(d, header.hash())
+    assert gas > 45000 + 2 * 34000
+
+
 def test_guest_block_create_contract():
     from test_evm import _mk_block, _signed_tx
     # initcode: PUSH1 4; PUSH1 12; PUSH0; CODECOPY; PUSH1 4; PUSH0; RETURN

@@ -29,6 +29,7 @@ GUEST_SOURCES = [
     os.path.join(_GUEST_DIR, "lib", "keccak.c"),
     os.path.join(_GUEST_DIR, "lib", "hashes.c"),
     os.path.join(_GUEST_DIR, "lib", "secp256k1.c"),
+    os.path.join(_GUEST_DIR, "lib", "bn254.c"),
     os.path.join(_CC_DIR, "runtime", "lib.c"),
 ]
 

@@ -8,9 +8,11 @@
  *     plausible gas budget);
  *   - keccak/sha256 route through accelerator syscalls; MULMOD/ADDMOD
  *     and ecrecover through SYS_BIGINT;
- *   - bn254 pairing (0x08) and the KZG point-eval (0x0a) precompiles
- *     fault the guest loudly (same "reject the block" contract as the
- *     host engine's evm.error path).
+ *   - the bn254 pairing precompile (0x08) runs in-guest over the
+ *     SYS_BIGINT accelerator (lib/bn254.c); the KZG point-eval (0x0a,
+ *     BLS12-381) still faults the guest loudly (same "reject the block"
+ *     contract as the host engine's evm.error path — blocks using it
+ *     need the host validator).
  */
 #include <stdint.h>
 #include <string.h>
@@ -24,6 +26,7 @@
 #include <rlp.h>
 #include <gstate.h>
 #include <gevm.h>
+#include <bn254.h>
 
 gevm_env ENV;
 
@@ -1560,9 +1563,21 @@ uint32_t precompile(const uint8_t a[20], const uint8_t *input,
       *out_len = 64;
       return 1;
     }
-    case 0x8:                                                  /* pairing */
-      gpanic("bn254 pairing precompile not supported in-guest", 80);
-      return 0;
+    case 0x8: {                                                /* pairing */
+      uint32_t k, cost;
+      int pr;
+      if (input_len % 192 != 0) return 0;
+      k = input_len / 192;
+      cost = 45000 + 34000 * k;
+      if (*gas < cost) return 0;
+      *gas -= cost;
+      pr = bn254_pairing_check(input, input_len);
+      if (pr < 0) return 0;
+      *out = (uint8_t *)gcalloc(32);
+      (*out)[31] = (uint8_t)pr;
+      *out_len = 32;
+      return 1;
+    }
     case 0x9: {                                                /* blake2f */
       uint32_t rounds;
       uint8_t h[64];
