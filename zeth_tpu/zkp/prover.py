@@ -120,19 +120,49 @@ def _lde_only_std(trace_std_u32):
     return _lde_group(F.to_monty(trace_std_u32))[1]
 
 
+_to_monty_dev = jax.jit(F.to_monty)
+
+
+def _lde_dispatch(mesh, n: int):
+    """Pick the LDE implementation: the MXU four-step path for
+    trace-scale single-chip arrays (O(N*sqrt N) int8 systolic MACs, 2
+    data passes), the radix-2 VPU path for small sizes and the GSPMD
+    mesh (where the row sharding maps onto the butterfly stages)."""
+    from .. import mxu
+    if mesh is None and n >= mxu.FS_MIN_ROWS:
+        def lde_std(dev):
+            if dev.shape[1] > mxu.FS_MAX_COLS:
+                return _lde_only_std(dev)
+            return mxu.coset_lde_fs(_to_monty_dev(dev))
+
+        def lde_monty(m):
+            if m.shape[1] > mxu.FS_MAX_COLS:
+                return _lde_only(m)
+            return mxu.coset_lde_fs(m)
+
+        return lde_std, lde_monty
+    return _lde_only_std, _lde_only
+
+
 @functools.partial(jax.jit, static_argnames=("chunk",))
-def _eval_rows_ext(rows, w, chunk: int):
-    """Weighted row reduction: (4n, c) Montgomery base rows x (4n, e)
-    Montgomery ext weights -> (c, e). Chunked so the (chunk, c, e)
-    intermediate stays small. e = 4 for one tap point, 8 for the fused
-    z / z*w pair (the group's LDE is then read once for both)."""
-    n, c = rows.shape
+def _eval_rows_ext_s4(rows, w, chunk: int):
+    """Weighted stride-4 row reduction for DEEP taps: row 4k of a
+    blowup-4 LDE in natural order is the trace polynomial at g*w_n^k,
+    so a degree-<n column is interpolated exactly from every 4th LDE
+    row — 4x less compute and HBM traffic than reducing all 4n rows.
+    rows: (4n, c) Montgomery; w: (n, e) Montgomery ext weights -> (c, e).
+    """
+    c = rows.shape[1]
+    n = w.shape[0]
     e = w.shape[1]
+
     def body(acc, i):
-        rc = jax.lax.dynamic_slice(rows, (i * chunk, 0), (chunk, c))
+        rc = jax.lax.dynamic_slice(rows, (i * chunk * 4, 0), (chunk * 4, c))
+        rc = rc[::4]
         wc = jax.lax.dynamic_slice(w, (i * chunk, 0), (chunk, e))
         t = F.mul(rc[:, :, None], wc[:, None, :])
         return F.add(acc, ntt.modsum(t, axis=0)), None
+
     acc0 = jnp.zeros((c, e), _U32)
     acc, _ = jax.lax.scan(body, acc0,
                           jnp.arange(n // chunk, dtype=jnp.int32))
@@ -221,41 +251,25 @@ def _upload_main(air: Air, main_std: np.ndarray, shard_rows):
     bit_idx = np.nonzero(mask)[0]
     n_words = (n_bits + 31) // 32
     with _Stage("    pack host"):
-        # transpose-copy the bit columns once (numpy's blocked 2D copy),
-        # then pack along CONTIGUOUS rows — ~5x faster than per-column
-        # strided ORs at po2=18, and only REUSED staging buffers (fresh
-        # large allocations fault ~1 ms/page on this VM class). The whole
-        # pipeline runs per row-chunk across the staging thread pool
-        # (numpy releases the GIL; disjoint output slices): 4.9s -> ~1.6s
-        # at po2=18 on the 4-vCPU host.
+        # row-major C pack kernel (executor/csrc/pack.cpp): each 8 KB
+        # witness row is bit-gathered while L1-resident, threaded over
+        # row ranges (ctypes releases the GIL). Replaces the numpy
+        # transpose+OR pipeline (1.7s -> ~0.2s at po2=18 on this host).
         from .. import staging
-        mT8 = _staged("mT8", (n_cols, n), np.uint8)
-        packedT = _staged("packedT", (n_words, n), np.uint32)
+        from ..executor import pack_rows
         packed = _staged("packed", (n, n_words), np.uint32)
-        vals64 = _staged("vals", (n, max(len(val_idx), 1)), np.uint64)
-        vals = _staged("vals32", vals64.shape, np.uint32)
+        vals = _staged("vals32", (n, max(len(val_idx), 1)), np.uint32)
+        m64 = np.asarray(main_std, np.uint64)
+        if not m64.flags.c_contiguous:
+            m64 = np.ascontiguousarray(m64)
         n_chunks = min(staging._N_THREADS, max(1, n // 8192))
         step = -(-n // n_chunks)
-
-        def pack_chunk(r0: int) -> None:
-            r1 = min(r0 + step, n)
-            np.copyto(mT8[:, r0:r1], main_std[r0:r1].T, casting="unsafe")
-            packedT[:, r0:r1] = 0
-            rowT = np.empty(r1 - r0, np.uint32)
-            for k, c in enumerate(bit_idx):
-                np.copyto(rowT, mT8[c, r0:r1], casting="unsafe")
-                np.left_shift(rowT, np.uint32(k % 32), out=rowT)
-                np.bitwise_or(packedT[k // 32, r0:r1], rowT,
-                              out=packedT[k // 32, r0:r1])
-            np.copyto(packed[r0:r1], packedT[:, r0:r1].T)
-            if len(val_idx):
-                np.take(main_std[r0:r1], val_idx, axis=1, out=vals64[r0:r1])
-            np.copyto(vals[r0:r1], vals64[r0:r1], casting="unsafe")
-
         if n_chunks == 1:
-            pack_chunk(0)
+            pack_rows(m64, bit_idx, val_idx, packed, vals, 0, n)
         else:
-            futs = [staging._pool().submit(pack_chunk, r0)
+            futs = [staging._pool().submit(
+                        pack_rows, m64, bit_idx, val_idx, packed, vals,
+                        r0, min(r0 + step, n))
                     for r0 in range(0, n, step)]
             for f in futs:
                 f.result()
@@ -367,52 +381,68 @@ def _check_group(air: Air, ldes: dict, alpha: np.ndarray, publics, challenges,
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "n_zg_groups"))
-def _deep_stage(groups, bps_z, bps_zg, cz, czg, iz, izg,
-                chunk: int, n_zg_groups: int):
-    """f0(x) = [mix_z(x) - c_z]/(x - z) + [mix_zg(x) - c_zg]/(x - zg).
+def _deep_mix_s4(groups, bps_z, chunk: int, n_zg_groups: int):
+    """Beta-mixes of all committed columns on the stride-4 subdomain.
 
-    One row-chunked pass: each group's LDE rows are read ONCE per chunk
-    (sublane-aligned contiguous slices — no transposes, no per-column
-    scans) and weighted into both tap-point mixes simultaneously.
-    groups: tuple of (4n, C_g); the first n_zg_groups also enter the zg
-    mix. bps_*: per-group (C_g, 4) Montgomery weight tables.
+    mix_z(x) = sum_c beta^c f_c(x) is itself a degree-<n polynomial, so
+    it is fully determined by the n stride-4 LDE rows (the coset
+    g*<w_n>) — 4x less reduction work than mixing all 4n rows. The zg
+    mix weights are beta^(n_z) * beta^j with the SAME beta^j as the z
+    mix, so each prefix group's products are shared and the beta^(n_z)
+    scale is applied downstream. Returns (n, 8): [:, :4] = mix over all
+    groups, [:, 4:] = mix over the first n_zg_groups (control/main/aux).
     """
-    n4 = groups[0].shape[0]
+    n = groups[0].shape[0] // BLOWUP
 
     def body(_, i):
         acc_z = jnp.zeros((chunk, 4), _U32)
-        acc_zg = jnp.zeros((chunk, 4), _U32)
+        acc_pre = jnp.zeros((chunk, 4), _U32)
         for gi, (cat, bz) in enumerate(zip(groups, bps_z)):
             rc = jax.lax.dynamic_slice(
-                cat, (i * chunk, 0), (chunk, cat.shape[1]))
+                cat, (i * chunk * BLOWUP, 0),
+                (chunk * BLOWUP, cat.shape[1]))[::BLOWUP]
+            w = F.mul(rc[:, :, None], bz[None])
+            s = ntt.modsum(w, axis=1)
+            acc_z = F.add(acc_z, s)
             if gi < n_zg_groups:
-                w = F.mul(rc[:, :, None],
-                          jnp.concatenate([bz, bps_zg[gi]], axis=1)[None])
-                acc_z = F.add(acc_z, ntt.modsum(w[:, :, :4], axis=1))
-                acc_zg = F.add(acc_zg, ntt.modsum(w[:, :, 4:], axis=1))
-            else:
-                w = F.mul(rc[:, :, None], bz[None])
-                acc_z = F.add(acc_z, ntt.modsum(w, axis=1))
-        num_z = F.ext_sub(acc_z, jnp.broadcast_to(cz, (chunk, 4)))
-        num_zg = F.ext_sub(acc_zg, jnp.broadcast_to(czg, (chunk, 4)))
-        izc = jax.lax.dynamic_slice(iz, (i * chunk, 0), (chunk, 4))
-        izgc = jax.lax.dynamic_slice(izg, (i * chunk, 0), (chunk, 4))
-        return None, F.add(F.ext_mul(num_z, izc), F.ext_mul(num_zg, izgc))
+                acc_pre = F.add(acc_pre, s)
+        return None, jnp.concatenate([acc_z, acc_pre], axis=1)
 
     _, out = jax.lax.scan(body, None,
-                          jnp.arange(n4 // chunk, dtype=jnp.int32))
-    return out.reshape(n4, 4)
+                          jnp.arange(n // chunk, dtype=jnp.int32))
+    return out.reshape(n, 8)
 
 
-def _deep_combine(groups_z, groups_zg, beta_pows_z, beta_pows_zg,
-                  const_z, const_zg, inv_z, inv_zg):
-    # groups_zg (control/main/aux) is a prefix of groups_z (... + check)
-    assert all(a is b for a, b in zip(groups_zg, groups_z))
+@jax.jit
+def _extend_coset_evals(vals):
+    """(n, c) evaluations on g*<w_n> -> (4n, c) on g*<w_4n>. The coset
+    shift cancels: with q(y) = f(g*y), our values are q on <w_n> and the
+    target is q on <w_4n> — a plain (unshifted) blowup-4 LDE."""
+    n, c = vals.shape
+    coeffs = ntt.intt(vals)
+    pad = jnp.zeros((n * (BLOWUP - 1), c), _U32)
+    return ntt.ntt(jnp.concatenate([coeffs, pad], axis=0))
+
+
+@jax.jit
+def _deep_f0(mix4, beta_nz, cz, cpre, iz, izg):
+    """f0(x) = [mix_z(x) - c_z]/(x - z)
+             + beta^n_z * [mix_pre(x) - c_pre]/(x - zg)."""
+    n4 = mix4.shape[0]
+    num_z = F.ext_sub(mix4[:, :4], jnp.broadcast_to(cz, (n4, 4)))
+    num_pre = F.ext_sub(mix4[:, 4:], jnp.broadcast_to(cpre, (n4, 4)))
+    num_zg = F.ext_mul(num_pre, jnp.broadcast_to(beta_nz, (n4, 4)))
+    return F.add(F.ext_mul(num_z, iz), F.ext_mul(num_zg, izg))
+
+
+def _deep_combine(groups_z, n_zg_groups, beta_pows_z, beta_nz,
+                  const_z, const_pre, inv_z, inv_zg):
     n4 = groups_z[0].shape[0]
-    chunk = min(n4, 2048)
-    return _deep_stage(tuple(groups_z), tuple(beta_pows_z),
-                       tuple(beta_pows_zg), const_z, const_zg,
-                       inv_z, inv_zg, chunk, len(groups_zg))
+    chunk = min(n4 // BLOWUP, 2048)
+    mix_n = _deep_mix_s4(tuple(groups_z), tuple(beta_pows_z), chunk,
+                         n_zg_groups)
+    mix4 = _extend_coset_evals(mix_n)
+    return _deep_f0(mix4, beta_nz, const_z, const_pre, inv_z, inv_zg)
 
 
 @jax.jit
@@ -473,6 +503,7 @@ def prove(air: Air, main_std: np.ndarray, publics: list[int],
     po2 = n.bit_length() - 1
 
     shard_rows = _row_sharder(mesh)
+    lde_std, lde_monty = _lde_dispatch(mesh, n)
 
     t = Transcript()
     t.mix_values(np.array([po2] + [int(p) for p in publics], dtype=np.uint64))
@@ -497,7 +528,7 @@ def prove(air: Air, main_std: np.ndarray, publics: list[int],
                 # slowdown measured at po2=14)
                 dev.block_until_ready()
             with _Stage(f"  {gname} lde"):
-                ldes[gname] = _lde_only_std(dev)
+                ldes[gname] = lde_std(dev)
                 ldes[gname].block_until_ready()
             if device_aux:
                 dev_std[gname] = dev
@@ -518,7 +549,7 @@ def prove(air: Air, main_std: np.ndarray, publics: list[int],
                 aux_m = air.build_aux_device(dev_std["main"],
                                              dev_std["control"], challenges)
                 dev_std.clear()
-                ldes["aux"] = _lde_only(aux_m)
+                ldes["aux"] = lde_monty(aux_m)
                 del aux_m
             else:
                 aux_std = air.build_aux(np.asarray(main_std, np.uint64),
@@ -527,7 +558,7 @@ def prove(air: Air, main_std: np.ndarray, publics: list[int],
                 np.copyto(aux32, np.asarray(aux_std, np.uint64),
                           casting="unsafe")
                 dev = shard_rows(aux32)
-                ldes["aux"] = _lde_only_std(dev)
+                ldes["aux"] = lde_std(dev)
             trees["aux"] = merkle.commit_rows(ldes["aux"])
             roots["aux"] = trees["aux"].root
         t.mix(roots["aux"])
@@ -539,7 +570,7 @@ def prove(air: Air, main_std: np.ndarray, publics: list[int],
     with _Stage("check group"):
         check_cols = _check_group(air, ldes, alpha, publics, challenges, n,
                                   mesh=mesh)
-        ldes["check"] = _lde_only(check_cols)
+        ldes["check"] = lde_monty(check_cols)
         trees["check"] = merkle.commit_rows(ldes["check"])
         roots["check"] = trees["check"].root
     t.mix(roots["check"])
@@ -561,25 +592,29 @@ def prove(air: Air, main_std: np.ndarray, publics: list[int],
     inv_z = _point_inverses(x_pows, jnp.asarray(_to_monty_np(z)))
     inv_zg = _point_inverses(x_pows, jnp.asarray(_to_monty_np(zg)))
 
-    g4n = pow(GENERATOR, m4, P)
-    den_inv = pow((m4 * g4n) % P, P - 2, P)
+    # Every committed column has degree < n, so its tap interpolates
+    # exactly from the n stride-4 LDE rows (the coset g*<w_n>) — 4x less
+    # work than the full 4n-row reduction.
+    gn = pow(GENERATOR, n, P)
+    den_inv = pow((n * gn) % P, P - 2, P)
+    x4 = x_pows[::4]
 
-    def _bary_weights(zz, inv_xz):
-        z4n = H.ext_pow(H.ext(zz), m4)
-        k = H.ext_mul(H.ext_sub(z4n, H.ext(g4n)), H.ext(den_inv))
+    def _bary_weights(zz, inv_xz4):
+        zn = H.ext_pow(H.ext(zz), n)
+        k = H.ext_mul(H.ext_sub(zn, H.ext(gn)), H.ext(den_inv))
         mk = jnp.asarray(_to_monty_np(H.ext_neg(k)))
-        return F.ext_mul(F.ext_mul_base(inv_xz, x_pows), mk[None, :])
+        return F.ext_mul(F.ext_mul_base(inv_xz4, x4), mk[None, :])
 
-    bw = {0: _bary_weights(z, inv_z), 1: _bary_weights(zg, inv_zg)}
-    bw_pair = jnp.concatenate([bw[0], bw[1]], axis=1)     # (4n, 8)
-    chunk = min(4096, m4)
+    bw = {0: _bary_weights(z, inv_z[::4]), 1: _bary_weights(zg, inv_zg[::4])}
+    bw_pair = jnp.concatenate([bw[0], bw[1]], axis=1)     # (n, 8)
+    chunk = min(4096, n)
     group_vals = {}
     for gname in ("control", "main", "aux", "check"):
         lde = ldes[gname]
         if lde.shape[1] == 0:
             continue
         w = bw[0] if gname == "check" else bw_pair
-        group_vals[gname] = _from_monty(_eval_rows_ext(lde, w, chunk))
+        group_vals[gname] = _from_monty(_eval_rows_ext_s4(lde, w, chunk))
     tap_vals = []
     for (gname, offset) in TAP_STREAMS:
         if ldes[gname].shape[1] == 0:
@@ -599,15 +634,18 @@ def prove(air: Air, main_std: np.ndarray, publics: list[int],
     n_zg = air.control_cols + air.main_cols + air.aux_cols
     beta_pows = H.ext_powers(beta, n_z + n_zg)            # (ntaps, 4) std
     const_z = np.zeros(4, dtype=np.uint64)
-    const_zg = np.zeros(4, dtype=np.uint64)
+    const_pre = np.zeros(4, dtype=np.uint64)     # const_zg / beta^n_z
     for j in range(n_z):
         const_z = H.ext_add(const_z, H.ext_mul(beta_pows[j], taps[j]))
     for j in range(n_zg):
-        const_zg = H.ext_add(const_zg,
-                             H.ext_mul(beta_pows[n_z + j], taps[n_z + j]))
+        const_pre = H.ext_add(const_pre,
+                              H.ext_mul(beta_pows[j], taps[n_z + j]))
 
+    # The DEEP combination orders zg-groups first in the beta-power
+    # stream (weights beta^(n_z + j) for the control/main/aux prefix);
+    # _deep_stage factors beta^n_z out so both mixes share one set of
+    # per-column products.
     groups_z, bps_z = [], []
-    groups_zg, bps_zg = [], []
     off = 0
     for g in ("control", "main", "aux", "check"):
         c = ldes[g].shape[1]
@@ -615,18 +653,14 @@ def prove(air: Air, main_std: np.ndarray, publics: list[int],
             groups_z.append(ldes[g])
             bps_z.append(jnp.asarray(_to_monty_np(beta_pows[off:off + c])))
         off += c
-    for g in ("control", "main", "aux"):
-        c = ldes[g].shape[1]
-        if c:
-            groups_zg.append(ldes[g])
-            bps_zg.append(jnp.asarray(_to_monty_np(beta_pows[off:off + c])))
-        off += c
+    n_zg_groups = sum(1 for g in ("control", "main", "aux")
+                      if ldes[g].shape[1])
     with _Stage("deep setup"):
         pass
-    f0 = _deep_combine(tuple(groups_z), tuple(groups_zg),
-                       tuple(bps_z), tuple(bps_zg),
+    f0 = _deep_combine(tuple(groups_z), n_zg_groups, tuple(bps_z),
+                       jnp.asarray(_to_monty_np(beta_pows[n_z])),
                        jnp.asarray(_to_monty_np(const_z)),
-                       jnp.asarray(_to_monty_np(const_zg)),
+                       jnp.asarray(_to_monty_np(const_pre)),
                        inv_z, inv_zg)
 
     # --- FRI + query openings -------------------------------------------
