@@ -87,3 +87,58 @@ def test_pairing_precompile_in_evm():
     assert res.status == 1
     # 45000 + 2*34000 pairing gas + 21000 intrinsic + calldata
     assert res.gas_used > 45000 + 68000 + 21000
+
+
+def test_groth16_prove_e2e():
+    """R1CS -> QAP -> setup -> prove -> verify, with tamper rejection.
+
+    Circuit (the classic): prove knowledge of x with x^3 + x + 5 == out.
+    Wires: [1, out, x, x2, x3]; out public.
+    """
+    from zeth_tpu.zkp.groth16 import R1CS, prove, setup
+
+    r = B.R
+    r1cs = R1CS(n_wires=5, n_pub=1, constraints=[
+        ({2: 1}, {2: 1}, {3: 1}),                 # x * x = x2
+        ({3: 1}, {2: 1}, {4: 1}),                 # x2 * x = x3
+        ({4: 1, 2: 1, 0: 5}, {0: 1}, {1: 1}),     # (x3 + x + 5) * 1 = out
+    ])
+    x = 3
+    out = (x ** 3 + x + 5) % r
+    witness = [1, out, x, x * x % r, x ** 3 % r]
+    assert r1cs.check(witness)
+
+    # deterministic "randomness" so the test is reproducible
+    seq = iter([1234567, 7654321, 111, 222, 333, 444, 555])
+    pk = setup(r1cs, rng=lambda: next(seq))
+    proof = prove(pk, r1cs, witness, rng=lambda: next(seq))
+    verify(pk.vk, proof, [out])
+
+    with pytest.raises(Groth16Error):
+        verify(pk.vk, proof, [(out + 1) % r])
+    with pytest.raises(Groth16Error):
+        verify(pk.vk, Proof(a=proof.a, b=proof.b, c=g1_mul(proof.c, 2)),
+               [out])
+    # a bad witness is refused at prove time
+    bad = [1, out, x + 1, (x + 1) ** 2 % r, (x + 1) ** 3 % r]
+    with pytest.raises(Groth16Error):
+        prove(pk, r1cs, bad, rng=lambda: 7)
+
+
+def test_groth16_prove_random_blinding():
+    """Fresh setup + random r/s blinding still verifies; zero-knowledge
+    re-randomization changes the proof points."""
+    from zeth_tpu.zkp.groth16 import R1CS, prove, setup
+
+    r = B.R
+    r1cs = R1CS(n_wires=3, n_pub=1, constraints=[
+        ({2: 1}, {2: 1}, {1: 1}),                 # x * x = out
+    ])
+    x = 99
+    witness = [1, x * x % r, x]
+    pk = setup(r1cs)
+    p1 = prove(pk, r1cs, witness)
+    p2 = prove(pk, r1cs, witness)
+    verify(pk.vk, p1, [x * x % r])
+    verify(pk.vk, p2, [x * x % r])
+    assert p1.a != p2.a                           # blinded

@@ -621,6 +621,10 @@ typedef void (*cb_block_hash)(uint64_t number, uint8_t* out);
 // bn254 pairing check (precompile 0x08): input = k*192 bytes;
 // returns 1 (product of pairings is one), 0 (not one), -1 (invalid input)
 typedef int (*cb_pairing)(const uint8_t* input, uint64_t len);
+// EIP-4844 KZG point evaluation (precompile 0x0a): input = 192 bytes;
+// returns 1 (proof valid), 0 (invalid input/proof -> precompile failure),
+// -1 (trusted setup not provisioned -> hard engine error)
+typedef int (*cb_kzg)(const uint8_t* input);
 
 struct Account {
   uint64_t nonce = 0;
@@ -675,6 +679,7 @@ struct Evm {
   cb_get_storage get_storage = nullptr;
   cb_block_hash block_hash = nullptr;
   cb_pairing pairing_check = nullptr;
+  cb_kzg kzg_verify = nullptr;
   Env env;
 
   std::map<Addr, Account> accounts;
@@ -1951,9 +1956,30 @@ bool Interp::precompile(const Addr& a, const std::vector<uint8_t>& input,
       memcpy(out.data(), h, 64);
       return true;
     }
-    case 0x0a:                                                     // KZG
-      evm.error = "KZG point-evaluation precompile not supported";
-      return false;
+    case 0x0a: {                                                   // KZG
+      if (!evm.kzg_verify) {
+        evm.error = "KZG point-evaluation precompile not supported";
+        return false;
+      }
+      if (!take(50000)) return false;
+      if (input.size() != 192) return false;
+      int r = evm.kzg_verify(input.data());
+      if (r < 0) {
+        evm.error = "KZG trusted setup not provisioned";
+        return false;
+      }
+      if (r == 0) return false;
+      // U256(FIELD_ELEMENTS_PER_BLOB = 4096) ++ U256(BLS_MODULUS)
+      static const uint8_t BLS_MOD[32] = {
+        0x73, 0xed, 0xa7, 0x53, 0x29, 0x9d, 0x7d, 0x48,
+        0x33, 0x39, 0xd8, 0x08, 0x09, 0xa1, 0xd8, 0x05,
+        0x53, 0xbd, 0xa4, 0x02, 0xff, 0xfe, 0x5b, 0xfe,
+        0xff, 0xff, 0xff, 0xff, 0x00, 0x00, 0x00, 0x01};
+      out.assign(64, 0);
+      out[30] = 0x10;            // 4096
+      memcpy(out.data() + 32, BLS_MOD, 32);
+      return true;
+    }
   }
   return false;
 }
@@ -1983,6 +2009,10 @@ void evm_destroy(void* h) { delete (Evm*)h; }
 
 void evm_set_pairing_cb(void* h, cb_pairing cb) {
   ((Evm*)h)->pairing_check = cb;
+}
+
+void evm_set_kzg_cb(void* h, cb_kzg cb) {
+  ((Evm*)h)->kzg_verify = cb;
 }
 
 void evm_set_block(void* h, const uint8_t* coinbase, uint64_t number,

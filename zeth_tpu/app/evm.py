@@ -36,6 +36,7 @@ _GET_STORAGE = ctypes.CFUNCTYPE(None, ctypes.POINTER(ctypes.c_uint8),
                                 ctypes.POINTER(ctypes.c_uint8))
 _BLOCK_HASH = ctypes.CFUNCTYPE(None, ctypes.c_uint64,
                                ctypes.POINTER(ctypes.c_uint8))
+_KZG = ctypes.CFUNCTYPE(ctypes.c_int, ctypes.POINTER(ctypes.c_uint8))
 _PAIRING = ctypes.CFUNCTYPE(ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
                             ctypes.c_uint64)
 
@@ -68,6 +69,7 @@ def _lib():
     lib.evm_system_call.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
                                     ctypes.c_char_p, ctypes.c_uint64]
     lib.evm_set_pairing_cb.argtypes = [ctypes.c_void_p, _PAIRING]
+    lib.evm_set_kzg_cb.argtypes = [ctypes.c_void_p, _KZG]
     lib.evm_log_count.restype = ctypes.c_uint64
     lib.evm_log_count.argtypes = [ctypes.c_void_p]
     lib.evm_get_log.restype = ctypes.c_uint64
@@ -199,12 +201,24 @@ class BlockEvm:
             except (ValueError, OverflowError):
                 return -1
 
+        def kzg_cb(inp_p):
+            from . import kzg
+            try:
+                kzg.point_evaluation(bytes(inp_p[:192]))
+                return 1
+            except kzg.KzgError as e:
+                if "not provisioned" in str(e):
+                    return -1
+                return 0
+
         # keep callback objects alive for the handle's lifetime
         self._cbs = (_GET_ACCOUNT(get_account), _GET_CODE(get_code),
                      _GET_STORAGE(get_storage), _BLOCK_HASH(block_hash))
         self._pairing_cb = _PAIRING(pairing_cb)
+        self._kzg_cb = _KZG(kzg_cb)
         self.h = self.lib.evm_create(*self._cbs)
         self.lib.evm_set_pairing_cb(self.h, self._pairing_cb)
+        self.lib.evm_set_kzg_cb(self.h, self._kzg_cb)
         self.missing_codes: set[bytes] = set()
         self._log_cursor = 0
 
