@@ -235,16 +235,17 @@ def test_keccak_and_sha_syscalls():
 
 
 def test_bigint_syscall():
+    # 384-bit accelerator width: [a | b | m | r], 12 words per slot
     res = run_c(HDR + """
-    static uint32_t io[32];
+    static uint32_t io[48];
     int main(void) {
       io[0] = 0xFFFFFFFFu; io[1] = 0xFFFFFFFFu;   /* a = 2^64 - 1 */
-      io[8] = 0xFFFFFFFFu; io[9] = 0xFFFFFFFFu;   /* b = 2^64 - 1 */
-      io[16] = 0xFFFFFFEFu; io[17] = 0xFFFFFFFFu; io[18] = 0xFFFFFFFFu;
-      io[19] = 0xFFFFFFFFu; io[20] = 0xFFFFFFFFu; io[21] = 0xFFFFFFFFu;
-      io[22] = 0xFFFFFFFFu; io[23] = 0xFFFFFFFFu; /* m = 2^256 - 17 */
+      io[12] = 0xFFFFFFFFu; io[13] = 0xFFFFFFFFu; /* b = 2^64 - 1 */
+      io[24] = 0xFFFFFFEFu; io[25] = 0xFFFFFFFFu; io[26] = 0xFFFFFFFFu;
+      io[27] = 0xFFFFFFFFu; io[28] = 0xFFFFFFFFu; io[29] = 0xFFFFFFFFu;
+      io[30] = 0xFFFFFFFFu; io[31] = 0xFFFFFFFFu; /* m = 2^256 - 17 */
       sys_bigint_modmul(io);
-      env_commit(io + 24, 32);
+      env_commit(io + 36, 48);
       return 0; }
     """)
     w = words(res.journal)

@@ -153,3 +153,36 @@ def test_guest_block_real_proof():
     receipt = proc.prove(inp, segment_po2=14)
     receipt.verify(proc.image_id())
     assert receipt.journal == block.hash()
+
+
+def test_guest_block_kzg_point_eval():
+    """A tx calling the KZG point-evaluation precompile (0x0a): with a
+    provisioned trusted setup the guest image embeds [tau]_2
+    (kzg_setup.h) and verifies the proof in-zkVM over the 384-bit
+    bigint accelerator, agreeing with the host engine."""
+    import hashlib
+    import sys
+    sys.path.insert(0, "tests")
+    from test_evm import _mk_block, _signed_tx
+    from test_kzg import _commit_poly, _kzg_open
+    from zeth_tpu.app import kzg
+
+    tau = 0x7E57AA
+    kzg.dev_setup(tau)
+    try:
+        coeffs = [9, 8, 7]
+        z = 1234
+        y, w = _kzg_open(coeffs, z, tau)
+        c48 = kzg.g1_compress(_commit_poly(coeffs, tau))
+        vh = bytes([1]) + hashlib.sha256(c48).digest()[1:]
+        data = (vh + z.to_bytes(32, "big") + y.to_bytes(32, "big")
+                + c48 + kzg.g1_compress(w))
+        txs = [_signed_tx(0, b"\x00" * 19 + b"\x0a", 0, data, gas=200_000)]
+        d, header, gas = _mk_block(txs)
+        run_guest_block(d, header.hash())
+        assert gas > 50000 + 21000
+    finally:
+        kzg._SETUP_G2 = None
+        # restore the unprovisioned header so later builds are stable
+        from zeth_tpu.app import guest_input
+        guest_input._write_kzg_setup_header()

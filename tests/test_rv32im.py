@@ -283,8 +283,8 @@ def test_bigint_guest_satisfies_constraints():
     assert _check(air, ctrl, main, pubs) == {}
     from zeth_tpu.circuits.rv32im import parse_publics
     bw = parse_publics(pubs)["bigint_words"]
-    assert len(bw) == 64          # 2 calls x 32 words
-    got_r = sum(bw[24 + w] << (32 * w) for w in range(8))
+    assert len(bw) == 96          # 2 calls x 48 words (384-bit width)
+    got_r = sum(bw[36 + w] << (32 * w) for w in range(12))
     assert got_r == a * b % m
 
 
@@ -296,7 +296,7 @@ def test_forged_bigint_result_detected():
     air, ctrl, main, pubs = _witness(guests.bigint_guest(a, b, m))
     from zeth_tpu.circuits.rv32im import LAYOUT as L, parse_publics
     sm5 = np.where(main[:, L.idx("sm_str", 5)] == 1)[0]
-    assert len(sm5) == 8          # 8 write rows
+    assert len(sm5) == 12         # 12 write rows (384-bit result)
     row = sm5[0]
     main2 = main.copy()
     main2[row, L.idx("mwnew", 0)] ^= 1
@@ -319,7 +319,7 @@ def test_forged_bigint_result_detected():
     # 13-scalar header, 4-limb mem lists, then 2-limb word lists)
     n_init, n_fin = len(pp["mem_init"]), len(pp["mem_fin"])
     n_j, n_k = len(pp["journal_words"]), len(pp["keccak_words"])
-    off = 13 + 4 * (n_init + n_fin) + 2 * (n_j + n_k) + 2 * 24
+    off = 13 + 4 * (n_init + n_fin) + 2 * (n_j + n_k) + 2 * 36
     bad[off] ^= 1                 # low limb of the first result word
     with pytest.raises(VerificationError):
         verify_chain([bad], claim, ia, iw, entry)

@@ -1,23 +1,25 @@
-"""256-bit modular-multiply accelerator circuit: prove batches of
+"""384-bit modular-multiply accelerator circuit: prove batches of
 a*b mod m claims.
 
 TPU-native replacement for risc0-bigint2 1.4.6 (SURVEY.md §2.2,
 guests/stateless-client/Cargo.lock:4034-4041): the programmable bigint
 accelerator that backs k256 (ECDSA recover) and blst inside the
-reference guest. Like the keccak accelerator (circuits/keccak.py), ops
+reference guest. The width is 384 bits so one modmul covers BLS12-381
+base-field arithmetic (the guest KZG precompile); 256-bit users
+(secp256k1, bn254, MULMOD) zero-pad their operands. Like the keccak accelerator (circuits/keccak.py), ops
 are recorded by the executor via syscall and proven here as a standalone
 STARK batch, linked to the main proof by an IO RLC.
 
-One op per trace row. All quantities in 16-limb little-endian 16-bit
+One op per trace row. All quantities in 24-limb little-endian 16-bit
 limb form, each limb bit-decomposed (booleanity + weighted recompose
 keep every limb in [0, 2^16), the same range discipline as the rv32im
 AIR). Witness columns per row:
 
-  a,b,m,r[16x16 bits each]   operands and remainder  (public, RLC-bound)
-  q[16x16 bits]              quotient (private witness)
-  carry[31x(CARRY_BITS+1)]   signed carries of the convolution identity,
+  a,b,m,r[24x16 bits each]   operands and remainder  (public, RLC-bound)
+  q[24x16 bits]              quotient (private witness)
+  carry[47x(CARRY_BITS+1)]   signed carries of the convolution identity,
                              offset-encoded: carry_k + 2^CARRY_BITS
-  brw[16 bits + 15]          borrow chain bits of the r < m check
+  brw[24 bits]          borrow chain bits of the r < m check
 
 Soundness: with every limb < 2^16 and carries bounded, the row-local
 identity
@@ -43,9 +45,9 @@ from ..zkp import prover as prover_mod
 from ..zkp import verifier as verifier_mod
 from ..zkp.air import Air
 
-LIMBS = 16                   # 16 x 16-bit = 256 bits
-NK = 2 * LIMBS - 1           # convolution positions 0..30
-CARRY_BITS = 22              # |carry| < 16*(2^16)^2 / 2^16 + slack < 2^21
+LIMBS = 24                   # 24 x 16-bit = 384 bits
+NK = 2 * LIMBS - 1           # convolution positions 0..46
+CARRY_BITS = 22              # |carry| < 24*(2^16)^2 / 2^16 + slack < 2^21
 
 # main column offsets (all bit columns)
 A_OFF = 0
@@ -65,9 +67,9 @@ N_CONTROL = 2
 
 
 class Bigint2Air(Air):
-    """Batch of 256-bit modmul ops, one per row."""
+    """Batch of 384-bit modmul ops, one per row."""
 
-    name = "bigint2-modmul256"
+    name = "bigint2-modmul384"
     control_cols = N_CONTROL
     main_cols = N_MAIN
     aux_cols = 4                  # the IO RLC chain (one ext slot)
@@ -134,10 +136,10 @@ class Bigint2Air(Air):
         publics = [nop]
         for i, (a, b, mod) in enumerate(ops):
             a, b, mod = int(a), int(b), int(mod)
-            assert 0 < mod < (1 << 256) and 0 <= a < (1 << 256) \
-                and 0 <= b < (1 << 256)
+            assert 0 < mod < (1 << 384) and 0 <= a < (1 << 384) \
+                and 0 <= b < (1 << 384)
             q, r = divmod(a * b, mod)
-            assert q < (1 << 256), "quotient overflow (a*b >= m << 256)"
+            assert q < (1 << 384), "quotient overflow (a*b >= m << 384)"
             al = _limbs(a); bl = _limbs(b); ml = _limbs(mod)
             ql = _limbs(q); rl = _limbs(r)
             for off, ls in ((A_OFF, al), (B_OFF, bl), (M_OFF, ml),

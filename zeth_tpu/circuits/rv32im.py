@@ -69,8 +69,9 @@ WB_CLASSES = ("LUI", "AUIPC", "JAL", "JALR", "OPIMM", "OP", "LOAD")
 SYSCALLS = ("HALT", "READ", "COMMIT", "LOG", "CYCLE", "KECCAK",
             "BIGINT", "SHA256")
 # SYSMEM stream one-hot order: input write / journal read / keccak r/w /
-# bigint r/w / sha-256 r/w (trace stream tags SM_* in the executor; the
-# bigint and sha runs share the 24-read+8-write accelerator shape)
+# bigint r/w / sha-256 r/w (trace stream tags SM_* in the executor;
+# bigint runs are 36 reads + 12 writes at the 384-bit width, sha runs
+# 24 reads + 8 writes)
 SM_STREAMS = ("in_w", "j_r", "k_r", "k_w", "b_r", "b_w", "s_r", "s_w")
 
 
@@ -105,12 +106,13 @@ class Layout:
             ("mword", 32), ("mwnew", 32), ("bsel", 4),
             # SYSMEM run structure: stream one-hot, base addr (a0 of the
             # initiating ecall), +4 chain carry, words-remaining counter,
-            # rem==1 / rem==51 / rem==9 indicators (keccak / bigint
+            # rem==1/51/9/13 indicators (run-end / keccak / sha / bigint
             # read->write switch rows)
             ("sm_str", 8), ("sm_base_l", 1), ("sm_base_h", 1), ("sm_c", 1),
             ("sm_rem", 20), ("sm_eq1", 1), ("sm_eq1i", 1),
             ("sm_eq51", 1), ("sm_eq51i", 1),
             ("sm_eq9", 1), ("sm_eq9i", 1),
+            ("sm_eq13", 1), ("sm_eq13i", 1),
             # syscall selector one-hot (SYSTEM rows; bound to a7)
             ("sk", len(SYSCALLS)),
             # sorted data-memory access trace: 2 units per row, sorted by
@@ -210,7 +212,8 @@ def _imm_value(kind: str, insn: np.ndarray) -> np.ndarray:
 _VALUE_COLS = ("eq_inv_lo", "eq_inv_hi", "rd_inv", "bz_lo_inv", "bz_hi_inv",
                "rom_m", "m_reg", "m_cyc", "m_vlo", "m_vhi",
                "ms_wa", "ms_ts", "ms_vlo", "ms_vhi", "ms_kind",
-               "sm_base_l", "sm_base_h", "sm_eq1i", "sm_eq51i", "sm_eq9i")
+               "sm_base_l", "sm_base_h", "sm_eq1i", "sm_eq51i", "sm_eq9i",
+               "sm_eq13i")
 
 
 def _main_bit_mask() -> np.ndarray:
@@ -713,15 +716,19 @@ class Rv32imAir(Air):
             eq1 = (rem == 1).astype(np.uint64)
             eq51 = (rem == 51).astype(np.uint64)
             eq9 = (rem == 9).astype(np.uint64)
+            eq13 = (rem == 13).astype(np.uint64)
             m[B + run, L.idx("sm_eq1")] = eq1
             m[B + run, L.idx("sm_eq51")] = eq51
             m[B + run, L.idx("sm_eq9")] = eq9
+            m[B + run, L.idx("sm_eq13")] = eq13
             m[B + run, L.idx("sm_eq1i")] = inv_or_zero(
                 (rem.astype(np.int64) - 1) % P)
             m[B + run, L.idx("sm_eq51i")] = inv_or_zero(
                 np.mod(rem.astype(np.int64) - 51, P).astype(np.uint64))
             m[B + run, L.idx("sm_eq9i")] = inv_or_zero(
                 np.mod(rem.astype(np.int64) - 9, P).astype(np.uint64))
+            m[B + run, L.idx("sm_eq13i")] = inv_or_zero(
+                np.mod(rem.astype(np.int64) - 13, P).astype(np.uint64))
             # +4 address chain carries (on the successor row)
             for k in range(1, run_len):
                 prev_a = int(maddr_rec[i + k - 1])
@@ -1268,7 +1275,8 @@ class Rv32imAir(Air):
                         "abs_ca1", "abs_cb1", "sneg_c1", "sneg_c2"]
                      + ["maddr", "madd_c1", "madd_c2", "mword", "mwnew",
                         "bsel", "sm_str", "sm_c", "sm_rem", "sm_eq1",
-                        "sm_eq51", "sm_eq9", "sk", "ms_wr", "ms_act",
+                        "sm_eq51", "sm_eq9", "sm_eq13", "sk", "ms_wr",
+                        "ms_act",
                         "ms_same", "ms_ord"])
         for name in bool_cols:
             s = L.slices[name]
@@ -1951,22 +1959,25 @@ class Rv32imAir(Air):
         cs.append(mul(mul(m("sm_str", 3, 1), sm_here),
                       sub_(one, add(k_w, mul(k_r, m("sm_eq51"))))))
         cs.append(mul(mul(m("sm_str", 2, 1), k_r), m("sm_eq51")))
-        # bigint/sha: 24 reads (rem 32..9), then 8 writes (rem 8..1);
-        # the read->write switch happens after the rem==9 read row
-        for rs, ws, rcur in ((4, 5, b_r), (6, 7, s_r)):
+        # bigint: 36 reads (rem 48..13), then 12 writes (rem 12..1) —
+        # switch after the rem==13 read row; sha: 24 reads (rem 32..9),
+        # then 8 writes (rem 8..1) — switch after the rem==9 read row
+        for rs, ws, rcur, eqsw in ((4, 5, b_r, "sm_eq13"),
+                                   (6, 7, s_r, "sm_eq9")):
             cs.append(mul(mul(m("sm_str", rs, 1), sm_here),
                           sub_(one, rcur)))
             cs.append(mul(mul(m("sm_str", ws, 1), sm_here),
                           sub_(one, add(m("sm_str", ws),
-                                        mul(rcur, m("sm_eq9"))))))
-            cs.append(mul(mul(m("sm_str", rs, 1), rcur), m("sm_eq9")))
+                                        mul(rcur, m(eqsw))))))
+            cs.append(mul(mul(m("sm_str", rs, 1), rcur), m(eqsw)))
         # rem bookkeeping
         rem = lin([(1 << j, m("sm_rem", j)) for j in range(20)])
         rem_next = lin([(1 << j, m("sm_rem", j, 1)) for j in range(20)])
         # eq flags (inverse trick, forced zero off SYSMEM rows)
         for eqn, eqi, delta in (("sm_eq1", "sm_eq1i", 1),
                                 ("sm_eq51", "sm_eq51i", 51),
-                                ("sm_eq9", "sm_eq9i", 9)):
+                                ("sm_eq9", "sm_eq9i", 9),
+                                ("sm_eq13", "sm_eq13i", 13)):
             x = sub_(rem, ops.const(delta))
             cs.append(mul(m(eqn), x))
             cs.append(mul(is_sm, sub_(sub_(one, m(eqn)), mul(x, m(eqi)))))
@@ -1991,7 +2002,7 @@ class Rv32imAir(Air):
         cs.append(mul(mul(start_gate, sk(SK_KECCAK)),
                       sub_(rem_next, ops.const(100))))
         cs.append(mul(mul(start_gate, sk(SK_BIGINT)),
-                      sub_(rem_next, ops.const(32))))
+                      sub_(rem_next, ops.const(48))))
         cs.append(mul(mul(start_gate, sk(SK_SHA)),
                       sub_(rem_next, ops.const(32))))
         # absent runs force zero IO counts (and keccak always runs)
@@ -2454,11 +2465,12 @@ def verify_chain(publics_list, claim, image_addrs, image_words,
         # bigint accelerator IO: recompute a*b mod m over the bound
         # operands unless an accelerator proof discharges them (resolve)
         bw = pp["bigint_words"]
-        if len(bw) % 32:
+        if len(bw) % 48:
             raise VerificationError(f"segment {i}: bad bigint IO length")
         if not bigint_checked:
-            for c in range(0, len(bw), 32):
-                vals = [sum(bw[c + 8 * j + w] << (32 * w) for w in range(8))
+            for c in range(0, len(bw), 48):
+                vals = [sum(bw[c + 12 * j + w] << (32 * w)
+                            for w in range(12))
                         for j in range(4)]
                 a, b, mm, r = vals
                 if mm == 0 or r != a * b % mm:

@@ -17,7 +17,7 @@ guests/stateless-client/src/lib.rs:17-33):
     4 CYCLE                                  -> a0 = user cycle count (lo32)
     5 KECCAK  a0 = ptr to 200-byte state        (host keccak-f[1600],
                                                  counted as accelerator call)
-    6 BIGINT  a0 = ptr to 4x32-byte [a|b|m|r]   (host writes r = a*b mod m,
+    6 BIGINT  a0 = ptr to 4x48-byte [a|b|m|r]   (host writes r = a*b mod m,
                                                  counted as accelerator call)
     7 SHA256  a0 = ptr to [state 8w|block 16w|out 8w]  (host writes the
                                                  compression feed-forward)
@@ -375,11 +375,11 @@ class Executor:
         nb = lib.ex_bigint_inputs_len(h)
         if nb:
             bptr = lib.ex_bigint_inputs(h)
-            # 32 u32 words (a|b|m|r little-endian) per recorded op
+            # 48 u32 words (a|b|m|r little-endian, 384-bit) per op
             self.bigint_inputs = np.ctypeslib.as_array(
-                bptr, shape=(nb,)).reshape(-1, 32).astype(np.uint64)
+                bptr, shape=(nb,)).reshape(-1, 48).astype(np.uint64)
         else:
-            self.bigint_inputs = np.zeros((0, 32), dtype=np.uint64)
+            self.bigint_inputs = np.zeros((0, 48), dtype=np.uint64)
         ns = lib.ex_sha_inputs_len(h)
         if ns:
             sptr = lib.ex_sha_inputs(h)

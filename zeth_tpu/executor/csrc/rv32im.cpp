@@ -94,33 +94,36 @@ static void keccakf(uint64_t st[25]) {
 // r = a*b mod m, m != 0. Schoolbook 512-bit product, then binary
 // shift-subtract reduction (the executor's job is semantics, not speed —
 // the proven batch runs on device via circuits/bigint2.py).
-static void modmul256(const uint64_t a[4], const uint64_t b[4],
-                      const uint64_t m[4], uint64_t r[4]) {
-  uint64_t p[8] = {0};
-  for (int i = 0; i < 4; i++) {
+// 384-bit modmul (6 x u64 limbs): r = a * b mod m. Width shared with the
+// bigint accelerator circuit (circuits/bigint2.py) and the guest ABI —
+// 256-bit users zero-pad their operands.
+static void modmul384(const uint64_t a[6], const uint64_t b[6],
+                      const uint64_t m[6], uint64_t r[6]) {
+  uint64_t p[12] = {0};
+  for (int i = 0; i < 6; i++) {
     unsigned __int128 carry = 0;
-    for (int j = 0; j < 4; j++) {
+    for (int j = 0; j < 6; j++) {
       unsigned __int128 cur = (unsigned __int128)a[i] * b[j] + p[i + j] + carry;
       p[i + j] = (uint64_t)cur;
       carry = cur >> 64;
     }
-    p[i + 4] += (uint64_t)carry;
+    p[i + 6] += (uint64_t)carry;
   }
-  uint64_t rem[4] = {0};
-  for (int bit = 511; bit >= 0; bit--) {
-    uint64_t over = rem[3] >> 63;
+  uint64_t rem[6] = {0};
+  for (int bit = 767; bit >= 0; bit--) {
+    uint64_t over = rem[5] >> 63;
     uint64_t carry = (p[bit / 64] >> (bit % 64)) & 1;
-    for (int i = 0; i < 4; i++) {
+    for (int i = 0; i < 6; i++) {
       uint64_t nc = rem[i] >> 63;
       rem[i] = (rem[i] << 1) | carry;
       carry = nc;
     }
     bool ge = true;
-    for (int i = 3; i >= 0; i--)
+    for (int i = 5; i >= 0; i--)
       if (rem[i] != m[i]) { ge = rem[i] > m[i]; break; }
     if (over || ge) {
       unsigned __int128 borrow = 0;
-      for (int i = 0; i < 4; i++) {
+      for (int i = 0; i < 6; i++) {
         unsigned __int128 cur =
             (unsigned __int128)rem[i] - m[i] - (uint64_t)borrow;
         rem[i] = (uint64_t)cur;
@@ -128,7 +131,7 @@ static void modmul256(const uint64_t a[4], const uint64_t b[4],
       }
     }
   }
-  memcpy(r, rem, 32);
+  memcpy(r, rem, 48);
 }
 
 // ---- SHA-256 compression (for the accelerator syscall) --------------------
@@ -405,26 +408,30 @@ struct Executor {
         break;
       }
       case SYS_BIGINT: {
-        // a0 -> 4 x 32-byte little-endian region [a | b | m | r]; the
+        // a0 -> 4 x 48-byte little-endian region [a | b | m | r]; the
         // executor reads a,b,m, writes r = a*b mod m, and records the
         // claim for the accelerator batch (circuits/bigint2.py).
+        // 384-bit width (BLS12-381-capable); 256-bit users zero-pad.
         if (a0 & 3) { faulted = true; break; }
-        uint32_t words[32];
-        for (uint32_t i = 0; i < 24; i++)
+        uint32_t words[48];
+        for (uint32_t i = 0; i < 36; i++)
           words[i] = data_load_word(a0 + 4 * i);
-        uint64_t A[4], B[4], M[4], R[4];
-        memcpy(A, words, 32); memcpy(B, words + 8, 32);
-        memcpy(M, words + 16, 32);
-        if (!(M[0] | M[1] | M[2] | M[3])) { faulted = true; break; }
-        for (uint32_t i = 0; i < 24; i++)
+        uint64_t A[6], B[6], M[6], R[6];
+        memcpy(A, words, 48); memcpy(B, words + 12, 48);
+        memcpy(M, words + 24, 48);
+        if (!(M[0] | M[1] | M[2] | M[3] | M[4] | M[5])) {
+          faulted = true;
+          break;
+        }
+        for (uint32_t i = 0; i < 36; i++)
           push_sysmem(a0 + 4 * i, words[i], SM_BIGINT_R);
-        modmul256(A, B, M, R);
-        memcpy(words + 24, R, 32);
-        for (uint32_t i = 24; i < 32; i++) {
+        modmul384(A, B, M, R);
+        memcpy(words + 36, R, 48);
+        for (uint32_t i = 36; i < 48; i++) {
           data_store_word(a0 + 4 * i, words[i]);
           push_sysmem(a0 + 4 * i, words[i], SM_BIGINT_W);
         }
-        bigint_inputs.insert(bigint_inputs.end(), words, words + 32);
+        bigint_inputs.insert(bigint_inputs.end(), words, words + 48);
         bigint_count++;
         break;
       }

@@ -109,11 +109,12 @@ def keccak_guest(rounds: int) -> bytes:
 
 def bigint_guest(a: int, b: int, m: int, reps: int = 1) -> bytes:
     """Compute r = a*b mod m via the bigint accelerator syscall `reps`
-    times (chained: a <- r), then commit the 32-byte result."""
+    times (chained: a <- r), then commit the 48-byte result. Operands
+    occupy 48-byte slots (the accelerator is 384-bit wide)."""
     g = Asm(org=0x10000)
-    g.li("s0", SCRATCH)        # [a | b | m | r] 4 x 32 bytes
-    for off, val in ((0, a), (32, b), (64, m)):
-        for w in range(8):
+    g.li("s0", SCRATCH)        # [a | b | m | r] 4 x 48 bytes
+    for off, val in ((0, a), (48, b), (96, m)):
+        for w in range(12):
             g.li("t0", (val >> (32 * w)) & 0xFFFFFFFF)
             g.sw("t0", "s0", off + 4 * w)
     g.li("s1", reps)
@@ -122,13 +123,13 @@ def bigint_guest(a: int, b: int, m: int, reps: int = 1) -> bytes:
     g.li("a7", 6)
     g.ecall()
     # chain: copy r into a for the next round
-    for w in range(8):
-        g.lw("t0", "s0", 96 + 4 * w)
+    for w in range(12):
+        g.lw("t0", "s0", 144 + 4 * w)
         g.sw("t0", "s0", 4 * w)
     g.addi("s1", "s1", -1)
     g.bne("s1", "zero", "loop")
-    g.li("a0", SCRATCH + 96)
-    g.li("a1", 32)
+    g.li("a0", SCRATCH + 144)
+    g.li("a1", 48)
     g.li("a7", 2)
     g.ecall()
     g.li("a0", 0)

@@ -230,15 +230,17 @@ void u256_smod(u256 *r, const u256 *a, const u256 *b) {
   if (sa) u256_neg(r, &t); else *r = t;
 }
 
-/* bigint accelerator IO block (static: gmalloc-free hot path) */
-static uint32_t big_io[32];
+/* bigint accelerator IO block (static: gmalloc-free hot path).
+ * The accelerator is 384-bit wide (4 x 12-word slots); 256-bit
+ * operands occupy the low 8 words of each slot, highs stay zero. */
+static uint32_t big_io[48];
 
 static void bigint_raw(u256 *r, const u256 *a, const u256 *b, const u256 *m) {
   memcpy(big_io, a->w, 32);
-  memcpy(big_io + 8, b->w, 32);
-  memcpy(big_io + 16, m->w, 32);
+  memcpy(big_io + 12, b->w, 32);
+  memcpy(big_io + 24, m->w, 32);
   sys_bigint_modmul(big_io);
-  memcpy(r->w, big_io + 24, 32);
+  memcpy(r->w, big_io + 36, 32);
 }
 
 void u256_modmul_raw(u256 *r, const u256 *a, const u256 *b, const u256 *m) {

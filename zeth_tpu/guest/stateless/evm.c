@@ -27,6 +27,8 @@
 #include <gstate.h>
 #include <gevm.h>
 #include <bn254.h>
+#include <bls381.h>
+#include <kzg_setup.h>
 
 gevm_env ENV;
 
@@ -1158,6 +1160,10 @@ void create_frame(const createargs *ca, uint32_t gas, uint32_t depth,
 
 /* -- precompiles 0x01..0x0a -------------------------------------------------- */
 
+/* KZG (0x0a) scratch: the precompile switch shares one stack frame and
+ * zeth-cc caps it at 2 KB */
+static uint8_t kzg_vh[32];
+
 /* bn254 group ops via the bigint accelerator (precompiles 0x06/0x07) */
 static const uint32_t BNP_W[8] = {
   0xD87CFD47, 0x3C208C16, 0x6871CA8D, 0x97816A91,
@@ -1594,8 +1600,37 @@ uint32_t precompile(const uint8_t a[20], const uint8_t *input,
       *out_len = 64;
       return 1;
     }
-    case 0x0a:                                                 /* KZG */
-      gpanic("KZG point-eval precompile not supported in-guest", 81);
+    case 0x0a: {                                               /* KZG */
+      int pr;
+      /* EIP-4844 point evaluation over lib/bls381.c. The ceremony's
+       * [tau]_2 is compiled into the image (kzg_setup.h, generated by
+       * app/guest_input.py from the provisioned host setup); without
+       * it the guest cannot validate blocks that call 0x0a. */
+      if (!KZG_SETUP_PROVISIONED)
+        gpanic("KZG trusted setup not provisioned in this image", 81);
+      if (*gas < 50000) return 0;
+      *gas -= 50000;
+      if (input_len != 192) return 0;
+      sha256(input + 96, 48, kzg_vh);
+      kzg_vh[0] = 1;
+      if (memcmp(kzg_vh, input, 32) != 0) return 0;
+      pr = bls_kzg_verify(input + 96, input + 32, input + 64,
+                          input + 144, KZG_SETUP_G2);
+      if (pr != 1) return 0;
+      *out = (uint8_t *)gcalloc(64);
+      /* U256(4096) ++ U256(BLS_MODULUS) big-endian */
+      (*out)[30] = 0x10;
+      {
+        static const uint8_t blsmod[32] = {
+          0x73, 0xed, 0xa7, 0x53, 0x29, 0x9d, 0x7d, 0x48,
+          0x33, 0x39, 0xd8, 0x08, 0x09, 0xa1, 0xd8, 0x05,
+          0x53, 0xbd, 0xa4, 0x02, 0xff, 0xfe, 0x5b, 0xfe,
+          0xff, 0xff, 0xff, 0xff, 0x00, 0x00, 0x00, 0x01};
+        memcpy(*out + 32, blsmod, 32);
+      }
+      *out_len = 64;
+      return 1;
+    }
       return 0;
   }
   return 0;

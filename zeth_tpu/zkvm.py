@@ -251,11 +251,12 @@ def _resolve_accelerators(inner):
             claims = bigint_air.verify_batch(inner.bigint_seal)
         except Exception as e:
             raise VerificationError(f"bigint accelerator seal: {e}") from e
-        # flatten to the segments' 32-bit word stream (a|b|m|r per op)
+        # flatten to the segments' 32-bit word stream (a|b|m|r per op,
+        # 12 words each at the 384-bit accelerator width)
         big_io = []
         for a, b, m, r in claims:
             for v in (a, b, m, r):
-                big_io += [(v >> (32 * w)) & 0xFFFFFFFF for w in range(8)]
+                big_io += [(v >> (32 * w)) & 0xFFFFFFFF for w in range(12)]
     sha_io = None
     if getattr(inner, "sha_seal", None) is not None:
         try:
@@ -344,8 +345,8 @@ class LocalProver:
             from .circuits import bigint2 as bigint_air
             ops = []
             for row in np.asarray(ex.bigint_inputs, np.uint64):
-                a, b, m = (sum(int(row[8 * j + w]) << (32 * w)
-                               for w in range(8)) for j in range(3))
+                a, b, m = (sum(int(row[12 * j + w]) << (32 * w)
+                               for w in range(12)) for j in range(3))
                 ops.append((a, b, m))
             bigint_seal, _ = bigint_air.prove_batch(ops)
         sha_seal = None
