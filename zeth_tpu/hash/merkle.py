@@ -40,8 +40,14 @@ class MerkleTree:
     def root(self) -> np.ndarray:
         """Root digest in standard form (host numpy, shape (8,))."""
         if self._root is None:
-            self._root = np.asarray(
-                F.from_monty(self.layers[0]))[0].astype(np.uint64)
+            lay0 = self.layers[0]
+            if isinstance(lay0, np.ndarray):        # host-finished level
+                rinv = pow(1 << 32, P2.P - 2, P2.P)
+                self._root = (lay0[0].astype(np.uint64)
+                              * np.uint64(rinv) % np.uint64(P2.P))
+            else:
+                self._root = np.asarray(
+                    F.from_monty(lay0))[0].astype(np.uint64)
         return self._root
 
     def open(self, idx: int) -> np.ndarray:
@@ -98,15 +104,49 @@ def commit_rows(matrix) -> MerkleTree:
     return MerkleTree(layers=_build_layers_from_digests(leaves), n_leaves=n)
 
 
-@jax.jit
+# Below this many digests the remaining levels move to the host: one
+# ≤32 KB transfer replaces ~10 round-trip dispatches per tree (the
+# tunneled chip's dispatch latency dominates tiny batches), and the
+# host's vectorized numpy permutation covers 1024 lanes in ~1 ms.
+HOST_LEVELS_AT = 1024
+
+
 def _build_layers_from_digests(digests):
+    """One dispatch per device tree level; small levels finish on host.
+
+    A single whole-tree jit re-traces ~20 unrolled permutations into one
+    program: ~8 minutes of XLA compile at 2^20 leaves on the axon path
+    (and a separate compile per leaf count). Per-level dispatches compile
+    one small one-permutation program per level *shape*, shared by every
+    group and AIR. Host layers are numpy uint32 Montgomery arrays —
+    interchangeable with device layers everywhere they are indexed."""
     layers = [digests]
     cur = digests
-    while cur.shape[0] > 1:
-        cur = P2.hash_pairs(cur[0::2], cur[1::2])
+    while cur.shape[0] > HOST_LEVELS_AT:
+        cur = _hash_level(cur)
         layers.append(cur)
+    if cur.shape[0] > 1:
+        host = _host_levels(np.asarray(jax.device_get(cur)))
+        layers.extend(host)
     layers.reverse()
     return layers
+
+
+def _host_levels(cur_m: np.ndarray) -> list:
+    """Finish a tree on host. cur_m: (m, 8) uint32 Montgomery numpy.
+    Returns the remaining levels (m/2, ..., 1) as Montgomery numpy."""
+    rinv = pow(1 << 32, P2.P - 2, P2.P)
+    std = cur_m.astype(np.uint64) * np.uint64(rinv) % np.uint64(P2.P)
+    out = []
+    while std.shape[0] > 1:
+        std = P2.hash_pairs_np(std[0::2], std[1::2])
+        out.append(((std << np.uint64(32)) % np.uint64(P2.P)).astype(np.uint32))
+    return out
+
+
+@jax.jit
+def _hash_level(cur):
+    return P2.hash_pairs(cur[0::2], cur[1::2])
 
 
 def commit_digests(digests) -> MerkleTree:

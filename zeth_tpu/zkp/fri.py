@@ -103,28 +103,35 @@ def prove(evals, shift: int, degree: int, transcript: Transcript):
     n0 = evals.shape[0]
     assert n0 == degree * BLOWUP and n0 % FRI_FOLD == 0
 
+    from .prover import _Stage
+
     layers = []   # (tree, evals, domain_size, shift)
     cur, cur_shift, deg = evals, int(shift), int(degree)
     while deg > FRI_MIN_DEGREE:
-        tree = merkle.commit_rows(group_matrix(cur))
-        transcript.mix(tree.root)
+        with _Stage(f"  fri commit deg=2^{deg.bit_length() - 1}"):
+            tree = merkle.commit_rows(group_matrix(cur))
+            transcript.mix(tree.root)
         phi = transcript.sample_ext()
         layers.append((tree, cur, cur.shape[0], cur_shift))
-        inv_x0 = jnp.asarray(_inv_x0_table(cur_shift, cur.shape[0]))
-        cur = fold16(cur, jnp.asarray(_to_monty_np(phi)), inv_x0)
+        with _Stage("  fri fold"):
+            inv_x0 = jnp.asarray(_inv_x0_table(cur_shift, cur.shape[0]))
+            cur = fold16(cur, jnp.asarray(_to_monty_np(phi)), inv_x0)
         cur_shift = pow(cur_shift, FRI_FOLD, P)
         deg //= FRI_FOLD
 
     # Final polynomial: iNTT over the last domain, remove the coset shift.
-    coeffs = np.asarray(F.from_monty(ntt.intt(cur))).astype(np.uint64)
-    s_inv_pows = H.powers(pow(cur_shift, P - 2, P), coeffs.shape[0])
-    coeffs = (coeffs * s_inv_pows[:, None]) % np.uint64(P)
-    assert (coeffs[deg:] == 0).all(), "final FRI polynomial exceeds degree bound"
-    final_coeffs = coeffs[:deg].copy()
-    transcript.mix_values(final_coeffs.reshape(-1))
+    with _Stage("  fri final poly"):
+        coeffs = np.asarray(F.from_monty(ntt.intt(cur))).astype(np.uint64)
+        s_inv_pows = H.powers(pow(cur_shift, P - 2, P), coeffs.shape[0])
+        coeffs = (coeffs * s_inv_pows[:, None]) % np.uint64(P)
+        assert (coeffs[deg:] == 0).all(), \
+            "final FRI polynomial exceeds degree bound"
+        final_coeffs = coeffs[:deg].copy()
+        transcript.mix_values(final_coeffs.reshape(-1))
 
     # PoW grinding, then queries
-    nonce = transcript.grind(POW_BITS)
+    with _Stage("  fri grind"):
+        nonce = transcript.grind(POW_BITS)
     qs = [transcript.sample_index(n0) for _ in range(QUERIES)]
     proof = FriProof(
         layer_roots=[t.root for (t, _, _, _) in layers],
@@ -140,12 +147,13 @@ def prove(evals, shift: int, degree: int, transcript: Transcript):
         pos_per_layer.append(list(cur_pos))
     rows_per_layer = []
     paths_per_layer = []
-    for (tree, lay, _, _), gl in zip(layers, pos_per_layer):
-        mat = group_matrix(lay)
-        rows = np.asarray(F.from_monty(
-            mat[jnp.asarray(np.array(gl, np.int32))])).astype(np.uint64)
-        rows_per_layer.append(rows)
-        paths_per_layer.append(tree.open_many(gl))
+    with _Stage("  fri openings"):
+        for (tree, lay, _, _), gl in zip(layers, pos_per_layer):
+            mat = group_matrix(lay)
+            rows = np.asarray(F.from_monty(
+                mat[jnp.asarray(np.array(gl, np.int32))])).astype(np.uint64)
+            rows_per_layer.append(rows)
+            paths_per_layer.append(tree.open_many(gl))
     for qi in range(len(qs)):
         per_layer = []
         for li in range(len(layers)):

@@ -238,12 +238,18 @@ def _pack_spec(air_name: str):
 
 
 def _upload_main(air: Air, main_std: np.ndarray, shard_rows):
-    """Host->device transfer of the main trace. Bit columns (the vast
-    majority for the rv32im AIR) ship packed 32-per-word — ~8x less
-    tunnel traffic than the previous byte matrix; value columns ship as
-    uint32. The device reassembles with static gather/shift indices."""
+    """Host->device transfer of the main trace (pack + put + unpack)."""
+    pending = _upload_main_start(air, main_std, shard_rows)
+    return _upload_main_finish(air, pending)
+
+
+def _upload_main_start(air: Air, main_std: np.ndarray, shard_rows):
+    """Phase 1: host bit-pack + async device_put. Returns a pending
+    handle; the tunnel transfer proceeds while the caller runs other
+    device work (the control commit overlaps it in prove())."""
     if getattr(air, "main_bit_mask", None) is None:
-        return shard_rows(np.asarray(main_std, np.uint64).astype(np.uint32))
+        return ("raw",
+                shard_rows(np.asarray(main_std, np.uint64).astype(np.uint32)))
     register_air(air)
     spec, mask, n_bits, n_vals = _pack_spec(air.name)
     n, n_cols = main_std.shape

@@ -688,17 +688,28 @@ def eval_check(tp: TapeProgram, ldes: dict, publics, challenges,
     for g, off, cols in lp.leaf_groups:
         if g not in gnames:
             gnames.append(g)
-    exts = tuple(_extend4(ldes[g]) for g in gnames)
+    # Interior blocks slice (nb + 4) rows straight from the raw LDEs (the
+    # +1-trace-row leaf offset never crosses the end); only the FINAL
+    # block wraps, and gets a small (nb + 4, c) tail copy per group.
+    # Copying the whole LDE +4 rows (the previous approach) doubled
+    # resident HBM — the po2>=19 blocker.
+    raw = tuple(ldes[g] for g in gnames)
     fn = _leveled_fn(id(tp), lp, nb, tp.n_stage)
-    outs = [fn(exts, jnp.int32(start), S, W) for start in range(0, n, nb)]
+    outs = [fn(raw, jnp.int32(start), S, W)
+            for start in range(0, n - nb, nb)]
+    if n > nb:
+        tails = tuple(_wrap_tail(ldes[g], nb) for g in gnames)
+        outs.append(fn(tails, jnp.int32(0), S, W))
+    else:
+        tails = tuple(_wrap_tail(ldes[g], nb) for g in gnames)
+        outs = [fn(tails, jnp.int32(0), S, W)]
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
 
-@jax.jit
-def _extend4(lde):
-    """LDE extended by its first 4 rows: +1-trace-row leaf offsets become
-    contiguous slices (never a whole-height gather)."""
-    return jnp.concatenate([lde, lde[:4]], axis=0)
+@functools.partial(jax.jit, static_argnames=("nb",))
+def _wrap_tail(lde, nb: int):
+    """Last (nb) LDE rows extended by the first 4 (wrap-around block)."""
+    return jnp.concatenate([lde[lde.shape[0] - nb:], lde[:4]], axis=0)
 
 
 _LEVEL_PROGS: dict = {}

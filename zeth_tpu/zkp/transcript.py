@@ -106,9 +106,13 @@ class Transcript:
     # ~100-bit figure includes PoW grinding — SURVEY.md §2.2 risc0-zkp).
 
     def grind(self, bits: int) -> int:
-        """Find, mix, and return a PoW nonce (device batch search)."""
+        """Find, mix, and return a PoW nonce (device batch search).
+
+        The batch covers the full expected search space (2^bits) so the
+        search is one dispatch in the common case — 16 sequential
+        round-trips at 2^16 cost ~0.5 s over the tunneled chip."""
         mask = (1 << bits) - 1
-        batch = 1 << 16
+        batch = _GRIND_BATCH
         base = 0
         while True:
             hit = int(_grind_batch(jnp_pool(self.pool),
@@ -137,10 +141,13 @@ def jnp_pool(pool: np.ndarray):
         .astype(np.uint32))
 
 
+_GRIND_BATCH = 1 << 20
+
+
 def _grind_batch_impl(pool_monty, base, bits: int):
     import jax.numpy as jnp
     from .. import field as F
-    batch = 1 << 16
+    batch = _GRIND_BATCH
     nonces = base + jnp.arange(batch, dtype=jnp.uint32)
     nonce_m = F.to_monty(nonces)
     # emulate mix_values([nonce]) + the first squeeze block, batched
