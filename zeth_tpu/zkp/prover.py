@@ -239,8 +239,7 @@ def _pack_spec(air_name: str):
 
 def _upload_main(air: Air, main_std: np.ndarray, shard_rows):
     """Host->device transfer of the main trace (pack + put + unpack)."""
-    pending = _upload_main_start(air, main_std, shard_rows)
-    return _upload_main_finish(air, pending)
+    return _upload_main_start(air, main_std, shard_rows)
 
 
 def _upload_main_start(air: Air, main_std: np.ndarray, shard_rows):
