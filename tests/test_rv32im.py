@@ -107,6 +107,74 @@ def test_multisegment_continuation_with_live_registers():
                                  pubs, CHAL) == {}
 
 
+def test_forged_exit_register_public_detected():
+    """The public exit-register list is bound in-circuit (d7 RLC over
+    REGFIN rows): forging a limb breaks the A_RRX chain constraint."""
+    from zeth_tpu.circuits.rv32im import parse_publics
+    air, ctrl, main, pubs = _witness(guests.sum_loop(50))
+    pp = parse_publics(pubs)
+    assert any(v != 0 for v in pp["exit_regs"])
+    k = next(i for i, v in enumerate(pp["exit_regs"]) if v != 0)
+    bad = list(pubs)
+    bad[13 + 64 + 2 * k] ^= 1        # low limb of exit reg k
+    assert _check(air, ctrl, main, bad) != {}
+
+
+def test_forged_exit_register_witness_detected():
+    """Tampering the committed exit value on a REGFIN row breaks either
+    the register LogUp (read must match last write) or the d7 chain."""
+    from zeth_tpu.circuits.rv32im import CLASS_IDX
+    air, ctrl, main, pubs = _witness(guests.sum_loop(50))
+    rf = np.where(main[:, LAYOUT.idx("sel", CLASS_IDX["REGFIN"])] == 1)[0]
+    assert len(rf) == 32
+    main[rf[5], LAYOUT.idx("rs1v", 0)] ^= 1
+    assert _check(air, ctrl, main, pubs) != {}
+
+
+def test_dropped_regfin_run_detected():
+    """Re-classing the REGFIN rows as PAD (hiding the exit read-out)
+    violates the tail ordering: PAD may only start after REGFIN row 31."""
+    from zeth_tpu.circuits.rv32im import CLASS_IDX
+    air, ctrl, main, pubs = _witness(guests.sum_loop(50))
+    rf = np.where(main[:, LAYOUT.idx("sel", CLASS_IDX["REGFIN"])] == 1)[0]
+    main[rf, LAYOUT.idx("sel", CLASS_IDX["REGFIN"])] = 0
+    main[rf, LAYOUT.idx("sel", CLASS_IDX["PAD"])] = 1
+    for j in range(5):
+        main[rf, LAYOUT.idx("rf_idx", j)] = 0
+    assert _check(air, ctrl, main, pubs) != {}
+
+
+def test_register_discontinuity_detected_by_chain():
+    """verify_chain rejects a segment chain whose entry registers do not
+    match the previous segment's exit registers."""
+    import hashlib
+    from zeth_tpu.circuits.rv32im import (Rv32imAir, choose_po2,
+                                          verify_chain)
+    from zeth_tpu.zkvm import ReceiptClaim, VerificationError
+    elf = guests.spin(30000)
+    entry, ia, iw = load_image(elf)
+    res = Executor(elf, segment_po2=13, trace=True).run()
+    assert len(res.segments) >= 2
+    air = Rv32imAir(ia, iw)
+    publics_list = []
+    for seg in res.segments:
+        po2 = choose_po2(seg, len(ia))
+        _, pubs = air.witgen(seg, po2)
+        publics_list.append(pubs)
+    claim = ReceiptClaim(
+        image_id=np.zeros(8, np.uint64), exit_code=0,
+        journal_digest=hashlib.sha256(res.journal).digest())
+    verify_chain(publics_list, claim, ia, iw, entry)    # sanity: passes
+    # forge segment 1's entry a1 (claim the register was zeroed)
+    bad = [list(p) for p in publics_list]
+    k = next((i for i, v in enumerate(
+        np.asarray(res.segments[1].entry_regs)) if v != 0), None)
+    assert k is not None
+    bad[1][13 + 2 * k] ^= 1
+    with pytest.raises(VerificationError):
+        verify_chain(bad, claim, ia, iw, entry)
+
+
 def test_forged_register_read_detected():
     air, ctrl, main, pubs = _witness(guests.sum_loop(50))
     from zeth_tpu.circuits.rv32im import N_INIT_ROWS
@@ -205,7 +273,7 @@ def test_forged_meminit_value_detected():
     r = _first_class_row(main, "MEMINIT")
     main[r, LAYOUT.idx("mwnew", 1)] ^= 1
     bad = list(pubs)
-    bad[11 + 2] ^= 2   # first meminit entry's value lo limb
+    bad[13 + 128 + 2] ^= 2   # first meminit entry's value lo limb
     assert _check(air, ctrl, main, bad) != {}
 
 
@@ -316,10 +384,12 @@ def test_forged_bigint_result_detected():
     verify_chain([pubs], claim, ia, iw, entry)     # sanity: passes
     bad = list(pubs)
     # locate the first result limb in the flat publics (parse order:
-    # 13-scalar header, 4-limb mem lists, then 2-limb word lists)
+    # 13-scalar header, 2x32-word register lists, 4-limb mem lists, then
+    # 2-limb word lists)
     n_init, n_fin = len(pp["mem_init"]), len(pp["mem_fin"])
     n_j, n_k = len(pp["journal_words"]), len(pp["keccak_words"])
-    off = 13 + 4 * (n_init + n_fin) + 2 * (n_j + n_k) + 2 * 36
+    off = (13 + 2 * 64 + 4 * (n_init + n_fin) + 2 * (n_j + n_k)
+           + 2 * 36)
     bad[off] ^= 1                 # low limb of the first result word
     with pytest.raises(VerificationError):
         verify_chain([bad], claim, ia, iw, entry)

@@ -54,6 +54,7 @@ CLASSES = [
     ("SYSMEM", 0x00),  # syscall IO phantom rows (one word each)
     ("MEMINIT", 0x00), # RAM argument: segment-entry value of a touched word
     ("MEMFIN", 0x00),  # RAM argument: segment-exit read of a touched word
+    ("REGFIN", 0x00),  # register argument: segment-exit read of one register
 ]
 NCLASS = len(CLASSES)
 CLASS_IDX = {name: i for i, (name, _) in enumerate(CLASSES)}
@@ -137,6 +138,8 @@ class Layout:
             ("mdiv_c1", 1), ("mdiv_e1", 1),
             ("bz_lo_eq", 1), ("bz_lo_inv", 1), ("bz_hi_eq", 1),
             ("bz_hi_inv", 1), ("div_en", 1), ("div0", 1),
+            # REGFIN register index counter (exit-register read rows)
+            ("rf_idx", 5),
         ]:
             self.slices[name] = slice(self.n, self.n + width)
             self.n += width
@@ -173,9 +176,13 @@ A_LIA, A_LFA = 19, 20    # their running sums (bound to derived scalars)
 A_RJ, A_RK = 21, 22      # journal / keccak-IO RLC chains
 A_RB = 23                # bigint-accelerator-IO RLC chain
 A_RSH = 24               # sha-256-accelerator-IO RLC chain
+A_RRE = 25               # entry-register RLC chain (INIT rows, bound to
+                         # the public entry-register list)
+A_RRX = 26               # exit-register RLC chain (REGFIN rows, bound to
+                         # the public exit-register list)
 # (SYS_READ input words are nondeterministic witness, as in the
 # reference zkVM — they are NOT exposed or bound in publics)
-N_AUX_SLOTS = 25
+N_AUX_SLOTS = 27
 N_AUX = 4 * N_AUX_SLOTS
 
 # bit lists for immediates: entry is ("b", insn_bit_index) or 0
@@ -236,8 +243,10 @@ class Rv32imAir(Air):
     # derived (not sampled) challenge-like scalars, computed by prover AND
     # verifier from the public lists + sampled challenges:
     # d0/d1 = MEMINIT/MEMFIN LogUp sums, d2..d5 = journal/keccak/bigint/
-    # sha RLCs
-    n_derived = 6
+    # sha RLCs, d6/d7 = entry/exit register RLCs (cross-segment register
+    # continuity — the reference chains the full machine state across
+    # segments, crates/host/src/lib.rs segment claims)
+    n_derived = 8
     # publics beyond index 6 are the variable-length lists; only the first
     # 7 scalars enter constraints directly
     n_public_scalars = 7
@@ -290,7 +299,9 @@ class Rv32imAir(Air):
 
         Row layout: [0, 32) register init; [32, 32+n_mem) MEMINIT;
         then the executed records (instructions + SYSMEM phantom rows);
-        then n_mem MEMFIN rows; rest padding.
+        then n_mem MEMFIN rows; then 32 REGFIN rows (exit-register
+        reads, bound to the public exit-register list — cross-segment
+        register continuity); rest padding.
         """
         from ..executor import (SM_BIGINT_R, SM_BIGINT_W, SM_INPUT,
                                 SM_JOURNAL, SM_KECCAK_R, SM_KECCAK_W,
@@ -312,11 +323,18 @@ class Rv32imAir(Air):
         B0 = N_INIT_ROWS
         B = B0 + n_mem                   # first executed row
         BF = B + rows                    # first MEMFIN row
-        assert BF + n_mem < n, "segment does not fit (need a padding row)"
+        B2 = BF + n_mem                  # first REGFIN row
+        assert B2 + N_INIT_ROWS < n, \
+            "segment does not fit (need a padding row)"
         if entry_regs is None:
             entry_regs = np.zeros(32, dtype=np.uint64)
         entry_regs = np.asarray(entry_regs, dtype=np.uint64)
         assert entry_regs[0] == 0
+        exit_regs = getattr(seg, "exit_regs", None)
+        if exit_regs is None:
+            exit_regs = np.zeros(32, dtype=np.uint64)
+        exit_regs = np.asarray(exit_regs, dtype=np.uint64)
+        assert exit_regs[0] == 0
         # big segments reuse a staged buffer: a fresh (n, 1001) uint64
         # matrix page-faults at ~120 MB/s on this VM class (~18 s at
         # po2=18); the staged buffer parallel-faults once and is reused
@@ -388,10 +406,18 @@ class Rv32imAir(Air):
             class_of[(opcode == opc) & is_instr] = CLASS_IDX[name]
         class_of[is_sm] = CLASS_IDX["SYSMEM"]
         m[B + np.arange(rows), L.idx("sel") + class_of] = 1
-        m[BF + n_mem:, L.idx("sel", CLASS_IDX["PAD"])] = 1
+        m[B2 + N_INIT_ROWS:, L.idx("sel", CLASS_IDX["PAD"])] = 1
         m[:B0, L.idx("sel", CLASS_IDX["INIT"])] = 1
         m[B0:B, L.idx("sel", CLASS_IDX["MEMINIT"])] = 1
         m[BF:BF + n_mem, L.idx("sel", CLASS_IDX["MEMFIN"])] = 1
+        # REGFIN rows: one exit-register read per row, index counter in
+        # rf_idx, the read value committed in rs1v
+        m[B2:B2 + N_INIT_ROWS, L.idx("sel", CLASS_IDX["REGFIN"])] = 1
+        rf_k = np.arange(N_INIT_ROWS, dtype=np.uint64)
+        for j in range(5):
+            m[B2 + rf_k.astype(np.int64), L.idx("rf_idx", j)] = \
+                (rf_k >> np.uint64(j)) & np.uint64(1)
+        put_bits("rs1v", exit_regs, where=slice(B2, B2 + N_INIT_ROWS))
 
         # f3 one-hot (non-instruction rows: f3 = 0)
         m[B + np.arange(rows), L.idx("f3_sel") + f3.astype(np.int64)] = 1
@@ -435,6 +461,17 @@ class Rv32imAir(Air):
         for sl in (slice(0, B), slice(BF, n)):
             m[sl, L.idx("eq_lo")] = 1
             m[sl, L.idx("eq_hi")] = 1
+        # REGFIN rows carry the exit value in rs1v (rs2v = 0): the
+        # ungated equality unit needs the real diff witnesses there
+        x_lo = (exit_regs & np.uint64(0xFFFF)).astype(np.uint64)
+        x_hi = (exit_regs >> np.uint64(16)).astype(np.uint64)
+        rf_sl = slice(B2, B2 + N_INIT_ROWS)
+        m[rf_sl, L.idx("eq_lo")] = x_lo == 0
+        m[rf_sl, L.idx("eq_hi")] = x_hi == 0
+        m[rf_sl, L.idx("eq_inv_lo")] = inv_or_zero(x_lo)
+        m[rf_sl, L.idx("eq_inv_hi")] = inv_or_zero(x_hi)
+        # the ungated compare adder likewise: a = rs1v, b = 0 -> d = a
+        put_bits("cmp_d", exit_regs, where=rf_sl)
 
         # shift unit
         shamt = np.where(is_cls["OPIMM"], (insn >> np.uint64(20)) & np.uint64(31),
@@ -793,6 +830,13 @@ class Rv32imAir(Air):
                 maddr_rec & np.uint64(0xFFFF), maddr_rec >> np.uint64(16),
                 np.zeros(rows, dtype=np.uint64),
                 is_sys.astype(np.uint64)], axis=1))
+        # exit-register reads (REGFIN rows, unit 0): the final value of
+        # every register, bound to the public exit-register list
+        entries.append(np.stack([
+            rf_k, K * (np.uint64(B2) + rf_k),
+            exit_regs & np.uint64(0xFFFF), exit_regs >> np.uint64(16),
+            np.zeros(N_INIT_ROWS, dtype=np.uint64),
+            np.ones(N_INIT_ROWS, dtype=np.uint64)], axis=1))
         log = np.concatenate(entries, axis=0)
         log = log[log[:, 5] == 1]                     # active only
         order = np.lexsort((log[:, 1], log[:, 0]))    # by (reg, ts)
@@ -894,6 +938,10 @@ class Rv32imAir(Air):
                    halted, exit_code & 0xFFFF, exit_code >> 16,
                    n_mem, n_mem, len(journal_words), len(keccak_words),
                    len(bigint_words), len(sha_words)]
+        for v in entry_regs:
+            publics += [int(v) & 0xFFFF, int(v) >> 16]
+        for v in exit_regs:
+            publics += [int(v) & 0xFFFF, int(v) >> 16]
         for a, v in zip(mem_addrs, mem_pre):
             publics += [int(a) & 0xFFFF, int(a) >> 16,
                         int(v) & 0xFFFF, int(v) >> 16]
@@ -941,7 +989,8 @@ class Rv32imAir(Air):
                   - main_std[:, L.idx("sel", CLASS_IDX["INIT"])]
                   - main_std[:, L.idx("sel", CLASS_IDX["SYSMEM"])]
                   - main_std[:, L.idx("sel", CLASS_IDX["MEMINIT"])]
-                  - main_std[:, L.idx("sel", CLASS_IDX["MEMFIN"])])
+                  - main_std[:, L.idx("sel", CLASS_IDX["MEMFIN"])]
+                  - main_std[:, L.idx("sel", CLASS_IDX["REGFIN"])])
         rom_m = main_std[:, L.idx("rom_m")]
 
         inv_f = H.ext_inv((g0[None, :] + PU - key_f) % PU)
@@ -988,11 +1037,13 @@ class Rv32imAir(Air):
         w_act = (wb * rd_nz + is_sys) % PU
         w_reg = (wb * rd_nz % P * rd_f + is_sys * 10 + is_init * cyc) % PU
         w_act_all = (w_act + is_init) % PU
-        r1_reg = (rs1_f + is_sys * 10) % PU      # ecall rows read a0
+        is_rf = sel("REGFIN")
+        rf_idx = bits("rf_idx", 0, 5)
+        r1_reg = (rs1_f + is_sys * 10 + is_rf * rf_idx) % PU
         r2_reg = (rs2_f + is_sys * 11) % PU      # ecall rows read a1
 
         t_r1 = term(g2, fp(r1_reg, K * cyc, bits("rs1v", 0, 16),
-                           bits("rs1v", 16, 32), 0), active)
+                           bits("rs1v", 16, 32), 0), (active + is_rf) % PU)
         t_r2 = term(g2, fp(r2_reg, K * cyc + 1, bits("rs2v", 0, 16),
                            bits("rs2v", 16, 32), 0), active)
         t_w = term(g2, fp(w_reg, K * cyc + 2, bits("res", 0, 16),
@@ -1094,11 +1145,18 @@ class Rv32imAir(Air):
         sh_hi = (sh_r * mword_hi + sh_w * mwnew_hi) % PU
         r_sh = rlc_chain(shact, sh_lo, sh_hi)
 
+        # --- entry/exit register RLC chains (challenge g6) ----------------
+        res_lo, res_hi = bits("res", 0, 16), bits("res", 16, 32)
+        rs1_lo, rs1_hi = bits("rs1v", 0, 16), bits("rs1v", 16, 32)
+        r_re = rlc_chain(is_init, res_lo, res_hi)
+        r_rx = rlc_chain(is_rf, rs1_lo, rs1_hi)
+
         aux = np.concatenate(
             [t, u, acc, t_r1, t_r2, t_w, t_a7,
              s_terms[0], s_terms[1], s_terms[2], s_terms[3], racc,
              mu_r, mu_w, msort[0], msort[1], macc,
-             li, lf, liacc, lfacc, r_j, r_k, r_b, r_sh], axis=1)
+             li, lf, liacc, lfacc, r_j, r_k, r_b, r_sh, r_re, r_rx],
+            axis=1)
         assert aux.shape == (n, N_AUX)
         return aux
 
@@ -1135,6 +1193,8 @@ class Rv32imAir(Air):
             _rlc(pp["keccak_words"], g6),
             _rlc(pp["bigint_words"], g6),
             _rlc(pp["sha_words"], g6),
+            _rlc(pp["entry_regs"], g6),
+            _rlc(pp["exit_regs"], g6),
         ])
 
     # -- recursion-circuit hooks --------------------------------------------
@@ -1163,6 +1223,19 @@ class Rv32imAir(Air):
         g5sq = b.mul(g5, g5)
         off = 13
 
+        def rlc(cnt):
+            nonlocal off
+            acc = b.ZERO
+            for _ in range(cnt):
+                lo, hi = pub_cells[off:off + 2]
+                off += 2
+                acc = b.fma(a=acc, b=g6, c=lo, d=b.ONE, s0=1, s1=1)
+                acc = b.fma(a=acc, b=g6, c=hi, d=b.ONE, s0=1, s1=1)
+            return acc
+
+        d6 = rlc(32)     # entry-register list
+        d7 = rlc(32)     # exit-register list
+
         def limb16(cell):
             """Committed bits of a 16-bit limb (range-binding included)."""
             bits = b.decompose(cell, 31, assert_canonical=True)
@@ -1187,23 +1260,12 @@ class Rv32imAir(Air):
 
         d0 = list_sum(n_init)
         d1 = list_sum(n_fin)
-
-        def rlc(cnt):
-            nonlocal off
-            acc = b.ZERO
-            for _ in range(cnt):
-                lo, hi = pub_cells[off:off + 2]
-                off += 2
-                acc = b.fma(a=acc, b=g6, c=lo, d=b.ONE, s0=1, s1=1)
-                acc = b.fma(a=acc, b=g6, c=hi, d=b.ONE, s0=1, s1=1)
-            return acc
-
         d2 = rlc(n_j)
         d3 = rlc(n_k)
         d4 = rlc(n_b)
         d5 = rlc(n_s)
         assert off == len(pub_cells)
-        return [d0, d1, d2, d3, d4, d5]
+        return [d0, d1, d2, d3, d4, d5, d6, d7]
 
     # -- constraints -------------------------------------------------------
 
@@ -1277,7 +1339,7 @@ class Rv32imAir(Air):
                         "bsel", "sm_str", "sm_c", "sm_rem", "sm_eq1",
                         "sm_eq51", "sm_eq9", "sm_eq13", "sk", "ms_wr",
                         "ms_act",
-                        "ms_same", "ms_ord"])
+                        "ms_same", "ms_ord", "rf_idx"])
         for name in bool_cols:
             s = L.slices[name]
             for k in range(s.stop - s.start):
@@ -1292,7 +1354,7 @@ class Rv32imAir(Air):
             if nm == "PAD":
                 continue
             cs.append(mul(sel(nm), sub_(opc_val, ops.const(opc))))
-        for nm in ("PAD", "INIT", "SYSMEM", "MEMINIT", "MEMFIN"):
+        for nm in ("PAD", "INIT", "SYSMEM", "MEMINIT", "MEMFIN", "REGFIN"):
             cs.append(mul(sel(nm), lump("insn", True)))
             cs.append(mul(sel(nm), lump("insn", False)))
         # SYSTEM rows carry exactly the ecall encoding 0x00000073 (the
@@ -1685,8 +1747,9 @@ class Rv32imAir(Air):
         t = aux(A_T)
         u = aux(A_U)
         acc = aux(A_ACC)
-        active = sub_(sub_(sub_(sub_(sub_(one, sel("PAD")), sel("INIT")),
-                           sel("SYSMEM")), sel("MEMINIT")), sel("MEMFIN"))
+        active = sub_(sub_(sub_(sub_(sub_(sub_(one, sel("PAD")),
+                           sel("INIT")), sel("SYSMEM")), sel("MEMINIT")),
+                           sel("MEMFIN")), sel("REGFIN"))
         cs.extend(csub(ops, cmul(ops, csub(ops, g0, key_f), t),
                        cext(ops, active)))
         cs.extend(csub(ops, cmul(ops, csub(ops, g0, key_r), u),
@@ -1730,8 +1793,12 @@ class Rv32imAir(Air):
                         mul(sys, ops.const(10))),
                     mul(sel("INIT"), cyc))
         w_act_all = add(w_act, sel("INIT"))
-        # ecall rows read a0/a1/a7 (rs1/rs2 fields are forced zero there)
-        r1_reg = add(rs1_f, mul(sys, ops.const(10)))
+        # ecall rows read a0/a1/a7 (rs1/rs2 fields are forced zero there);
+        # REGFIN rows read register rf_idx through unit 0
+        is_rf = sel("REGFIN")
+        rf_idx = lin([(1 << j, m("rf_idx", j)) for j in range(5)])
+        r1_reg = add(add(rs1_f, mul(sys, ops.const(10))),
+                     mul(is_rf, rf_idx))
         r2_reg = add(rs2_f, mul(sys, ops.const(11)))
 
         fp_r1 = fp(r1_reg, four_cyc, lump("rs1v", True), lump("rs1v", False),
@@ -1745,7 +1812,7 @@ class Rv32imAir(Air):
         t_r1, t_r2, t_w = aux(A_RU), aux(A_RU + 1), aux(A_RU + 2)
         t_a7 = aux(A_RU + 3)
         cs.extend(csub(ops, cmul(ops, csub(ops, g2, fp_r1), t_r1),
-                       cext(ops, active)))
+                       cext(ops, add(active, is_rf))))
         cs.extend(csub(ops, cmul(ops, csub(ops, g2, fp_r2), t_r2),
                        cext(ops, active)))
         cs.extend(csub(ops, cmul(ops, csub(ops, g2, fp_w), t_w),
@@ -2255,15 +2322,49 @@ class Rv32imAir(Air):
         # publics[4] = halted, publics[5:7] = exit code limbs
         cs.append(mul(sk(0), sub_(lump("rs1v", True), publics[5])))
         cs.append(mul(sk(0), sub_(lump("rs1v", False), publics[6])))
-        # segment tail = MEMFIN/PAD rows; a halt row enters the tail, the
-        # tail never returns to execution, and the row entering the tail
-        # is a halt exactly when the halted public says so
-        tail = add(sel("MEMFIN"), sel("PAD"))
-        tail_next = add(sel("MEMFIN", 1), sel("PAD", 1))
+        # segment tail = MEMFIN/REGFIN/PAD rows; a halt row enters the
+        # tail, the tail never returns to execution, and the row entering
+        # the tail is a halt exactly when the halted public says so
+        is_pad = sel("PAD")
+        tail = add(add(sel("MEMFIN"), is_rf), is_pad)
+        tail_next = add(add(sel("MEMFIN", 1), sel("REGFIN", 1)),
+                        sel("PAD", 1))
         cs.append(mul(mul(sk(0), not_last), sub_(one, tail_next)))
         cs.append(mul(mul(tail, not_last), sub_(one, tail_next)))
         cs.append(mul(mul(sub_(one, tail), tail_next),
                       sub_(publics[4], sk(0))))
+
+        # tail ordering: MEMFIN* then exactly 32 REGFIN rows then PAD+.
+        # MEMFIN cannot follow REGFIN or PAD; REGFIN cannot follow PAD;
+        # PAD can only start right after a REGFIN row (whose index the
+        # run rules below pin to 31), and the last row is PAD — together
+        # this forces every segment to read out all 32 exit registers.
+        rf_next = sel("REGFIN", 1)
+        pad_next = sel("PAD", 1)
+        cs.append(mul(sel("MEMFIN", 1), add(is_rf, is_pad)))
+        cs.append(mul(rf_next, is_pad))
+        cs.append(mul(mul(pad_next, sub_(one, is_pad)), sub_(one, is_rf)))
+        cs.append(mul(isl, sub_(one, is_pad)))
+        # REGFIN index counter: 0 at run entry, +1 inside the run, 31 at
+        # run exit
+        rf_idx1 = lin([(1 << j, m("rf_idx", j, 1)) for j in range(5)])
+        cs.append(mul(mul(sub_(one, is_rf), rf_next), rf_idx1))
+        cs.append(mul(mul(is_rf, rf_next),
+                      sub_(rf_idx1, add(rf_idx, one))))
+        cs.append(mul(mul(is_rf, sub_(one, rf_next)),
+                      sub_(rf_idx, ops.const(31))))
+
+        # entry/exit register RLC chains bound to the derived scalars
+        # d6/d7 (challenges 13/14): INIT rows absorb the incoming
+        # register values (res), REGFIN rows the exit values (rs1v)
+        rlc_constraints(A_RRE, sel("INIT"), sel("INIT", 1),
+                        lump("res", True), lump("res", True, 1),
+                        lump("res", False), lump("res", False, 1),
+                        challenges[13])
+        rlc_constraints(A_RRX, is_rf, rf_next,
+                        lump("rs1v", True), lump("rs1v", True, 1),
+                        lump("rs1v", False), lump("rs1v", False, 1),
+                        challenges[14])
 
         return cs
 
@@ -2306,7 +2407,8 @@ def parse_publics(pubs):
         "exit_code": p[5] | (p[6] << 16),
     }
     n_init, n_fin, n_j, n_k, n_b, n_s = p[7:13]
-    need = 13 + 4 * (n_init + n_fin) + 2 * (n_j + n_k + n_b + n_s)
+    need = (13 + 2 * 64 + 4 * (n_init + n_fin)
+            + 2 * (n_j + n_k + n_b + n_s))
     if len(p) != need:
         raise ValueError("bad publics length")
     # every list element is a 16-bit limb; enforcing the range here keeps
@@ -2333,6 +2435,10 @@ def parse_publics(pubs):
             off += 2
         return o
 
+    out["entry_regs"] = words(32)
+    out["exit_regs"] = words(32)
+    if out["entry_regs"][0] != 0 or out["exit_regs"][0] != 0:
+        raise ValueError("x0 register public must be zero")
     out["mem_init"] = entries(n_init)
     out["mem_fin"] = entries(n_fin)
     out["journal_words"] = words(n_j)
@@ -2382,8 +2488,8 @@ def _air_for_image(image_addrs, image_words) -> Rv32imAir:
 def choose_po2(seg, image_len: int) -> int:
     rows = seg.trace.shape[0]
     n_mem = 0 if seg.mem_addrs is None else len(seg.mem_addrs)
-    need = max(rows + N_INIT_ROWS + 2 * n_mem + 1, image_len, 64)
-    return max(int(np.ceil(np.log2(need))), 6)
+    need = max(rows + 2 * N_INIT_ROWS + 2 * n_mem + 1, image_len, 128)
+    return max(int(np.ceil(np.log2(need))), 7)
 
 
 def prove_segment(seg, image_addrs, image_words):
@@ -2420,6 +2526,7 @@ def verify_chain(publics_list, claim, image_addrs, image_words,
         raise VerificationError("no segments")
     # memory replay state: word addr -> value (image; zero elsewhere)
     state = {int(a): int(w) for a, w in zip(image_addrs, image_words)}
+    expect_regs = [0] * 32    # machine registers start zeroed
     journal_words: list[int] = []
     keccak_words: list[int] = []
     bigint_words: list[int] = []
@@ -2431,6 +2538,13 @@ def verify_chain(publics_list, claim, image_addrs, image_words,
             raise VerificationError(f"segment {i}: {e}") from e
         if pp["entry_pc"] != expect_pc:
             raise VerificationError(f"segment {i}: entry pc mismatch")
+        # register continuity: the segment's entry registers must match
+        # the previous segment's exit registers (zeros for segment 0)
+        if pp["entry_regs"] != expect_regs:
+            raise VerificationError(
+                f"segment {i}: entry registers do not match the previous "
+                "segment's exit registers")
+        expect_regs = pp["exit_regs"]
         last = i == len(publics_list) - 1
         if bool(pp["halted"]) != last:
             raise VerificationError(
@@ -2656,7 +2770,7 @@ def _build_aux_jit(main, ctrl, chal_std):
         [cm[:, C_ROM_ALO], cm[:, C_ROM_AHI],
          cm[:, C_ROM_WLO], cm[:, C_ROM_WHI]], g1p)
     active = (sel("PAD") + sel("INIT") + sel("SYSMEM") + sel("MEMINIT")
-              + sel("MEMFIN"))
+              + sel("MEMFIN") + sel("REGFIN"))
     active = monty(_jnp.uint32(1) - active)    # 1 - sum of inactive sels
     rom_m = mm[:, L.idx("rom_m")]
     t = _dx_term(g0, key_f, active)
@@ -2683,7 +2797,9 @@ def _build_aux_jit(main, ctrl, chal_std):
     # rd_f < 32, cyc < 2^21)
     w_reg = wb * rd_nz * rd_f + np.uint32(10) * is_sys + is_init * cyc
     w_act_all = w_act + is_init
-    r1_reg = rs1_f + np.uint32(10) * is_sys
+    is_rf = sel("REGFIN")
+    rf_idx = _dx_bits(main, "rf_idx", 0, 5)
+    r1_reg = rs1_f + np.uint32(10) * is_sys + is_rf * rf_idx
     r2_reg = rs2_f + np.uint32(11) * is_sys
     zero_m = _jnp.zeros((n,), _jnp.uint32)
     one_m = _jnp.full((n,), _F.mont_one(), _jnp.uint32)
@@ -2695,7 +2811,7 @@ def _build_aux_jit(main, ctrl, chal_std):
     t_r1 = _dx_term(g2, fp(monty(r1_reg), monty(K * cyc),
                            monty(_dx_bits(main, "rs1v", 0, 16)),
                            monty(_dx_bits(main, "rs1v", 16, 32)),
-                           zero_m), active_m)
+                           zero_m), _F.add(active_m, monty(is_rf)))
     t_r2 = _dx_term(g2, fp(monty(r2_reg), monty(K * cyc + np.uint32(1)),
                            monty(_dx_bits(main, "rs2v", 0, 16)),
                            monty(_dx_bits(main, "rs2v", 16, 32)),
@@ -2801,8 +2917,14 @@ def _build_aux_jit(main, ctrl, chal_std):
     sh_hi = sh_r * mword_hi + sh_w * mwnew_hi
     r_sh = rlc(shact, sh_lo, sh_hi)
 
+    # --- entry/exit register RLC chains (g6) -----------------------------
+    r_re = rlc(is_init, _dx_bits(main, "res", 0, 16),
+               _dx_bits(main, "res", 16, 32))
+    r_rx = rlc(is_rf, _dx_bits(main, "rs1v", 0, 16),
+               _dx_bits(main, "rs1v", 16, 32))
+
     return _jnp.concatenate(
         [t, u, acc, t_r1, t_r2, t_w, t_a7,
          s_terms[0], s_terms[1], s_terms[2], s_terms[3], racc,
          mu_r, mu_w, msort[0], msort[1], macc,
-         li, lf, liacc, lfacc, r_j, r_k, r_b, r_sh], axis=1)
+         li, lf, liacc, lfacc, r_j, r_k, r_b, r_sh, r_re, r_rx], axis=1)

@@ -183,6 +183,7 @@ class SegmentInfo:
     po2: int
     exit_pc: int = 0                  # machine pc when the segment ended
     entry_regs: np.ndarray | None = None  # (32,) register file at segment start
+    exit_regs: np.ndarray | None = None   # (32,) register file at segment end
     trace: np.ndarray | None = None   # (cycles, TRACE_WORDS) witness records
     # per-segment data-memory footprint (the RAM argument's boundary
     # lists): byte addrs (word-aligned), entry values, exit values
@@ -335,6 +336,8 @@ class Executor:
             lib.ex_regs(h, regs_buf)
             entry_regs = np.frombuffer(regs_buf, dtype=np.uint32).copy()
             status = lib.ex_run(h, limit)
+            lib.ex_regs(h, regs_buf)
+            exit_regs = np.frombuffer(regs_buf, dtype=np.uint32).copy()
             seg_user = lib.ex_user_cycles(h) - user0
             seg_paging = lib.ex_paging_cycles(h) - paging0
             mem_addrs, mem_pre, mem_post = self._grab_segment_mem()
@@ -345,6 +348,7 @@ class Executor:
                 po2=self.segment_po2,
                 exit_pc=lib.ex_pc(h),
                 entry_regs=entry_regs,
+                exit_regs=exit_regs,
                 trace=self._grab_trace() if self._trace else None,
                 mem_addrs=mem_addrs, mem_pre=mem_pre, mem_post=mem_post,
                 halted=status == ST_HALTED,

@@ -238,17 +238,12 @@ def _pack_spec(air_name: str):
 
 
 def _upload_main(air: Air, main_std: np.ndarray, shard_rows):
-    """Host->device transfer of the main trace (pack + put + unpack)."""
-    return _upload_main_start(air, main_std, shard_rows)
-
-
-def _upload_main_start(air: Air, main_std: np.ndarray, shard_rows):
-    """Phase 1: host bit-pack + async device_put. Returns a pending
-    handle; the tunnel transfer proceeds while the caller runs other
-    device work (the control commit overlaps it in prove())."""
+    """Host->device transfer of the main trace. For AIRs with a
+    main_bit_mask the trace is bit-packed on host (C kernel), shipped
+    packed over the tunnel, and unpacked on device; otherwise the u32
+    trace is shipped raw. Returns the (n, main_cols) device array."""
     if getattr(air, "main_bit_mask", None) is None:
-        return ("raw",
-                shard_rows(np.asarray(main_std, np.uint64).astype(np.uint32)))
+        return shard_rows(np.asarray(main_std, np.uint64).astype(np.uint32))
     register_air(air)
     spec, mask, n_bits, n_vals = _pack_spec(air.name)
     n, n_cols = main_std.shape

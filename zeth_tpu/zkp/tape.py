@@ -697,12 +697,8 @@ def eval_check(tp: TapeProgram, ldes: dict, publics, challenges,
     fn = _leveled_fn(id(tp), lp, nb, tp.n_stage)
     outs = [fn(raw, jnp.int32(start), S, W)
             for start in range(0, n - nb, nb)]
-    if n > nb:
-        tails = tuple(_wrap_tail(ldes[g], nb) for g in gnames)
-        outs.append(fn(tails, jnp.int32(0), S, W))
-    else:
-        tails = tuple(_wrap_tail(ldes[g], nb) for g in gnames)
-        outs = [fn(tails, jnp.int32(0), S, W)]
+    tails = tuple(_wrap_tail(ldes[g], nb) for g in gnames)
+    outs.append(fn(tails, jnp.int32(0), S, W))
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
 
