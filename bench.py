@@ -38,27 +38,33 @@ def main():
                          ".jax_cache"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from zeth_tpu.circuits import rv32im as rv
-    from zeth_tpu.executor import Executor, guests, load_image
-    from zeth_tpu.zkp import proof as proof_mod, prover, verifier
+    import hashlib
 
-    # over-request cycles; the executor splits at the segment budget, so
-    # segments[0] is a *full* segment for the chosen po2
-    elf = guests.spin(1 << (po2 + 3))
+    import numpy as np
+
+    from zeth_tpu.circuits import rv32im as rv
+    from zeth_tpu.executor import (Executor, compute_image_id, guests,
+                                   load_image)
+    from zeth_tpu.zkvm import ReceiptClaim
+
+    # fill the segment to just under the budget so ONE halting segment
+    # carries ~2^po2 cycles (the chain verifier needs the final segment);
+    # spin's loop executes ~2/3 of the requested cycle count
+    elf = guests.spin(((1 << po2) - 4096) * 3 // 2)
     entry, ia, iw = load_image(elf)
     res = Executor(elf, segment_po2=po2, trace=True).run()
+    assert len(res.segments) == 1
     seg = res.segments[0]
     cycles = seg.trace.shape[0]
 
-    air = rv.Rv32imAir(ia, iw)
-    main_std, publics = air.witgen(seg, po2)
-
     # warm-up run (compile), then timed runs — bounded by a wall budget
-    # so the driver always receives a JSON line even on a cold cache
+    # so the driver always receives a JSON line even on a cold cache.
+    # prove_segment = the FULL per-segment pipeline: the rv32im STARK
+    # plus its companion paging proof (memory page-tree commitment).
     budget = float(os.environ.get("BENCH_BUDGET_S", "2400"))
     start = time.time()
     t0 = time.time()
-    pf = prover.prove(air, main_std, publics)
+    seal, pg_seal = rv.prove_segment(seg, ia, iw)
     compile_s = time.time() - t0
 
     times = [compile_s]
@@ -66,12 +72,17 @@ def main():
         if time.time() - start > budget:
             break
         t0 = time.time()
-        pf = prover.prove(air, main_std, publics)
+        seal, pg_seal = rv.prove_segment(seg, ia, iw)
         times.append(time.time() - t0)
     prove_s = min(times)
 
-    verifier.verify(air, pf, publics)   # correctness gate for the number
-    seal_words = int(proof_mod.encode(pf).shape[0])
+    # correctness gate for the number: full verification incl. paging
+    claim = ReceiptClaim(
+        image_id=compute_image_id(elf),
+        journal_digest=hashlib.sha256(res.journal).digest(),
+        exit_code=0)
+    rv.verify_segments([seal], [pg_seal], claim, ia, iw, entry)
+    seal_words = int(seal.shape[0]) + int(pg_seal.shape[0])
 
     mcps = cycles / prove_s / 1e6
     prev = float(os.environ.get("BENCH_PREV", "0") or 0)

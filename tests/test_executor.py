@@ -70,9 +70,9 @@ def test_segmentation_splits_and_preserves_semantics():
 def test_paging_cycles_scale_with_pages_touched():
     r4 = Executor(guests.memory_stress(4)).run()
     r20 = Executor(guests.memory_stress(20)).run()
-    # each fresh written page costs page-in + page-out
+    # each fresh page costs one paging-circuit slot, charged at first touch
     delta = r20.paging_cycles - r4.paging_cycles
-    assert delta == 16 * 2 * PAGE_CYCLES
+    assert delta == 16 * PAGE_CYCLES
 
 
 def test_image_id_distinguishes_guests():

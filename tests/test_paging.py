@@ -161,11 +161,18 @@ def test_forged_page_index_detected():
 
 
 def test_prove_verify_roundtrip():
-    """The paging AIR through the real prover + verifier, plus tamper."""
+    """The paging AIR through the real prover + verifier, plus tamper,
+    plus the pre-committed-main reuse path (prove_segments' flow)."""
+    from zeth_tpu.zkp import proof as proof_mod
     from zeth_tpu.zkp import prover, verifier
     air, main, pubs = _witness()
     proof = prover.prove(air, main, pubs)
     verifier.verify(air, proof, pubs)
+    root, handle = prover.commit_main(air, main)
+    assert (root == np.asarray(proof.roots["main"], np.uint64)).all()
+    proof2 = prover.prove(air, main, pubs, main_commit=handle)
+    np.testing.assert_array_equal(proof_mod.encode(proof),
+                                  proof_mod.encode(proof2))
     bad = list(pubs)
     bad[48] ^= 1          # d0 limb
     with pytest.raises(verifier.VerificationError):

@@ -84,13 +84,18 @@ def test_sharded_prove_bit_identical():
     elf = guests.echo_input(8)
     entry, ia, iw = load_image(elf)
     res = Executor(elf, bytes(range(8)), segment_po2=13, trace=True).run()
-    seg = res.segments[0]
-    air = rv.Rv32imAir(ia, iw)
-    po2 = rv.choose_po2(seg, len(ia))
-    main_std, publics = air.witgen(seg, po2)
 
-    local = prover.prove(air, main_std, publics)
-    sharded = prover.prove(air, main_std, publics, mesh=mesh)
-    verifier.verify(air, sharded, publics)
-    np.testing.assert_array_equal(proof_mod.encode(local),
-                                  proof_mod.encode(sharded))
+    local, local_pg = rv.prove_segments(res.segments, ia, iw)
+    sharded, sharded_pg = rv.prove_segments(res.segments, ia, iw,
+                                            mesh=mesh)
+    import hashlib
+
+    from zeth_tpu.executor import compute_image_id
+    from zeth_tpu.zkvm import ReceiptClaim
+    claim = ReceiptClaim(
+        image_id=compute_image_id(elf),
+        journal_digest=hashlib.sha256(res.journal).digest(),
+        exit_code=res.exit_code)
+    rv.verify_segments(sharded, sharded_pg, claim, ia, iw, entry)
+    for a, b in zip(local + local_pg, sharded + sharded_pg):
+        np.testing.assert_array_equal(a, b)

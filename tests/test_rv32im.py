@@ -19,6 +19,35 @@ CHAL = np.array([[999999937, 3, 1, 4], [123456789, 7, 2, 1],
                  [27272727, 13, 4, 9]], dtype=np.uint64)
 
 
+def _boundary_extra(seg, g4=None, g5=None):
+    """The paging-bound d0/d1 sums for a segment's boundary lists (what
+    the companion paging proof's publics carry in production)."""
+    from zeth_tpu import hostmath as H
+    from zeth_tpu.circuits.rv32im import _list_sum
+    g4 = H.ext(np.asarray(CHAL[4] if g4 is None else g4, np.uint64))
+    g5p = H.ext_powers(
+        H.ext(np.asarray(CHAL[5] if g5 is None else g5, np.uint64)), 3)
+    init = [(int(a), int(v)) for a, v in zip(seg.mem_addrs, seg.mem_pre)]
+    fin = [(int(a), int(v)) for a, v in zip(seg.mem_addrs, seg.mem_post)]
+    return {"d0": _list_sum(init, g4, g5p), "d1": _list_sum(fin, g4, g5p)}
+
+
+def _chain_paging_pubs(ia, iw, segments):
+    """Chain-check-only paging publics (roots from a host tree replay;
+    challenge/d fields zeroed — verify_chain only reads the roots)."""
+    from zeth_tpu.circuits import paging as PGm
+    from zeth_tpu.hash.pagetree import SparsePageTree
+    tree = SparsePageTree(ia, iw)
+    z4 = np.zeros(4, np.uint64)
+    out = []
+    for seg in segments:
+        res = PGm.segment_witness(tree, seg.mem_addrs, seg.mem_pre,
+                                  seg.mem_post)
+        r0, r1 = res[5], res[6]
+        out.append(PGm.PagingAir.pack_publics(z4, z4, r0, r1, z4, z4))
+    return out
+
+
 def _witness(elf, inp=b""):
     entry, ia, iw = load_image(elf)
     res = Executor(elf, input_bytes=inp, trace=True).run()
@@ -27,19 +56,24 @@ def _witness(elf, inp=b""):
     po2 = choose_po2(seg, len(ia))
     main, pubs = air.witgen(seg, po2)
     ctrl = air.control_trace(po2)
+    air._test_extra = _boundary_extra(seg)
     return air, ctrl, main, pubs
 
 
-def _aux(air, main, pubs):
+def _aux(air, main, pubs, extra=None):
+    extra = extra if extra is not None else air._test_extra
     chal_all = np.concatenate(
-        [CHAL, np.asarray(air.derived_challenges(pubs, CHAL), np.uint64)])
+        [CHAL, np.asarray(air.derived_challenges(pubs, CHAL, extra=extra),
+                          np.uint64)])
     return air.build_aux(main.astype(np.uint64), chal_all)
 
 
-def _check(air, ctrl, main, pubs, aux=None):
+def _check(air, ctrl, main, pubs, aux=None, extra=None):
+    extra = extra if extra is not None else air._test_extra
     if aux is None:
-        aux = _aux(air, main, pubs)
-    return check_constraints(air, ctrl, main, aux, pubs, CHAL)
+        aux = _aux(air, main, pubs, extra)
+    return check_constraints(air, ctrl, main, aux, pubs, CHAL,
+                             derived_extra=extra)
 
 
 @pytest.mark.parametrize("name,elf,inp", [
@@ -102,9 +136,9 @@ def test_multisegment_continuation_with_live_registers():
         po2 = choose_po2(seg, len(ia))
         main, pubs = air.witgen(seg, po2)
         ctrl = air.control_trace(po2)
+        air._test_extra = _boundary_extra(seg)
         assert (seg.entry_regs != 0).any()
-        assert check_constraints(air, ctrl, main, _aux(air, main, pubs),
-                                 pubs, CHAL) == {}
+        assert _check(air, ctrl, main, pubs) == {}
 
 
 def test_forged_exit_register_public_detected():
@@ -164,7 +198,9 @@ def test_register_discontinuity_detected_by_chain():
     claim = ReceiptClaim(
         image_id=np.zeros(8, np.uint64), exit_code=0,
         journal_digest=hashlib.sha256(res.journal).digest())
-    verify_chain(publics_list, claim, ia, iw, entry)    # sanity: passes
+    pg_pubs = _chain_paging_pubs(ia, iw, res.segments)
+    verify_chain(publics_list, claim, ia, iw, entry,
+                 paging_publics_list=pg_pubs)    # sanity: passes
     # forge segment 1's entry a1 (claim the register was zeroed)
     bad = [list(p) for p in publics_list]
     k = next((i for i, v in enumerate(
@@ -172,30 +208,34 @@ def test_register_discontinuity_detected_by_chain():
     assert k is not None
     bad[1][13 + 2 * k] ^= 1
     with pytest.raises(VerificationError):
-        verify_chain(bad, claim, ia, iw, entry)
+        verify_chain(bad, claim, ia, iw, entry,
+                     paging_publics_list=pg_pubs)
+    # and a broken page-root chain is rejected too
+    bad_pg = [list(p) for p in pg_pubs]
+    bad_pg[1][16] ^= 1          # segment 1 pre_root limb
+    with pytest.raises(VerificationError):
+        verify_chain(publics_list, claim, ia, iw, entry,
+                     paging_publics_list=bad_pg)
 
 
 def test_forged_register_read_detected():
     air, ctrl, main, pubs = _witness(guests.sum_loop(50))
     from zeth_tpu.circuits.rv32im import N_INIT_ROWS
     main[N_INIT_ROWS + 10, LAYOUT.idx("rs1v", 0)] ^= 1
-    assert check_constraints(air, ctrl, main, _aux(air, main, pubs),
-                             pubs, CHAL) != {}
+    assert _check(air, ctrl, main, pubs) != {}
 
 
 def test_forged_register_write_detected():
     air, ctrl, main, pubs = _witness(guests.sum_loop(50))
     op_rows = np.where(main[:, LAYOUT.idx("sel", 8)] == 1)[0]
     main[op_rows[0], LAYOUT.idx("res", 2)] ^= 1
-    assert check_constraints(air, ctrl, main, _aux(air, main, pubs),
-                             pubs, CHAL) != {}
+    assert _check(air, ctrl, main, pubs) != {}
 
 
 def test_forged_init_register_detected():
     air, ctrl, main, pubs = _witness(guests.sum_loop(50))
     main[5, LAYOUT.idx("res", 0)] ^= 1   # init row of x5
-    assert check_constraints(air, ctrl, main, _aux(air, main, pubs),
-                             pubs, CHAL) != {}
+    assert _check(air, ctrl, main, pubs) != {}
 
 
 def test_dropped_sorted_write_detected():
@@ -211,8 +251,7 @@ def test_dropped_sorted_write_detected():
         if done:
             break
     assert done
-    assert check_constraints(air, ctrl, main, _aux(air, main, pubs),
-                             pubs, CHAL) != {}
+    assert _check(air, ctrl, main, pubs) != {}
 
 
 def test_forged_mul_result_detected():
@@ -220,8 +259,7 @@ def test_forged_mul_result_detected():
     mrows = np.where(main[:, LAYOUT.idx("is_m")] == 1)[0]
     assert len(mrows) >= 4
     main[mrows[0], LAYOUT.idx("res", 5)] ^= 1
-    assert check_constraints(air, ctrl, main, _aux(air, main, pubs),
-                             pubs, CHAL) != {}
+    assert _check(air, ctrl, main, pubs) != {}
 
 
 # -- RAM (data-memory) argument ----------------------------------------------
@@ -266,15 +304,28 @@ def test_forged_syscall_write_detected():
 
 
 def test_forged_meminit_value_detected():
-    # tamper a MEMINIT row's value AND the matching public list entry:
-    # the sorted trace still carries the honest first-read, so the
-    # multiset argument must reject the forged entry value
+    # tamper a MEMINIT row's value AND the paging-bound d0 consistently
+    # (as a malicious paging-side claim would): the sorted trace still
+    # carries the honest first-read, so the multiset argument rejects
+    import copy
+    from zeth_tpu import hostmath as H
     air, ctrl, main, pubs = _witness(guests.echo_input(8), bytes(range(8)))
     r = _first_class_row(main, "MEMINIT")
     main[r, LAYOUT.idx("mwnew", 1)] ^= 1
-    bad = list(pubs)
-    bad[13 + 128 + 2] ^= 2   # first meminit entry's value lo limb
-    assert _check(air, ctrl, main, bad) != {}
+    # recompute d0 from the tampered MEMINIT rows
+    from zeth_tpu.circuits.rv32im import CLASS_IDX, _list_sum
+    rows = np.where(main[:, LAYOUT.idx("sel", CLASS_IDX["MEMINIT"])])[0]
+    entries = []
+    for rr in rows:
+        wa = sum(int(main[rr, LAYOUT.idx("maddr", j)]) << j
+                 for j in range(32))
+        v = sum(int(main[rr, LAYOUT.idx("mwnew", j)]) << j
+                for j in range(32))
+        entries.append((wa, v))
+    extra = dict(air._test_extra)
+    extra["d0"] = _list_sum(entries, H.ext(CHAL[4]),
+                            H.ext_powers(H.ext(CHAL[5]), 3))
+    assert _check(air, ctrl, main, pubs, extra=extra) != {}
 
 
 def test_forged_journal_public_detected():
@@ -282,8 +333,7 @@ def test_forged_journal_public_detected():
     # derived RLC, which no longer matches the in-circuit chain
     air, ctrl, main, pubs = _witness(guests.sum_loop(20))
     pp_bad = list(pubs)
-    n_init, n_fin = pp_bad[7], pp_bad[8]
-    joff = 11 + 4 * (n_init + n_fin)
+    joff = 13 + 128          # first journal limb (header + reg lists)
     assert pp_bad[9] > 0    # journal word count
     pp_bad[joff] ^= 1
     assert _check(air, ctrl, main, pp_bad) != {}
@@ -320,7 +370,8 @@ def test_parse_publics_roundtrip():
     air, ctrl, main, pubs = _witness(guests.echo_input(8), bytes(range(8)))
     pp = parse_publics(pubs)
     assert pp["halted"] == 1 and pp["exit_code"] == 0
-    assert len(pp["mem_init"]) == len(pp["mem_fin"])
+    assert pp["n_mem"][0] == pp["n_mem"][1]
+    assert len(pp["entry_regs"]) == 32 and len(pp["exit_regs"]) == 32
     assert len(pp["journal_words"]) == 2   # 8 bytes committed
     with pytest.raises(ValueError):
         parse_publics(pubs[:-1])
@@ -333,13 +384,13 @@ def test_forged_divu_result_and_remainder_detected():
     assert len(den) >= 2 and len(dz) >= 2
     m2 = main.copy()
     m2[den[0], LAYOUT.idx("res", 1)] ^= 1
-    assert check_constraints(air, ctrl, m2, _aux(air, m2, pubs), pubs, CHAL) != {}
+    assert _check(air, ctrl, m2, pubs) != {}
     m3 = main.copy()
     m3[den[0], LAYOUT.idx("mdiv_r", 13)] ^= 1
-    assert check_constraints(air, ctrl, m3, _aux(air, m3, pubs), pubs, CHAL) != {}
+    assert _check(air, ctrl, m3, pubs) != {}
     m4 = main.copy()
     m4[dz[0], LAYOUT.idx("res", 0)] ^= 1
-    assert check_constraints(air, ctrl, m4, _aux(air, m4, pubs), pubs, CHAL) != {}
+    assert _check(air, ctrl, m4, pubs) != {}
 
 
 # -- bigint accelerator syscall binding --------------------------------------
@@ -376,23 +427,24 @@ def test_forged_bigint_result_detected():
     import hashlib
     elf = guests.bigint_guest(a, b, m)
     entry, ia, iw = load_image(elf)
+    res = Executor(elf, trace=True).run()
+    pg_pubs = _chain_paging_pubs(ia, iw, res.segments)
     journal = b"".join(int(w).to_bytes(4, "little")
                        for w in pp["journal_words"])
     claim = ReceiptClaim(
         image_id=np.zeros(8, np.uint64), exit_code=0,
         journal_digest=hashlib.sha256(journal).digest())
-    verify_chain([pubs], claim, ia, iw, entry)     # sanity: passes
+    verify_chain([pubs], claim, ia, iw, entry,
+                 paging_publics_list=pg_pubs)     # sanity: passes
     bad = list(pubs)
     # locate the first result limb in the flat publics (parse order:
-    # 13-scalar header, 2x32-word register lists, 4-limb mem lists, then
-    # 2-limb word lists)
-    n_init, n_fin = len(pp["mem_init"]), len(pp["mem_fin"])
+    # 13-scalar header, 2x32-word register lists, then 2-limb word lists)
     n_j, n_k = len(pp["journal_words"]), len(pp["keccak_words"])
-    off = (13 + 2 * 64 + 4 * (n_init + n_fin) + 2 * (n_j + n_k)
-           + 2 * 36)
+    off = 13 + 2 * 64 + 2 * (n_j + n_k) + 2 * 36
     bad[off] ^= 1                 # low limb of the first result word
     with pytest.raises(VerificationError):
-        verify_chain([bad], claim, ia, iw, entry)
+        verify_chain([bad], claim, ia, iw, entry,
+                     paging_publics_list=pg_pubs)
 
 
 # -- sha-256 accelerator syscall binding --------------------------------------
@@ -437,7 +489,8 @@ def test_build_aux_device_matches_host():
     rng = np.random.default_rng(3)
     chals = rng.integers(1, 2**31 - 1,
                          size=(air.n_challenges, 4)).astype(np.uint64)
-    ch = all_challenges(air, publics, chals)
+    ch = all_challenges(air, publics, chals,
+                        _boundary_extra(seg, g4=chals[4], g5=chals[5]))
     host_aux = np.asarray(air.build_aux(np.asarray(main_std, np.uint64), ch),
                           np.uint64) % np.uint64(P)
     dev_main = jnp.asarray(np.asarray(main_std, np.uint64).astype(np.uint32))

@@ -97,23 +97,38 @@ def test_lift_join_verify_roundtrip():
 @pytest.mark.skipif(not E2E, reason="slow e2e (set ZETH_E2E=1)")
 def test_rv32im_lift_constraints():
     """The lift program accepts a real rv32im segment proof (including
-    the in-circuit derived-challenge recomputation over the publics)."""
+    the in-circuit derived-challenge recomputation over the publics and
+    the companion paging bindings: extra-mix root, d0/d1, g4/g5)."""
     from zeth_tpu.circuits import rv32im as rv
+    from zeth_tpu.circuits.paging import PagingAir
     from zeth_tpu.executor import Executor, guests, load_image
+    from zeth_tpu.zkp import proof as proof_mod
     elf = guests.echo_input(12)
     entry, ia, iw = load_image(elf)
     from zeth_tpu.zkvm import ExecutorEnv
     env = ExecutorEnv.builder().write(b"hello world!").build()
     res = Executor(elf, env.input_bytes, segment_po2=13, trace=True).run()
-    seg = res.segments[0]
     air = rv.Rv32imAir(ia, iw)
-    po2 = rv.choose_po2(seg, len(ia))
-    main, pubs = air.witgen(seg, po2)
-    proof = prover.prove(air, main, pubs)
-    verifier.verify(air, proof, pubs)
+    seals, pg_seals = rv.prove_segments(res.segments[:1], ia, iw)
+    proof = proof_mod.decode(seals[0])
+    pg_proof = proof_mod.decode(pg_seals[0])
+    ppg = PagingAir.parse_publics([int(p) for p in pg_proof.publics])
+    extra = (np.asarray(pg_proof.roots["main"], np.uint64),
+             ppg["d0"], ppg["d1"], ppg["g4"], ppg["g5"])
+    pubs = [int(p) for p in proof.publics]
 
-    vp = succinct.lift_program(air, po2, len(pubs),
+    vp = succinct.lift_program(air, proof.po2, len(pubs),
                                succinct.publics_shape(air, pubs))
-    stream = compiler.proof_to_stream(vp, proof)
-    claim = compiler.claim_digest(po2, pubs)
+    stream = compiler.proof_to_stream(
+        vp, proof, extra=(extra[0], extra[1], extra[2]))
+    claim = compiler.claim_digest(proof.po2, pubs,
+                                  succinct._extra_row(extra))
     assert _constraints_ok(vp, stream, claim) == {}
+    # a forged d0 component breaks the in-circuit DEEP identity
+    bad = (extra[0], (extra[1] + np.uint64(1)) % np.uint64(P),
+           extra[2], extra[3], extra[4])
+    stream_b = compiler.proof_to_stream(
+        vp, proof, extra=(bad[0], bad[1], bad[2]))
+    claim_b = compiler.claim_digest(proof.po2, pubs,
+                                    succinct._extra_row(bad))
+    assert _constraints_ok(vp, stream_b, claim_b) != {}

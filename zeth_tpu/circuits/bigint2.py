@@ -87,7 +87,7 @@ class Bigint2Air(Air):
 
     # -- IO binding (same RLC pattern as the keccak accelerator) -----------
 
-    def derived_challenges(self, publics, challenges):
+    def derived_challenges(self, publics, challenges, extra=None):
         limbs = parse_publics(publics, flat_limbs=True)
         gamma = H.ext(np.asarray(challenges[0], np.uint64))
         if not limbs:

@@ -113,7 +113,7 @@ class KeccakAir(Air):
 
     # -- IO binding --------------------------------------------------------
 
-    def derived_challenges(self, publics, challenges):
+    def derived_challenges(self, publics, challenges, extra=None):
         words = parse_publics(publics)
         from .rv32im import _rlc
         gamma = H.ext(np.asarray(challenges[0], np.uint64))

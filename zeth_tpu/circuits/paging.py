@@ -197,7 +197,7 @@ class PagingAir(Air):
             "d1": np.array(vals[28:32], np.uint64),
         }
 
-    def derived_challenges(self, publics, challenges):
+    def derived_challenges(self, publics, challenges, extra=None):
         pp = self.parse_publics(publics)
         return np.stack([pp["g4"], pp["g5"]])
 

@@ -250,6 +250,9 @@ class Rv32imAir(Air):
     # publics beyond index 6 are the variable-length lists; only the first
     # 7 scalars enter constraints directly
     n_public_scalars = 7
+    # the transcript absorbs the companion paging proof's main root
+    # before sampling challenges (prover.prove extra_mix)
+    uses_extra_mix = True
 
     def __init__(self, image_addrs: np.ndarray, image_words: np.ndarray):
         """image_*: the initial memory image (sorted by address)."""
@@ -942,12 +945,9 @@ class Rv32imAir(Air):
             publics += [int(v) & 0xFFFF, int(v) >> 16]
         for v in exit_regs:
             publics += [int(v) & 0xFFFF, int(v) >> 16]
-        for a, v in zip(mem_addrs, mem_pre):
-            publics += [int(a) & 0xFFFF, int(a) >> 16,
-                        int(v) & 0xFFFF, int(v) >> 16]
-        for a, v in zip(mem_addrs, mem_post):
-            publics += [int(a) & 0xFFFF, int(a) >> 16,
-                        int(v) & 0xFFFF, int(v) >> 16]
+        # the MEMINIT/MEMFIN lists are NOT public: their LogUp sums
+        # (derived scalars d0/d1) are bound by the companion paging
+        # proof against the memory page-tree roots (circuits/paging.py)
         for w in journal_words + keccak_words + bigint_words + sha_words:
             publics += [w & 0xFFFF, w >> 16]
         return m, publics
@@ -1174,21 +1174,24 @@ class Rv32imAir(Air):
 
     # -- derived challenge scalars ----------------------------------------
 
-    def derived_challenges(self, publics, challenges):
-        """d0/d1: MEMINIT/MEMFIN list sums; d2/d3: journal/keccak RLCs.
-
-        Computed identically by prover and verifier from the public lists
-        and the sampled challenges; they appear to the constraint system
-        as extra challenge entries (indices 7..10).
+    def derived_challenges(self, publics, challenges, extra=None):
+        """d0/d1: MEMINIT/MEMFIN boundary sums, bound by the companion
+        paging proof (passed via ``extra`` — prover: computed from the
+        segment's boundary lists; verifier: the paging proof's public
+        d0/d1). d2..d7: journal/keccak/bigint/sha/entry-reg/exit-reg
+        RLCs, computed identically by both sides from the public lists.
+        They appear to the constraint system as extra challenge entries
+        (indices 7..14).
         """
+        if extra is None:
+            raise ValueError(
+                "rv32im derived challenges need the paging-bound d0/d1 "
+                "(pass derived_extra={'d0':..., 'd1':...})")
         pp = parse_publics(publics)
-        g4 = H.ext(np.asarray(challenges[4], np.uint64))
-        g5 = H.ext(np.asarray(challenges[5], np.uint64))
         g6 = H.ext(np.asarray(challenges[6], np.uint64))
-        g5p = H.ext_powers(g5, 3)
         return np.stack([
-            _list_sum(pp["mem_init"], g4, g5p),
-            _list_sum(pp["mem_fin"], g4, g5p),
+            np.asarray(extra["d0"], np.uint64).reshape(4),
+            np.asarray(extra["d1"], np.uint64).reshape(4),
             _rlc(pp["journal_words"], g6),
             _rlc(pp["keccak_words"], g6),
             _rlc(pp["bigint_words"], g6),
@@ -1202,25 +1205,24 @@ class Rv32imAir(Air):
     def publics_shape(self, publics):
         """Shape token for the lift-program cache (the list counts)."""
         pp = parse_publics([int(p) for p in publics])
-        return (len(pp["mem_init"]), len(pp["mem_fin"]),
-                len(pp["journal_words"]), len(pp["keccak_words"]),
+        return (len(pp["journal_words"]), len(pp["keccak_words"]),
                 len(pp["bigint_words"]), len(pp["sha_words"]))
 
-    def derived_challenges_rec(self, b, pub_cells, chal_ext, pub_shape):
+    def derived_challenges_rec(self, b, pub_cells, chal_ext, pub_shape,
+                               extra_cells=None):
         """In-circuit mirror of derived_challenges for the lift program.
 
-        Replays _list_sum/_rlc over the public list cells. The in-proof
-        counts are asserted equal to the compiled shape, and each address
-        low limb is bit-decomposed so the word-address shift matches the
-        host's ``a >> 2`` exactly (parse_publics pins all list limbs to
-        16 bits, making or-compose equal to addition on both sides).
+        Replays _rlc over the public list cells; d0/d1 arrive as extra
+        witness cells (bound into the lift claim and resolved against
+        the companion paging proof's publics at the receipt level). The
+        in-proof counts are asserted equal to the compiled shape
+        (parse_publics pins all list limbs to 16 bits, making
+        or-compose equal to addition on both sides).
         """
-        n_init, n_fin, n_j, n_k, n_b, n_s = pub_shape
-        for j, cnt in ((7, n_init), (8, n_fin), (9, n_j), (10, n_k),
-                       (11, n_b), (12, n_s)):
+        n_j, n_k, n_b, n_s = pub_shape
+        for j, cnt in ((9, n_j), (10, n_k), (11, n_b), (12, n_s)):
             b.assert_eq(pub_cells[j], cnt)
-        g4, g5, g6 = chal_ext[4], chal_ext[5], chal_ext[6]
-        g5sq = b.mul(g5, g5)
+        g6 = chal_ext[6]
         off = 13
 
         def rlc(cnt):
@@ -1235,31 +1237,8 @@ class Rv32imAir(Air):
 
         d6 = rlc(32)     # entry-register list
         d7 = rlc(32)     # exit-register list
-
-        def limb16(cell):
-            """Committed bits of a 16-bit limb (range-binding included)."""
-            bits = b.decompose(cell, 31, assert_canonical=True)
-            b.assert_zero(b.dot_const([1 << k for k in range(16, 31)],
-                                      bits[16:]))
-            return bits
-
-        def list_sum(cnt):
-            nonlocal off
-            total = None
-            for _ in range(cnt):
-                alo, ahi, vlo, vhi = pub_cells[off:off + 4]
-                off += 4
-                bits = limb16(alo)
-                wa = b.dot_const([1 << (k - 2) for k in range(2, 16)],
-                                 bits[2:16])
-                wa = b.axpy(1 << 14, ahi, wa)
-                t = b.fma(a=g5, b=vlo, c=g5sq, d=vhi, s0=1, s1=1)
-                inv = b.inv(b.sub(g4, b.add(wa, t)))
-                total = inv if total is None else b.add(total, inv)
-            return total if total is not None else b.ZERO
-
-        d0 = list_sum(n_init)
-        d1 = list_sum(n_fin)
+        d0 = extra_cells["d0"]
+        d1 = extra_cells["d1"]
         d2 = rlc(n_j)
         d3 = rlc(n_k)
         d4 = rlc(n_b)
@@ -2407,8 +2386,7 @@ def parse_publics(pubs):
         "exit_code": p[5] | (p[6] << 16),
     }
     n_init, n_fin, n_j, n_k, n_b, n_s = p[7:13]
-    need = (13 + 2 * 64 + 4 * (n_init + n_fin)
-            + 2 * (n_j + n_k + n_b + n_s))
+    need = 13 + 2 * 64 + 2 * (n_j + n_k + n_b + n_s)
     if len(p) != need:
         raise ValueError("bad publics length")
     # every list element is a 16-bit limb; enforcing the range here keeps
@@ -2417,15 +2395,6 @@ def parse_publics(pubs):
     if any(x < 0 or x >= (1 << 16) for x in p[13:]):
         raise ValueError("public list limb out of 16-bit range")
     off = 13
-
-    def entries(cnt):
-        nonlocal off
-        o = []
-        for _ in range(cnt):
-            o.append((p[off] | (p[off + 1] << 16),
-                      p[off + 2] | (p[off + 3] << 16)))
-            off += 4
-        return o
 
     def words(cnt):
         nonlocal off
@@ -2439,8 +2408,7 @@ def parse_publics(pubs):
     out["exit_regs"] = words(32)
     if out["entry_regs"][0] != 0 or out["exit_regs"][0] != 0:
         raise ValueError("x0 register public must be zero")
-    out["mem_init"] = entries(n_init)
-    out["mem_fin"] = entries(n_fin)
+    out["n_mem"] = (n_init, n_fin)
     out["journal_words"] = words(n_j)
     out["keccak_words"] = words(n_k)
     out["bigint_words"] = words(n_b)
@@ -2492,40 +2460,109 @@ def choose_po2(seg, image_len: int) -> int:
     return max(int(np.ceil(np.log2(need))), 7)
 
 
-def prove_segment(seg, image_addrs, image_words):
-    """Prove one executor segment; returns the encoded seal (np.uint32)."""
+def prove_segments(segments, image_addrs, image_words, mesh=None):
+    """Prove a chain of executor segments.
+
+    Returns (seals, paging_seals): per segment, the rv32im STARK seal
+    and its companion paging seal (circuits/paging.py). The paging
+    main trace is committed FIRST and mixed into the rv32im transcript
+    (extra_mix) so the page/touch witness predates the sampling of the
+    RAM challenges g4/g5; the d0/d1 boundary sums are then computed
+    under the sampled challenges and bound in both proofs.
+    """
+    from ..hash import pagetree as PT_
+    from . import paging as paging_mod
     air = _air_for_image(image_addrs, image_words)
-    po2 = choose_po2(seg, len(image_addrs))
-    main, publics = air.witgen(seg, po2)
-    proof = prover_mod.prove(air, main, publics)
-    return proof_mod.encode(proof)
+    pg_air = paging_mod.PagingAir()
+    tree = PT_.SparsePageTree(image_addrs, image_words)
+    zero4 = np.zeros(4, np.uint64)
+    seals, pg_seals = [], []
+    for seg in segments:
+        pn, prep, postp, tch, sibs, r0, r1 = paging_mod.segment_witness(
+            tree, seg.mem_addrs, seg.mem_pre, seg.mem_post)
+        # the paging MAIN trace is independent of its publics; commit it
+        # first so its root can pre-seed the rv32im transcript
+        pg_main, _ = pg_air.witgen(pn, prep, postp, tch, sibs, r0, r1,
+                                   zero4, zero4)
+        pg_root, pg_commit = prover_mod.commit_main(pg_air, pg_main)
+
+        po2 = choose_po2(seg, len(image_addrs))
+        main, publics = air.witgen(seg, po2)
+        init_list = [(int(a), int(v))
+                     for a, v in zip(seg.mem_addrs, seg.mem_pre)]
+        fin_list = [(int(a), int(v))
+                    for a, v in zip(seg.mem_addrs, seg.mem_post)]
+        cap = {}
+
+        def dx(sampled, cap=cap, init_list=init_list, fin_list=fin_list):
+            g4 = H.ext(np.asarray(sampled[4], np.uint64))
+            g5 = H.ext(np.asarray(sampled[5], np.uint64))
+            cap["g4"], cap["g5"] = sampled[4], sampled[5]
+            g5p = H.ext_powers(g5, 3)
+            return {"d0": _list_sum(init_list, g4, g5p),
+                    "d1": _list_sum(fin_list, g4, g5p)}
+
+        proof = prover_mod.prove(air, main, publics, mesh=mesh,
+                                 derived_extra=dx,
+                                 extra_mix=pg_root)
+        seals.append(proof_mod.encode(proof))
+
+        g4, g5 = cap["g4"], cap["g5"]
+        pg_pubs = paging_mod.PagingAir.pack_publics(
+            g4, g5, r0, r1,
+            paging_mod._touch_sum(pn, prep, tch, g4, g5),
+            paging_mod._touch_sum(pn, postp, tch, g4, g5))
+        pg_proof = prover_mod.prove(pg_air, pg_main, pg_pubs,
+                                    main_commit=pg_commit)
+        assert (np.asarray(pg_proof.roots["main"], np.uint64)
+                == pg_root).all()
+        pg_seals.append(proof_mod.encode(pg_proof))
+    return seals, pg_seals
+
+
+def prove_segment(seg, image_addrs, image_words):
+    """Prove one executor segment starting from the pristine image
+    (single-segment guests / benches); returns (seal, paging_seal)."""
+    seals, pg_seals = prove_segments([seg], image_addrs, image_words)
+    return seals[0], pg_seals[0]
 
 
 def verify_chain(publics_list, claim, image_addrs, image_words,
-                 entry_pc: int, keccak_checked: bool = False,
+                 entry_pc: int, paging_publics_list=None,
+                 keccak_checked: bool = False,
                  bigint_checked: bool = False,
                  sha_checked: bool = False) -> dict:
     """Chain checks over per-segment publics (no STARK verification).
 
-    Checks: pc continuity; RAM continuity (each segment's public MEMINIT
-    list must match the memory state replayed from the image through the
-    previous segments' MEMFIN lists); keccak/bigint accelerator IO
+    Checks: pc continuity; register continuity (entry/exit register
+    lists); RAM continuity via the paging proofs' memory page-tree
+    roots (segment 0's pre_root is the image's page root; each
+    post_root is the next segment's pre_root — the reference's
+    MemoryImage digest chaining); keccak/bigint accelerator IO
     (recomputed host-side from the bound operands unless `*_checked` —
     i.e. an accelerator proof covers it, the resolve path); and, across
     the chain: exactly the final segment halts, with the claim's exit
     code, and the concatenated journal words hash to the claim's journal
     digest (the reference's journal commitment,
     guests/stateless-client/src/lib.rs:33).
+
+    paging_publics_list: per-segment paging-proof publics (the caller —
+    verify_segments / the receipt path — must have STARK-verified the
+    paging seals and their cross-binding to the rv32im proofs).
     """
     import hashlib
 
+    from ..executor import image_page_root
     from ..hash.keccak import permute_np as keccak_permute
     from ..zkvm import VerificationError
+    from .paging import PagingAir
     expect_pc = int(entry_pc)
     if not publics_list:
         raise VerificationError("no segments")
-    # memory replay state: word addr -> value (image; zero elsewhere)
-    state = {int(a): int(w) for a, w in zip(image_addrs, image_words)}
+    if paging_publics_list is None or \
+            len(paging_publics_list) != len(publics_list):
+        raise VerificationError("paging publics missing for the chain")
+    expect_root = image_page_root(image_addrs, image_words)
     expect_regs = [0] * 32    # machine registers start zeroed
     journal_words: list[int] = []
     keccak_words: list[int] = []
@@ -2552,13 +2589,16 @@ def verify_chain(publics_list, claim, image_addrs, image_words,
                 "halts)")
         if last and pp["exit_code"] != int(claim.exit_code):
             raise VerificationError("exit code does not match claim")
-        # RAM continuity: entry values must match the replayed state
-        for a, v in pp["mem_init"]:
-            if state.get(a, 0) != v:
-                raise VerificationError(
-                    f"segment {i}: MEMINIT value mismatch at 0x{a:08x}")
-        for a, v in pp["mem_fin"]:
-            state[a] = v
+        # RAM continuity: the paging proofs' page-tree roots chain from
+        # the image root through every segment
+        try:
+            ppg = PagingAir.parse_publics(paging_publics_list[i])
+        except ValueError as e:
+            raise VerificationError(f"segment {i} paging: {e}") from e
+        if not (ppg["pre_root"] == expect_root).all():
+            raise VerificationError(
+                f"segment {i}: paging pre-root does not chain")
+        expect_root = ppg["post_root"]
         # keccak accelerator IO: recompute f[1600] over the bound states
         # unless an accelerator proof discharges them (resolve)
         kw = pp["keccak_words"]
@@ -2635,29 +2675,52 @@ def _sha_compress_words(state, block):
     return [(x + y) & M for x, y in zip(state, [a, b, c, d, e, f, g, h])]
 
 
-def verify_segments(seals, claim, image_addrs, image_words, entry_pc: int,
+def verify_segments(seals, paging_seals, claim, image_addrs, image_words,
+                    entry_pc: int,
                     keccak_checked: bool = False,
                     bigint_checked: bool = False,
                     sha_checked: bool = False) -> dict:
-    """Verify a chain of segment seals; returns the bound accelerator IO
-    ({"keccak_words", "bigint_words"}).
+    """Verify a chain of (segment, paging) seal pairs; returns the bound
+    accelerator IO ({"keccak_words", "bigint_words", "sha_words"}).
 
-    Per segment: the STARK itself, then every chain check of
-    verify_chain (pc/RAM continuity, halt/exit-code, journal digest,
-    accelerator IO)."""
+    Per segment: the paging STARK (page hashes + root update + d0/d1
+    binding), the rv32im STARK verified WITH the paging proof's d0/d1
+    as derived scalars and its main root as the transcript pre-seed
+    (extra_mix), the g4/g5 cross-check (the paging proof's public
+    challenges must equal the ones the rv32im transcript sampled), then
+    every chain check of verify_chain (pc/register/root continuity,
+    halt/exit-code, journal digest, accelerator IO)."""
     from ..zkvm import VerificationError
+    from .paging import PagingAir
     air = _air_for_image(image_addrs, image_words)
-    publics_list = []
-    for i, seal in enumerate(seals):
+    pg_air = PagingAir()
+    if len(paging_seals) != len(seals):
+        raise VerificationError("segment/paging seal count mismatch")
+    publics_list, paging_pubs_list = [], []
+    for i, (seal, pseal) in enumerate(zip(seals, paging_seals)):
         proof = proof_mod.decode(seal)
+        pg_proof = proof_mod.decode(pseal)
         pubs = [int(p) for p in proof.publics]
+        pg_pubs = [int(p) for p in pg_proof.publics]
         try:
-            verifier_mod.verify(air, proof, pubs)
+            ppg = PagingAir.parse_publics(pg_pubs)
+            verifier_mod.verify(pg_air, pg_proof, pg_pubs)
+            sampled = verifier_mod.verify(
+                air, proof, pubs,
+                derived_extra={"d0": ppg["d0"], "d1": ppg["d1"]},
+                extra_mix=pg_proof.roots["main"])
         except verifier_mod.VerificationError as e:
             raise VerificationError(f"segment {i}: {e}") from e
+        if not ((np.asarray(sampled[4], np.uint64) == ppg["g4"]).all()
+                and (np.asarray(sampled[5], np.uint64) == ppg["g5"]).all()):
+            raise VerificationError(
+                f"segment {i}: paging proof challenges do not match the "
+                "rv32im transcript")
         publics_list.append(pubs)
+        paging_pubs_list.append(pg_pubs)
     return verify_chain(publics_list, claim, image_addrs, image_words,
-                        entry_pc, keccak_checked=keccak_checked,
+                        entry_pc, paging_publics_list=paging_pubs_list,
+                        keccak_checked=keccak_checked,
                         bigint_checked=bigint_checked,
                         sha_checked=sha_checked)
 

@@ -107,7 +107,7 @@ class Sha256Air(Air):
 
     # -- IO binding --------------------------------------------------------
 
-    def derived_challenges(self, publics, challenges):
+    def derived_challenges(self, publics, challenges, extra=None):
         limbs = parse_publics(publics, flat_limbs=True)
         gamma = H.ext(np.asarray(challenges[0], np.uint64))
         if not limbs:

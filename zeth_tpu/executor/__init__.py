@@ -24,8 +24,9 @@ guests/stateless-client/src/lib.rs:17-33):
 
 Cycle accounting (reference categories, run-parallel.sh:67-70):
   user cycles   = executed instructions
-  paging cycles = PAGE_CYCLES per first touch (in) + per dirty page (out),
-                  charged per segment
+  paging cycles = PAGE_CYCLES per first touch (one paging-circuit slot
+                  proves the page's pre and post hashes), charged per
+                  segment
   total cycles  = user + paging, padded up to the segment power of two.
 
 Memory: 4 KiB pages over a 32-bit space; the image ID is the Poseidon2
@@ -45,8 +46,8 @@ import numpy as np
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "csrc", "librv32im.so")
 
-PAGE_SIZE = 4096
-PAGE_CYCLES = 1094   # per page-in / page-out: cost of hashing one page in-circuit
+PAGE_SIZE = 1024
+PAGE_CYCLES = 864    # paging-circuit rows per touched page (one slot)
 
 # status codes returned by ex_run (keep in sync with rv32im.cpp)
 ST_RUNNING = 0
@@ -59,8 +60,15 @@ def _build():
     subprocess.run(["make", "-s", "-C", os.path.join(_DIR, "csrc")], check=True)
 
 
+def _stale(so, srcs):
+    if not os.path.exists(so):
+        return True
+    t = os.path.getmtime(so)
+    return any(os.path.getmtime(s) > t for s in srcs if os.path.exists(s))
+
+
 def _lib():
-    if not os.path.exists(_SO):
+    if _stale(_SO, [os.path.join(_DIR, "csrc", "rv32im.cpp")]):
         _build()
     lib = ctypes.CDLL(_SO)
     lib.ex_create.restype = ctypes.c_void_p
@@ -138,7 +146,7 @@ _PACK_LIB = None
 def _pack_lib():
     global _PACK_LIB
     if _PACK_LIB is None:
-        if not os.path.exists(_PACK_SO):
+        if _stale(_PACK_SO, [os.path.join(_DIR, "csrc", "pack.cpp")]):
             _build()
         lib = ctypes.CDLL(_PACK_SO)
         lib.zeth_pack_rows.argtypes = [
@@ -247,29 +255,34 @@ def load_image(elf_bytes: bytes) -> tuple[int, np.ndarray, np.ndarray]:
         lib.ex_destroy(h)
 
 
+def image_page_root(addrs: np.ndarray, words: np.ndarray) -> np.ndarray:
+    """The initial memory image's page-tree root (hash/pagetree.py)."""
+    from ..hash import pagetree as PT
+    return PT.SparsePageTree(addrs, words).root()
+
+
 def image_id_from_parts(entry_pc: int, addrs: np.ndarray,
                         words: np.ndarray) -> np.ndarray:
     """Image ID from an explicit memory image (also used by verifiers to
     bind a prover-supplied image back to the claimed ID)."""
-    from ..hash import poseidon2 as P2
+    return image_id_from_root(entry_pc, image_page_root(addrs, words))
 
-    a = np.asarray(addrs, dtype=np.uint64)
-    w = np.asarray(words, dtype=np.uint64)
-    head = np.array([entry_pc & 0xFFFF, entry_pc >> 16, len(a)],
-                    dtype=np.uint64)
-    body = np.stack([a & 0xFFFF, a >> np.uint64(16),
-                     w & 0xFFFF, w >> np.uint64(16)], axis=1).reshape(-1)
+
+def image_id_from_root(entry_pc: int, page_root: np.ndarray) -> np.ndarray:
+    from ..hash import poseidon2 as P2
+    head = np.array([entry_pc & 0xFFFF, entry_pc >> 16], dtype=np.uint64)
+    body = np.asarray(page_root, dtype=np.uint64).reshape(8)
     return P2.hash_rows_np(np.concatenate([head, body])[None])[0]
 
 
 def compute_image_id(elf_bytes: bytes) -> np.ndarray:
-    """Image ID: Poseidon2 digest of the initial memory image + entry pc.
+    """Image ID: Poseidon2 digest of (entry pc, memory page-tree root).
 
     Plays the role of risc0-binfmt's image ID (SURVEY.md §2.2; used at
     reference crates/host/src/lib.rs:81): any change to the guest binary
-    changes the ID. Encoding: [pc_lo16, pc_hi16, n_words, then per nonzero
-    word in address order: addr_lo16, addr_hi16, val_lo16, val_hi16],
-    hashed with the framework's Poseidon2 sponge. Returns (8,) uint64.
+    changes the ID, and the embedded page-tree root is the pre_root of
+    the first segment's paging proof (the reference's MemoryImage
+    digest). Returns (8,) uint64.
     """
     entry, a, w = load_image(elf_bytes)
     return image_id_from_parts(entry, a, w)
@@ -328,7 +341,7 @@ class Executor:
         if limit <= 2 * PAGE_CYCLES + 1:
             raise ValueError(
                 f"segment_po2={self.segment_po2} too small: budget {limit} "
-                f"<= paging reserve {2 * PAGE_CYCLES + 1} (need po2 >= 12)")
+                f"<= paging reserve {2 * PAGE_CYCLES + 1} (need po2 >= 11)")
         segments = []
         user0 = paging0 = 0
         for seg_idx in range(max_segments):

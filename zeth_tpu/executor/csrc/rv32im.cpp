@@ -20,10 +20,13 @@
 
 namespace {
 
-constexpr uint32_t PAGE_BITS = 12;
+// 1 KiB pages, matching the paging circuit's page-tree commitment
+// (circuits/paging.py: one 864-row slot per touched page; the full cost
+// is charged at first touch — the slot covers both pre and post hashes)
+constexpr uint32_t PAGE_BITS = 10;
 constexpr uint32_t PAGE_SIZE = 1u << PAGE_BITS;
 constexpr uint32_t PAGE_WORDS = PAGE_SIZE / 4;
-constexpr uint64_t PAGE_CYCLES = 1094;  // hash cost of one page in-circuit
+constexpr uint64_t PAGE_CYCLES = 864;   // paging-circuit rows per page
 
 enum Status : int { ST_RUNNING = 0, ST_HALTED = 1, ST_SEGMENT_FULL = 2, ST_ERROR = 3 };
 
@@ -233,9 +236,10 @@ struct Executor {
     uint8_t& bits = seg_touched[pnum];
     uint8_t need = write ? 2 : 1;
     if ((bits & need) == 0) {
-      if (bits == 0) { paging_cycles += PAGE_CYCLES; seg_paging += PAGE_CYCLES; } // page-in
-      if (write) { paging_cycles += PAGE_CYCLES; seg_paging += PAGE_CYCLES; }      // page-out
-      bits |= need | 1;  // a write implies the page was also read in
+      // one paging-circuit slot per touched page, charged at first
+      // touch (the slot proves both the pre and post page hashes)
+      if (bits == 0) { paging_cycles += PAGE_CYCLES; seg_paging += PAGE_CYCLES; }
+      bits |= need | 1;
     }
   }
 

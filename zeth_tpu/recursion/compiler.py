@@ -98,11 +98,16 @@ def compile_verifier(inner_air, po2: int, n_publics: int,
     which must assert the in-proof counts match it).
     """
     b = Builder()
-    pub_cells = emit_verify(b, inner_air, po2, n_publics, control_root,
-                            pub_shape=pub_shape)
-    # claim: outer publics = H(po2 || H(inner publics))
+    pub_cells, extra_cells = emit_verify(b, inner_air, po2, n_publics,
+                                         control_root,
+                                         pub_shape=pub_shape,
+                                         with_extra=True)
+    # claim: outer publics = H(po2 || H(inner publics) || extra row).
+    # For AIRs with companion bindings (rv32im: paging root, d0/d1 and
+    # the sampled g4/g5) the extra row makes the claim pin them, so the
+    # receipt-level resolve can check them against the paging publics.
     pub_digest = b.sponge_hash(pub_cells)
-    claim = b.sponge_hash([b.const(po2)] + pub_digest)
+    claim = b.sponge_hash([b.const(po2)] + pub_digest + extra_cells)
     for j in range(8):
         b.bind_public(claim[j], j)
     sizes = {"control": inner_air.control_cols, "main": inner_air.main_cols,
@@ -116,9 +121,14 @@ def compile_verifier(inner_air, po2: int, n_publics: int,
 
 
 def emit_verify(b: Builder, inner_air, po2: int, n_publics: int,
-                control_root=None, pub_shape=None) -> list[int]:
+                control_root=None, pub_shape=None, with_extra=False):
     """Emit a full STARK verification into builder b; returns the inner
-    publics cells (stream inputs, for the caller's claim binding)."""
+    publics cells (stream inputs, for the caller's claim binding).
+
+    with_extra=True additionally returns the companion-binding cells
+    (for uses_extra_mix AIRs: the companion proof's main root, the d0/d1
+    derived-scalar components, and the sampled g4/g5 components; empty
+    list otherwise)."""
     if control_root is None:
         control_root = expected_control_root(inner_air, po2)
     control_root = [int(x) for x in np.asarray(control_root).reshape(8)]
@@ -151,6 +161,13 @@ def emit_verify(b: Builder, inner_air, po2: int, n_publics: int,
     rt.mix_digest(ctl_root)
     main_root = b.inputs(8)
     rt.mix_digest(main_root)
+    uses_extra = getattr(inner_air, "uses_extra_mix", False)
+    extra_root = []
+    if uses_extra:
+        # companion-proof main root, mixed before challenge sampling
+        # (mirrors prover.prove extra_mix)
+        extra_root = b.inputs(8)
+        rt.mix_digest(extra_root)
 
     # sampled challenges (components kept for the tape's scalar slots)
     chal_comps, chal_ext = [], []
@@ -161,9 +178,21 @@ def emit_verify(b: Builder, inner_air, po2: int, n_publics: int,
 
     # derived challenge scalars (AIR hook; componentized for the tape)
     n_derived = getattr(inner_air, "n_derived", 0)
+    extra_claim_cells = []
     if n_derived:
+        rec_kwargs = {}
+        if uses_extra:
+            d0_comps = b.inputs(4)
+            d1_comps = b.inputs(4)
+            extra_cells = {"d0": b.combine_ext(d0_comps),
+                           "d1": b.combine_ext(d1_comps)}
+            rec_kwargs["extra_cells"] = extra_cells
+            # claim binds: companion root, d0/d1, the sampled g4/g5
+            extra_claim_cells = (list(extra_root) + list(d0_comps)
+                                 + list(d1_comps) + list(chal_comps[4])
+                                 + list(chal_comps[5]))
         derived = inner_air.derived_challenges_rec(b, pub_cells, chal_ext,
-                                                   pub_shape)
+                                                   pub_shape, **rec_kwargs)
         assert len(derived) == n_derived
         for d in derived:
             chal_comps.append(b.ext_components(d))
@@ -378,6 +407,8 @@ def emit_verify(b: Builder, inner_air, po2: int, n_publics: int,
             acc = b.fma(a=acc, b=xf, c=cj, d=b.ONE, s0=1, s1=1)
         b.assert_cells_eq(acc, value)
 
+    if with_extra:
+        return pub_cells, extra_claim_cells
     return pub_cells
 
 
@@ -386,8 +417,12 @@ def emit_verify(b: Builder, inner_air, po2: int, n_publics: int,
 # ---------------------------------------------------------------------------
 
 
-def proof_to_stream(vp: VerifierProgram, proof) -> np.ndarray:
-    """Serialize a StarkProof into the witness stream for vp's program."""
+def proof_to_stream(vp: VerifierProgram, proof, extra=None) -> np.ndarray:
+    """Serialize a StarkProof into the witness stream for vp's program.
+
+    extra: for uses_extra_mix inner AIRs, the companion bindings
+    (companion_main_root(8,), d0(4,), d1(4,)) consumed by the program
+    right where emit_verify read them."""
     out: list[int] = []
 
     def put(vals):
@@ -395,6 +430,10 @@ def proof_to_stream(vp: VerifierProgram, proof) -> np.ndarray:
 
     put(proof.publics)
     put(proof.roots["main"])
+    if extra is not None:
+        put(extra[0])             # companion main root (mixed)
+        put(extra[1])             # d0 components
+        put(extra[2])             # d1 components
     if vp.group_widths["aux"]:
         put(proof.roots["aux"])
     put(proof.roots["check"])
@@ -419,9 +458,15 @@ def proof_to_stream(vp: VerifierProgram, proof) -> np.ndarray:
     return np.array(out, dtype=np.uint64)
 
 
-def claim_digest(po2: int, publics) -> np.ndarray:
-    """Host mirror of the program's outer claim: H(po2 || H(publics))."""
+def claim_digest(po2: int, publics, extra_row=None) -> np.ndarray:
+    """Host mirror of the program's outer claim:
+    H(po2 || H(publics) || extra_row).
+
+    extra_row: for uses_extra_mix AIRs, the 24 companion-binding values
+    [companion_root(8), d0(4), d1(4), g4(4), g5(4)]."""
     pubs = np.asarray([int(p) % P for p in publics], dtype=np.uint64)
     pd = P2.hash_rows_np(pubs[None])[0]
-    row = np.concatenate([np.array([po2], np.uint64), pd])
-    return P2.hash_rows_np(row[None])[0]
+    parts = [np.array([po2], np.uint64), pd]
+    if extra_row is not None:
+        parts.append(np.asarray(extra_row, np.uint64).reshape(-1))
+    return P2.hash_rows_np(np.concatenate(parts)[None])[0]

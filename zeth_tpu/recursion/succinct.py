@@ -142,12 +142,34 @@ def _prove_program(program: vm.Program, stream: np.ndarray,
                       node=node)
 
 
-def lift(inner_air, inner_proof) -> RecReceipt:
-    """Prove in-circuit that inner_proof verifies; returns the receipt."""
+def _extra_row(extra):
+    """(root8, d0, d1, g4, g5) -> the 24-value claim row."""
+    root, d0, d1, g4, g5 = extra
+    return np.concatenate([np.asarray(root, np.uint64).reshape(8),
+                           np.asarray(d0, np.uint64).reshape(4),
+                           np.asarray(d1, np.uint64).reshape(4),
+                           np.asarray(g4, np.uint64).reshape(4),
+                           np.asarray(g5, np.uint64).reshape(4)])
+
+
+def lift(inner_air, inner_proof, extra=None) -> RecReceipt:
+    """Prove in-circuit that inner_proof verifies; returns the receipt.
+
+    extra: for uses_extra_mix inner AIRs (rv32im), the companion paging
+    bindings (paging_main_root(8,), d0(4,), d1(4,), g4(4,), g5(4,)) —
+    bound into the lift claim and resolved against the paging proof's
+    publics at the receipt level."""
     vp = lift_program(inner_air, inner_proof.po2, len(inner_proof.publics),
                       publics_shape(inner_air, inner_proof.publics))
-    stream = compiler.proof_to_stream(vp, inner_proof)
-    claim = compiler.claim_digest(inner_proof.po2, inner_proof.publics)
+    if getattr(inner_air, "uses_extra_mix", False):
+        assert extra is not None, "inner AIR requires companion bindings"
+        stream = compiler.proof_to_stream(
+            vp, inner_proof, extra=(extra[0], extra[1], extra[2]))
+        claim = compiler.claim_digest(inner_proof.po2, inner_proof.publics,
+                                      _extra_row(extra))
+    else:
+        stream = compiler.proof_to_stream(vp, inner_proof)
+        claim = compiler.claim_digest(inner_proof.po2, inner_proof.publics)
     return _prove_program(vp.program, stream, claim, vp)
 
 
@@ -161,9 +183,12 @@ def join(left: RecReceipt, right: RecReceipt) -> RecReceipt:
     return _prove_program(jp.program, stream, claim, jp)
 
 
-def aggregate(inner_air, inner_proofs: list) -> RecReceipt:
+def aggregate(inner_air, inner_proofs: list, extras=None) -> RecReceipt:
     """lift every segment proof, then fold joins to a single receipt."""
-    nodes = [lift(inner_air, p) for p in inner_proofs]
+    if extras is None:
+        extras = [None] * len(inner_proofs)
+    nodes = [lift(inner_air, p, extra=x)
+             for p, x in zip(inner_proofs, extras)]
     while len(nodes) > 1:
         nxt = []
         for i in range(0, len(nodes) - 1, 2):
@@ -179,10 +204,14 @@ def aggregate(inner_air, inner_proofs: list) -> RecReceipt:
 # ---------------------------------------------------------------------------
 
 
-def expected_root_claim(inner_po2s: list, inner_publics: list) -> np.ndarray:
+def expected_root_claim(inner_po2s: list, inner_publics: list,
+                        extras=None) -> np.ndarray:
     """Fold the claim tree exactly as aggregate() does."""
-    claims = [compiler.claim_digest(p, pub)
-              for p, pub in zip(inner_po2s, inner_publics)]
+    if extras is None:
+        extras = [None] * len(inner_po2s)
+    claims = [compiler.claim_digest(
+                  p, pub, None if x is None else _extra_row(x))
+              for p, pub, x in zip(inner_po2s, inner_publics, extras)]
     while len(claims) > 1:
         nxt = []
         for i in range(0, len(claims) - 1, 2):
@@ -194,7 +223,7 @@ def expected_root_claim(inner_po2s: list, inner_publics: list) -> np.ndarray:
 
 
 def verify_root(receipt: RecReceipt, inner_air, inner_po2s: list,
-                inner_publics: list) -> None:
+                inner_publics: list, extras=None) -> None:
     """Verify ONE root recursion proof against the claimed segment publics.
 
     Recompiles (cached) the program tree for the claimed shapes so the
@@ -202,7 +231,7 @@ def verify_root(receipt: RecReceipt, inner_air, inner_po2s: list,
     then checks the root claim equals the fold of the per-segment claim
     digests. Raises zkp.verifier.VerificationError on failure.
     """
-    want = expected_root_claim(inner_po2s, inner_publics)
+    want = expected_root_claim(inner_po2s, inner_publics, extras)
     if not (np.asarray(receipt.claim, np.uint64) == want).all():
         raise verifier_mod.VerificationError("root claim mismatch")
     # rebuild the expected root program for the claimed shapes

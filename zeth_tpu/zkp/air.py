@@ -84,7 +84,7 @@ class HostVecOps:
 
 
 def check_constraints(air, control_std, main_std, aux_std, publics,
-                      challenges) -> dict:
+                      challenges, derived_extra=None) -> dict:
     """Evaluate every constraint on the trace domain (host numpy).
 
     Returns {constraint_index: count_of_nonzero_rows} for violations only.
@@ -101,8 +101,10 @@ def check_constraints(air, control_std, main_std, aux_std, publics,
 
     challenges = np.asarray(challenges, np.uint64).reshape(-1, 4)
     if getattr(air, "n_derived", 0):
-        derived = np.asarray(air.derived_challenges(publics, challenges),
-                             np.uint64).reshape(-1, 4)
+        derived = np.asarray(
+            air.derived_challenges(publics, challenges,
+                                   extra=derived_extra),
+            np.uint64).reshape(-1, 4)
         challenges = np.concatenate([challenges, derived], axis=0)
     n_ps = getattr(air, "n_public_scalars", None)
     scalar_pubs = publics if n_ps is None else publics[:n_ps]
@@ -185,10 +187,16 @@ class Air:
     # tunneled chips); packing is prover-local and soundness-neutral.
     main_bit_mask: np.ndarray | None = None
 
-    def derived_challenges(self, publics, challenges):
+    def derived_challenges(self, publics, challenges, extra=None):
         """Challenge-dependent scalars both sides compute from the publics
         (e.g. expected LogUp sums over public lists). Appended to the
-        sampled challenges as entries [n_challenges:]. (k, 4) standard."""
+        sampled challenges as entries [n_challenges:]. (k, 4) standard.
+
+        extra: AIR-specific values that are NOT derivable from this
+        proof's publics but are bound by a companion proof (e.g. the
+        rv32im RAM boundary sums d0/d1, bound by the paging proof —
+        circuits/paging.py). The prover passes them at prove time; the
+        verifier passes the companion proof's public values."""
         return np.zeros((0, 4), dtype=np.uint64)
 
     def control_trace(self, po2: int) -> np.ndarray:

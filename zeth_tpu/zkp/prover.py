@@ -288,6 +288,25 @@ def _upload_main(air: Air, main_std: np.ndarray, shard_rows):
     return out
 
 
+def commit_main(air: Air, main_std: np.ndarray):
+    """Commit the main group exactly as prove() does; returns
+    (root (8,) np.uint64, handle) where handle can be passed back to
+    prove(main_commit=handle) to reuse the upload/LDE/tree (used to
+    pre-commit a companion proof's trace into another transcript via
+    prove(extra_mix=...) before the shared challenges are sampled)."""
+    n = main_std.shape[0]
+    lde_std, _ = _lde_dispatch(None, n)
+    dev = _upload_main(air, main_std, jnp.asarray)
+    lde = lde_std(dev)
+    tree = merkle.commit_rows(lde)
+    root = np.asarray(jax.device_get(tree.root), np.uint64)
+    return root, (dev, lde, tree)
+
+
+def commit_main_root(air: Air, main_std: np.ndarray) -> np.ndarray:
+    return commit_main(air, main_std)[0]
+
+
 def _zinv_table(n: int) -> np.ndarray:
     """Montgomery (BLOWUP,) table of 1/(x^n - 1) on the LDE coset (4-periodic)."""
     gn = pow(GENERATOR, n, P)
@@ -333,12 +352,21 @@ def scalar_publics(air: Air, publics):
     return publics if n_ps is None else publics[:n_ps]
 
 
-def all_challenges(air: Air, publics, sampled: np.ndarray) -> np.ndarray:
-    """Sampled challenges + the AIR's derived challenge-like scalars."""
+def all_challenges(air: Air, publics, sampled: np.ndarray,
+                   derived_extra=None) -> np.ndarray:
+    """Sampled challenges + the AIR's derived challenge-like scalars.
+
+    derived_extra may be a callable taking the sampled challenges (the
+    prover computes companion-bound values like d0/d1 only once the
+    shared challenges exist) or a plain dict (the verifier passes the
+    companion proof's public values)."""
     if not getattr(air, "n_derived", 0):
         return sampled
-    derived = np.asarray(air.derived_challenges(publics, sampled),
-                         np.uint64).reshape(-1, 4)
+    if callable(derived_extra):
+        derived_extra = derived_extra(sampled)
+    derived = np.asarray(
+        air.derived_challenges(publics, sampled, extra=derived_extra),
+        np.uint64).reshape(-1, 4)
     return np.concatenate([sampled.reshape(-1, 4), derived], axis=0)
 
 
@@ -488,7 +516,8 @@ class _Stage:
 
 
 def prove(air: Air, main_std: np.ndarray, publics: list[int],
-          mesh=None) -> StarkProof:
+          mesh=None, derived_extra=None, extra_mix=None,
+          main_commit=None) -> StarkProof:
     """Prove one AIR execution. main_std: (n, main_cols) standard-form trace.
 
     mesh: optional jax.sharding.Mesh with a "rows" axis — the witness,
@@ -516,6 +545,13 @@ def prove(air: Air, main_std: np.ndarray, publics: list[int],
     dev_std = {}
     control_std = air.control_trace(po2)
     for gname, std in (("control", control_std), ("main", main_std)):
+        if gname == "main" and main_commit is not None:
+            dev, ldes["main"], trees["main"] = main_commit
+            if device_aux:
+                dev_std["main"] = dev
+            roots["main"] = trees["main"].root
+            t.mix(roots["main"])
+            continue
         with _Stage(f"commit {gname}"):
             with _Stage(f"  {gname} upload"):
                 if gname == "main":
@@ -539,10 +575,16 @@ def prove(air: Air, main_std: np.ndarray, publics: list[int],
             roots[gname] = trees[gname].root
         t.mix(roots[gname])
 
+    # companion-proof commitment (e.g. the paging proof's main root):
+    # mixed before challenge sampling so witness bound by the companion
+    # is committed before the shared challenges exist (LogUp ordering)
+    if extra_mix is not None:
+        t.mix(np.asarray(extra_mix, np.uint64).reshape(8))
+
     # --- aux group -------------------------------------------------------
     sampled = np.stack([t.sample_ext() for _ in range(air.n_challenges)]) \
         if air.n_challenges else np.zeros((0, 4), dtype=np.uint64)
-    challenges = all_challenges(air, publics, sampled)
+    challenges = all_challenges(air, publics, sampled, derived_extra)
     if air.aux_cols:
         with _Stage("commit aux"):
             if device_aux:

@@ -55,15 +55,22 @@ def _ensure(cond, msg):
         raise VerificationError(msg)
 
 
-def verify(air: Air, proof: StarkProof, publics: list[int]) -> None:
+def verify(air: Air, proof: StarkProof, publics: list[int],
+           derived_extra=None, extra_mix=None) -> np.ndarray:
     """Raise VerificationError unless the proof is valid for (air, publics).
+
+    derived_extra/extra_mix: companion-proof bindings, mirroring
+    prover.prove (the caller is responsible for checking the companion
+    proof binds these same values). Returns the sampled challenges
+    ((n_challenges, 4) standard form) so callers can cross-check them
+    against companion publics.
 
     Any structural malformation of an untrusted seal (wrong shapes,
     short arrays, bad counts) raises VerificationError too, never a bare
     IndexError/ValueError (ADVICE.md r1 finding #4).
     """
     try:
-        _verify_inner(air, proof, publics)
+        return _verify_inner(air, proof, publics, derived_extra, extra_mix)
     except VerificationError:
         raise
     except (IndexError, ValueError, KeyError, AssertionError, TypeError,
@@ -72,7 +79,8 @@ def verify(air: Air, proof: StarkProof, publics: list[int]) -> None:
             from e
 
 
-def _verify_inner(air: Air, proof: StarkProof, publics: list[int]) -> None:
+def _verify_inner(air: Air, proof: StarkProof, publics: list[int],
+                  derived_extra=None, extra_mix=None) -> np.ndarray:
     n = 1 << proof.po2
     _ensure(isinstance(proof.po2, int) and 2 <= proof.po2 <= 27,
             "po2 out of range")
@@ -95,10 +103,12 @@ def _verify_inner(air: Air, proof: StarkProof, publics: list[int]) -> None:
                 "control root mismatch")
     t.mix(proof.roots["control"])
     t.mix(proof.roots["main"])
+    if extra_mix is not None:
+        t.mix(np.asarray(extra_mix, np.uint64).reshape(8))
     sampled = np.stack([t.sample_ext() for _ in range(air.n_challenges)]) \
         if air.n_challenges else np.zeros((0, 4), dtype=np.uint64)
     from .prover import all_challenges, scalar_publics
-    challenges = all_challenges(air, publics, sampled)
+    challenges = all_challenges(air, publics, sampled, derived_extra)
     if air.aux_cols:
         t.mix(proof.roots["aux"])
     alpha = t.sample_ext()
@@ -208,3 +218,4 @@ def _verify_inner(air: Air, proof: StarkProof, publics: list[int]) -> None:
             merkle.verify_many(proof.roots[gname], qs, op.rows, op.paths,
                                depth=depth, width=sizes[gname]),
             f"bad merkle path: group {gname}")
+    return sampled

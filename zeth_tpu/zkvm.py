@@ -110,6 +110,7 @@ class SegmentsInner:
     seal whose proof-bound IO discharges the segments' keccak claims
     (the reference's assumption-receipt/resolve role)."""
     seals: list = field(default_factory=list)       # list of np.uint32 seals
+    paging_seals: list = field(default_factory=list)  # companion paging seals
     image_addrs: np.ndarray = None
     image_words: np.ndarray = None
     entry_pc: int = 0
@@ -132,6 +133,8 @@ class SuccinctInner:
     root_seal: np.ndarray           # encoded recursion StarkProof
     segment_publics: list           # [segment][...] public values
     segment_po2s: list              # [segment] inner trace po2
+    paging_seals: list = None       # companion paging seals (host-verified)
+    segment_extras: list = None     # [(paging_root, d0, d1)] lift bindings
     image_addrs: np.ndarray = None
     image_words: np.ndarray = None
     entry_pc: int = 0
@@ -173,7 +176,8 @@ class Receipt:
             # resolve: an accelerator seal discharges the keccak claims
             acc_words, big_io, sha_io = _resolve_accelerators(self.inner)
             out = rv.verify_segments(
-                self.inner.seals, self.claim, self.inner.image_addrs,
+                self.inner.seals, self.inner.paging_seals, self.claim,
+                self.inner.image_addrs,
                 self.inner.image_words, self.inner.entry_pc,
                 keccak_checked=acc_words is not None,
                 bigint_checked=big_io is not None,
@@ -194,20 +198,48 @@ class Receipt:
                 raise VerificationError("program image does not match image id")
             air = rv.Rv32imAir(self.inner.image_addrs,
                                self.inner.image_words)
+            # paging resolve: verify every companion paging seal, derive
+            # the lift-claim bindings from its (verified) publics, and
+            # chain the page-tree roots in verify_chain below. The lift
+            # claims pin (paging root, d0/d1, sampled g4/g5), so a root
+            # proof only verifies if each segment proof was checked
+            # against exactly these paging-bound values.
+            from .circuits.paging import PagingAir
+            pg_air = PagingAir()
+            if len(self.inner.paging_seals or []) != \
+                    len(self.inner.segment_publics):
+                raise VerificationError(
+                    "succinct receipt: paging seal count mismatch")
+            extras, paging_pubs_list = [], []
+            for i, ps in enumerate(self.inner.paging_seals):
+                pg = proof_mod.decode(ps)
+                pg_pubs = [int(p) for p in pg.publics]
+                try:
+                    ppg = PagingAir.parse_publics(pg_pubs)
+                    verifier_mod.verify(pg_air, pg, pg_pubs)
+                except (verifier_mod.VerificationError, ValueError) as e:
+                    raise VerificationError(
+                        f"paging seal {i}: {e}") from e
+                extras.append((np.asarray(pg.roots["main"], np.uint64),
+                               ppg["d0"], ppg["d1"], ppg["g4"],
+                               ppg["g5"]))
+                paging_pubs_list.append(pg_pubs)
             root = succinct.RecReceipt(
                 proof=proof_mod.decode(self.inner.root_seal),
                 claim=None, node=None)
             root.claim = np.asarray(root.proof.publics, np.uint64)
             try:
                 succinct.verify_root(root, air, self.inner.segment_po2s,
-                                     self.inner.segment_publics)
+                                     self.inner.segment_publics, extras)
             except verifier_mod.VerificationError as e:
                 raise VerificationError(f"succinct receipt: {e}") from e
             acc_words, big_io, sha_io = _resolve_accelerators(self.inner)
             out = rv.verify_chain(
                 self.inner.segment_publics, self.claim,
                 self.inner.image_addrs, self.inner.image_words,
-                self.inner.entry_pc, keccak_checked=acc_words is not None,
+                self.inner.entry_pc,
+                paging_publics_list=paging_pubs_list,
+                keccak_checked=acc_words is not None,
                 bigint_checked=big_io is not None,
                 sha_checked=sha_io is not None)
             _check_accelerator_io(out, acc_words, big_io, sha_io)
@@ -333,7 +365,7 @@ class LocalProver:
             image_id=compute_image_id(elf),
             journal_digest=hashlib.sha256(res.journal).digest(),
             exit_code=res.exit_code)
-        seals = [rv.prove_segment(seg, img_a, img_w) for seg in res.segments]
+        seals, paging_seals = rv.prove_segments(res.segments, img_a, img_w)
         keccak_seal = None
         if getattr(ex, "keccak_inputs", None) is not None \
                 and len(ex.keccak_inputs):
@@ -356,22 +388,33 @@ class LocalProver:
             rows = np.asarray(ex.sha_inputs, np.uint64)
             sha_seal, _ = sha_air.prove_batch(rows[:, :8], rows[:, 8:24])
         if os.environ.get("ZETH_SUCCINCT", "0") == "1":
+            from .circuits.paging import PagingAir
             from .circuits.rv32im import Rv32imAir
             from .recursion import succinct
             from .zkp import proof as proof_mod
             air = Rv32imAir(img_a, img_w)
             proofs = [proof_mod.decode(s) for s in seals]
-            root = succinct.aggregate(air, proofs)
+            extras = []
+            for ps in paging_seals:
+                pg = proof_mod.decode(ps)
+                ppg = PagingAir.parse_publics([int(p) for p in pg.publics])
+                extras.append((np.asarray(pg.roots["main"], np.uint64),
+                               ppg["d0"], ppg["d1"], ppg["g4"],
+                               ppg["g5"]))
+            root = succinct.aggregate(air, proofs, extras)
             inner = SuccinctInner(
                 root_seal=proof_mod.encode(root.proof),
                 segment_publics=[[int(p) for p in pf.publics]
                                  for pf in proofs],
                 segment_po2s=[pf.po2 for pf in proofs],
+                paging_seals=paging_seals,
+                segment_extras=extras,
                 image_addrs=img_a, image_words=img_w, entry_pc=entry_pc,
                 keccak_seal=keccak_seal, bigint_seal=bigint_seal,
                 sha_seal=sha_seal)
         else:
-            inner = SegmentsInner(seals=seals, image_addrs=img_a,
+            inner = SegmentsInner(seals=seals, paging_seals=paging_seals,
+                                  image_addrs=img_a,
                                   image_words=img_w, entry_pc=entry_pc,
                                   keccak_seal=keccak_seal,
                                   bigint_seal=bigint_seal,
