@@ -125,3 +125,38 @@ def test_sha256_accelerator_resolve_roundtrip():
     info.receipt.inner.sha_seal = bad
     with pytest.raises(zkvm.VerificationError):
         info.receipt.verify(compute_image_id(elf))
+
+
+def test_succinct_receipt_roundtrip(monkeypatch):
+    """ZETH_SUCCINCT=1: a multi-segment execution aggregates to ONE root
+    recursion proof over the (segment, paging) lift pair tree; receipt
+    verification is a single STARK verify + host claim hashing. Forged
+    companion bindings are rejected."""
+    import numpy as np
+
+    from zeth_tpu import zkvm
+    from zeth_tpu.executor import compute_image_id, guests
+
+    monkeypatch.setenv("ZETH_SUCCINCT", "1")
+    elf = guests.spin(20000)
+    env = zkvm.ExecutorEnv.builder().segment_limit_po2(13).build()
+    info = zkvm.LocalProver().prove(env, elf)
+    inner = info.receipt.inner
+    assert inner.kind == "succinct"
+    assert len(inner.segment_publics) >= 2
+    info.receipt.verify(compute_image_id(elf))
+
+    # forged d0 binding: the pair claim no longer matches the root
+    x0 = inner.segment_extras[0]
+    inner.segment_extras[0] = (x0[0],
+                               (x0[1] + np.uint64(1)) % np.uint64(2**31),
+                               x0[2], x0[3], x0[4])
+    with pytest.raises(zkvm.VerificationError):
+        info.receipt.verify(compute_image_id(elf))
+    inner.segment_extras[0] = x0
+
+    # forged paging public (post root limb): claim/chain breaks
+    inner.paging_publics[0] = list(inner.paging_publics[0])
+    inner.paging_publics[0][32] ^= 1
+    with pytest.raises(zkvm.VerificationError):
+        info.receipt.verify(compute_image_id(elf))

@@ -201,6 +201,26 @@ class PagingAir(Air):
         pp = self.parse_publics(publics)
         return np.stack([pp["g4"], pp["g5"]])
 
+    # -- recursion-circuit hooks ------------------------------------------
+
+    # lift claims bind this proof's main root, so the rv32im lift claim's
+    # paging-root binding pins the exact paging STARK that was lifted
+    bind_claim_main_root = True
+
+    def publics_shape(self, publics):
+        return None
+
+    def derived_challenges_rec(self, b, pub_cells, chal_ext, pub_shape):
+        """In-circuit mirror of derived_challenges: recompose g4/g5 from
+        the 16-bit limb pairs of the publics (the claim binds the raw
+        cells; the host's canonical parse enforces limb ranges)."""
+        out = []
+        for base in (0, 8):
+            comps = [b.axpy(1 << 16, pub_cells[base + 2 * i + 1],
+                            pub_cells[base + 2 * i]) for i in range(4)]
+            out.append(b.combine_ext(comps))
+        return out
+
     # -- control -----------------------------------------------------------
 
     def control_trace(self, po2: int) -> np.ndarray:

@@ -2468,8 +2468,13 @@ def prove_segments(segments, image_addrs, image_words, mesh=None):
     main trace is committed FIRST and mixed into the rv32im transcript
     (extra_mix) so the page/touch witness predates the sampling of the
     RAM challenges g4/g5; the d0/d1 boundary sums are then computed
-    under the sampled challenges and bound in both proofs.
+    under the sampled challenges and bound in both proofs. The paging
+    prove is launched from the challenge callback on a worker thread,
+    so it overlaps the rv32im prove's post-challenge stages (the two
+    transcripts are independent; seals are deterministic either way).
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..hash import pagetree as PT_
     from . import paging as paging_mod
     air = _air_for_image(image_addrs, image_words)
@@ -2477,46 +2482,55 @@ def prove_segments(segments, image_addrs, image_words, mesh=None):
     tree = PT_.SparsePageTree(image_addrs, image_words)
     zero4 = np.zeros(4, np.uint64)
     seals, pg_seals = [], []
-    for seg in segments:
-        pn, prep, postp, tch, sibs, r0, r1 = paging_mod.segment_witness(
-            tree, seg.mem_addrs, seg.mem_pre, seg.mem_post)
-        # the paging MAIN trace is independent of its publics; commit it
-        # first so its root can pre-seed the rv32im transcript
-        pg_main, _ = pg_air.witgen(pn, prep, postp, tch, sibs, r0, r1,
-                                   zero4, zero4)
-        pg_root, pg_commit = prover_mod.commit_main(pg_air, pg_main)
+    pool = ThreadPoolExecutor(max_workers=1)
+    try:
+        for seg in segments:
+            pn, prep, postp, tch, sibs, r0, r1 = \
+                paging_mod.segment_witness(tree, seg.mem_addrs,
+                                           seg.mem_pre, seg.mem_post)
+            # the paging MAIN trace is independent of its publics; commit
+            # it first so its root can pre-seed the rv32im transcript
+            pg_main, _ = pg_air.witgen(pn, prep, postp, tch, sibs, r0, r1,
+                                       zero4, zero4)
+            pg_root, pg_commit = prover_mod.commit_main(pg_air, pg_main)
 
-        po2 = choose_po2(seg, len(image_addrs))
-        main, publics = air.witgen(seg, po2)
-        init_list = [(int(a), int(v))
-                     for a, v in zip(seg.mem_addrs, seg.mem_pre)]
-        fin_list = [(int(a), int(v))
-                    for a, v in zip(seg.mem_addrs, seg.mem_post)]
-        cap = {}
+            po2 = choose_po2(seg, len(image_addrs))
+            main, publics = air.witgen(seg, po2)
+            init_list = [(int(a), int(v))
+                         for a, v in zip(seg.mem_addrs, seg.mem_pre)]
+            fin_list = [(int(a), int(v))
+                        for a, v in zip(seg.mem_addrs, seg.mem_post)]
+            fut = {}
 
-        def dx(sampled, cap=cap, init_list=init_list, fin_list=fin_list):
-            g4 = H.ext(np.asarray(sampled[4], np.uint64))
-            g5 = H.ext(np.asarray(sampled[5], np.uint64))
-            cap["g4"], cap["g5"] = sampled[4], sampled[5]
-            g5p = H.ext_powers(g5, 3)
-            return {"d0": _list_sum(init_list, g4, g5p),
-                    "d1": _list_sum(fin_list, g4, g5p)}
+            def pg_prove(g4, g5, pn=pn, prep=prep, postp=postp, tch=tch,
+                         r0=r0, r1=r1, pg_main=pg_main,
+                         pg_commit=pg_commit):
+                pg_pubs = paging_mod.PagingAir.pack_publics(
+                    g4, g5, r0, r1,
+                    paging_mod._touch_sum(pn, prep, tch, g4, g5),
+                    paging_mod._touch_sum(pn, postp, tch, g4, g5))
+                return prover_mod.prove(pg_air, pg_main, pg_pubs,
+                                        main_commit=pg_commit)
 
-        proof = prover_mod.prove(air, main, publics, mesh=mesh,
-                                 derived_extra=dx,
-                                 extra_mix=pg_root)
-        seals.append(proof_mod.encode(proof))
+            def dx(sampled, fut=fut, init_list=init_list,
+                   fin_list=fin_list, pg_prove=pg_prove):
+                g4 = H.ext(np.asarray(sampled[4], np.uint64))
+                g5 = H.ext(np.asarray(sampled[5], np.uint64))
+                fut["pg"] = pool.submit(pg_prove, sampled[4], sampled[5])
+                g5p = H.ext_powers(g5, 3)
+                return {"d0": _list_sum(init_list, g4, g5p),
+                        "d1": _list_sum(fin_list, g4, g5p)}
 
-        g4, g5 = cap["g4"], cap["g5"]
-        pg_pubs = paging_mod.PagingAir.pack_publics(
-            g4, g5, r0, r1,
-            paging_mod._touch_sum(pn, prep, tch, g4, g5),
-            paging_mod._touch_sum(pn, postp, tch, g4, g5))
-        pg_proof = prover_mod.prove(pg_air, pg_main, pg_pubs,
-                                    main_commit=pg_commit)
-        assert (np.asarray(pg_proof.roots["main"], np.uint64)
-                == pg_root).all()
-        pg_seals.append(proof_mod.encode(pg_proof))
+            proof = prover_mod.prove(air, main, publics, mesh=mesh,
+                                     derived_extra=dx,
+                                     extra_mix=pg_root)
+            seals.append(proof_mod.encode(proof))
+            pg_proof = fut["pg"].result()
+            assert (np.asarray(pg_proof.roots["main"], np.uint64)
+                    == pg_root).all()
+            pg_seals.append(proof_mod.encode(pg_proof))
+    finally:
+        pool.shutdown(wait=True)
     return seals, pg_seals
 
 

@@ -168,6 +168,7 @@ def emit_verify(b: Builder, inner_air, po2: int, n_publics: int,
         # (mirrors prover.prove extra_mix)
         extra_root = b.inputs(8)
         rt.mix_digest(extra_root)
+    bind_main = getattr(inner_air, "bind_claim_main_root", False)
 
     # sampled challenges (components kept for the tape's scalar slots)
     chal_comps, chal_ext = [], []
@@ -197,6 +198,10 @@ def emit_verify(b: Builder, inner_air, po2: int, n_publics: int,
         for d in derived:
             chal_comps.append(b.ext_components(d))
             chal_ext.append(d)
+    if bind_main:
+        # the claim additionally pins this proof's own main root (the
+        # value a companion claim's extra-mix binding refers to)
+        extra_claim_cells = list(main_root) + extra_claim_cells
 
     aux_root = None
     if sizes["aux"]:

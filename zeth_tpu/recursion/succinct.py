@@ -169,7 +169,11 @@ def lift(inner_air, inner_proof, extra=None) -> RecReceipt:
                                       _extra_row(extra))
     else:
         stream = compiler.proof_to_stream(vp, inner_proof)
-        claim = compiler.claim_digest(inner_proof.po2, inner_proof.publics)
+        row = (np.asarray(inner_proof.roots["main"], np.uint64)
+               if getattr(inner_air, "bind_claim_main_root", False)
+               else None)
+        claim = compiler.claim_digest(inner_proof.po2, inner_proof.publics,
+                                      row)
     return _prove_program(vp.program, stream, claim, vp)
 
 
@@ -189,6 +193,10 @@ def aggregate(inner_air, inner_proofs: list, extras=None) -> RecReceipt:
         extras = [None] * len(inner_proofs)
     nodes = [lift(inner_air, p, extra=x)
              for p, x in zip(inner_proofs, extras)]
+    return _fold(nodes)
+
+
+def _fold(nodes: list) -> RecReceipt:
     while len(nodes) > 1:
         nxt = []
         for i in range(0, len(nodes) - 1, 2):
@@ -197,6 +205,21 @@ def aggregate(inner_air, inner_proofs: list, extras=None) -> RecReceipt:
             nxt.append(nodes[-1])
         nodes = nxt
     return nodes[0]
+
+
+def aggregate_segments(inner_air, inner_proofs: list, paging_air,
+                       paging_proofs: list, extras: list) -> RecReceipt:
+    """Lift every (segment, paging) proof pair, join each pair, then
+    fold to ONE root receipt. The segment lift's claim binds (paging
+    main root, d0/d1, sampled g4/g5); the paging lift's claim binds the
+    paging proof's own main root — so the root claim transitively pins
+    the cross-proof link, and receipt verification needs no per-segment
+    STARK checks at all (only the root proof + host hashing)."""
+    pairs = []
+    for p, pg, x in zip(inner_proofs, paging_proofs, extras):
+        pairs.append(join(lift(inner_air, p, extra=x),
+                          lift(paging_air, pg)))
+    return _fold(pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -212,6 +235,27 @@ def expected_root_claim(inner_po2s: list, inner_publics: list,
     claims = [compiler.claim_digest(
                   p, pub, None if x is None else _extra_row(x))
               for p, pub, x in zip(inner_po2s, inner_publics, extras)]
+    while len(claims) > 1:
+        nxt = []
+        for i in range(0, len(claims) - 1, 2):
+            nxt.append(join_claim(claims[i], claims[i + 1]))
+        if len(claims) % 2:
+            nxt.append(claims[-1])
+        claims = nxt
+    return claims[0]
+
+
+def _fold_programs(nodes: list):
+    while len(nodes) > 1:
+        nxt = [join_program(nodes[i], nodes[i + 1])
+               for i in range(0, len(nodes) - 1, 2)]
+        if len(nodes) % 2:
+            nxt.append(nodes[-1])
+        nodes = nxt
+    return nodes[0]
+
+
+def _fold_claims(claims: list) -> np.ndarray:
     while len(claims) > 1:
         nxt = []
         for i in range(0, len(claims) - 1, 2):
@@ -238,12 +282,53 @@ def verify_root(receipt: RecReceipt, inner_air, inner_po2s: list,
     nodes = [lift_program(inner_air, p, len(pub),
                           publics_shape(inner_air, pub))
              for p, pub in zip(inner_po2s, inner_publics)]
-    while len(nodes) > 1:
-        nxt = [join_program(nodes[i], nodes[i + 1])
-               for i in range(0, len(nodes) - 1, 2)]
-        if len(nodes) % 2:
-            nxt.append(nodes[-1])
-        nodes = nxt
-    root_air = nodes[0].air()
+    root_air = _fold_programs(nodes).air()
+    verifier_mod.verify(root_air, receipt.proof,
+                        [int(x) for x in receipt.claim])
+
+
+def verify_root_segments(receipt: RecReceipt, inner_air, inner_po2s,
+                         inner_publics, extras, paging_air, paging_po2s,
+                         paging_publics, paging_roots) -> None:
+    """verify_root for the (segment, paging) pair tree built by
+    aggregate_segments: checks the root claim against the fold of the
+    pair-joined claim digests — each segment claim bound to its paging
+    claim via the shared paging main root — then verifies the ONE root
+    STARK against the recompiled pair-tree program."""
+    if not (len(inner_po2s) == len(inner_publics) == len(extras)
+            == len(paging_po2s) == len(paging_publics)
+            == len(paging_roots)):
+        raise verifier_mod.VerificationError("pair-tree shape mismatch")
+    claims = []
+    for po2, pub, x, ppo2, ppub, proot in zip(
+            inner_po2s, inner_publics, extras, paging_po2s,
+            paging_publics, paging_roots):
+        if not (np.asarray(x[0], np.uint64)
+                == np.asarray(proot, np.uint64)).all():
+            raise verifier_mod.VerificationError(
+                "segment claim's paging root does not match the paging "
+                "proof's main root")
+        ppg = paging_air.parse_publics(ppub)
+        for xi, key in ((1, "d0"), (2, "d1"), (3, "g4"), (4, "g5")):
+            if not (np.asarray(x[xi], np.uint64) == ppg[key]).all():
+                raise verifier_mod.VerificationError(
+                    f"segment claim's {key} does not match the paging "
+                    "proof's publics")
+        seg_claim = compiler.claim_digest(po2, pub, _extra_row(x))
+        pg_claim = compiler.claim_digest(
+            ppo2, ppub, np.asarray(proot, np.uint64).reshape(8))
+        claims.append(join_claim(seg_claim, pg_claim))
+    want = _fold_claims(claims)
+    if not (np.asarray(receipt.claim, np.uint64) == want).all():
+        raise verifier_mod.VerificationError("root claim mismatch")
+    nodes = []
+    for po2, pub, ppo2, ppub in zip(inner_po2s, inner_publics,
+                                    paging_po2s, paging_publics):
+        seg_vp = lift_program(inner_air, po2, len(pub),
+                              publics_shape(inner_air, pub))
+        pg_vp = lift_program(paging_air, ppo2, len(ppub),
+                             publics_shape(paging_air, ppub))
+        nodes.append(join_program(seg_vp, pg_vp))
+    root_air = _fold_programs(nodes).air()
     verifier_mod.verify(root_air, receipt.proof,
                         [int(x) for x in receipt.claim])

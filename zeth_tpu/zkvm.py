@@ -133,8 +133,11 @@ class SuccinctInner:
     root_seal: np.ndarray           # encoded recursion StarkProof
     segment_publics: list           # [segment][...] public values
     segment_po2s: list              # [segment] inner trace po2
-    paging_seals: list = None       # companion paging seals (host-verified)
-    segment_extras: list = None     # [(paging_root, d0, d1)] lift bindings
+    # companion paging bindings, pinned by the pair-joined lift claims
+    # (no paging seals travel — the root proof verified them in-circuit)
+    segment_extras: list = None     # [(pg_root, d0, d1, g4, g5)]
+    paging_po2s: list = None
+    paging_publics: list = None
     image_addrs: np.ndarray = None
     image_words: np.ndarray = None
     entry_pc: int = 0
@@ -198,40 +201,34 @@ class Receipt:
                 raise VerificationError("program image does not match image id")
             air = rv.Rv32imAir(self.inner.image_addrs,
                                self.inner.image_words)
-            # paging resolve: verify every companion paging seal, derive
-            # the lift-claim bindings from its (verified) publics, and
-            # chain the page-tree roots in verify_chain below. The lift
-            # claims pin (paging root, d0/d1, sampled g4/g5), so a root
-            # proof only verifies if each segment proof was checked
-            # against exactly these paging-bound values.
+            # succinct paging resolve: the (segment, paging) lift pairs
+            # were joined in-circuit — the root claim pins every segment
+            # proof, its paging proof (via the shared paging main root),
+            # and the cross-bound d0/d1/g4/g5. Verification is ONE root
+            # STARK + host claim hashing; the page-tree roots then chain
+            # in verify_chain below.
             from .circuits.paging import PagingAir
             pg_air = PagingAir()
-            if len(self.inner.paging_seals or []) != \
-                    len(self.inner.segment_publics):
+            inner = self.inner
+            if not (len(inner.segment_publics)
+                    == len(inner.segment_extras or [])
+                    == len(inner.paging_po2s or [])
+                    == len(inner.paging_publics or [])):
                 raise VerificationError(
-                    "succinct receipt: paging seal count mismatch")
-            extras, paging_pubs_list = [], []
-            for i, ps in enumerate(self.inner.paging_seals):
-                pg = proof_mod.decode(ps)
-                pg_pubs = [int(p) for p in pg.publics]
-                try:
-                    ppg = PagingAir.parse_publics(pg_pubs)
-                    verifier_mod.verify(pg_air, pg, pg_pubs)
-                except (verifier_mod.VerificationError, ValueError) as e:
-                    raise VerificationError(
-                        f"paging seal {i}: {e}") from e
-                extras.append((np.asarray(pg.roots["main"], np.uint64),
-                               ppg["d0"], ppg["d1"], ppg["g4"],
-                               ppg["g5"]))
-                paging_pubs_list.append(pg_pubs)
+                    "succinct receipt: paging binding count mismatch")
+            paging_pubs_list = [[int(p) for p in ps]
+                                for ps in inner.paging_publics]
             root = succinct.RecReceipt(
-                proof=proof_mod.decode(self.inner.root_seal),
+                proof=proof_mod.decode(inner.root_seal),
                 claim=None, node=None)
             root.claim = np.asarray(root.proof.publics, np.uint64)
             try:
-                succinct.verify_root(root, air, self.inner.segment_po2s,
-                                     self.inner.segment_publics, extras)
-            except verifier_mod.VerificationError as e:
+                succinct.verify_root_segments(
+                    root, air, inner.segment_po2s, inner.segment_publics,
+                    inner.segment_extras, pg_air, inner.paging_po2s,
+                    paging_pubs_list,
+                    [x[0] for x in inner.segment_extras])
+            except (verifier_mod.VerificationError, ValueError) as e:
                 raise VerificationError(f"succinct receipt: {e}") from e
             acc_words, big_io, sha_io = _resolve_accelerators(self.inner)
             out = rv.verify_chain(
@@ -393,22 +390,26 @@ class LocalProver:
             from .recursion import succinct
             from .zkp import proof as proof_mod
             air = Rv32imAir(img_a, img_w)
+            pg_air = PagingAir()
             proofs = [proof_mod.decode(s) for s in seals]
+            pg_proofs = [proof_mod.decode(s) for s in paging_seals]
             extras = []
-            for ps in paging_seals:
-                pg = proof_mod.decode(ps)
+            for pg in pg_proofs:
                 ppg = PagingAir.parse_publics([int(p) for p in pg.publics])
                 extras.append((np.asarray(pg.roots["main"], np.uint64),
                                ppg["d0"], ppg["d1"], ppg["g4"],
                                ppg["g5"]))
-            root = succinct.aggregate(air, proofs, extras)
+            root = succinct.aggregate_segments(air, proofs, pg_air,
+                                               pg_proofs, extras)
             inner = SuccinctInner(
                 root_seal=proof_mod.encode(root.proof),
                 segment_publics=[[int(p) for p in pf.publics]
                                  for pf in proofs],
                 segment_po2s=[pf.po2 for pf in proofs],
-                paging_seals=paging_seals,
                 segment_extras=extras,
+                paging_po2s=[pf.po2 for pf in pg_proofs],
+                paging_publics=[[int(p) for p in pf.publics]
+                                for pf in pg_proofs],
                 image_addrs=img_a, image_words=img_w, entry_pc=entry_pc,
                 keccak_seal=keccak_seal, bigint_seal=bigint_seal,
                 sha_seal=sha_seal)
