@@ -138,12 +138,11 @@ def test_succinct_receipt_roundtrip(monkeypatch):
     from zeth_tpu.executor import compute_image_id, guests
 
     monkeypatch.setenv("ZETH_SUCCINCT", "1")
-    elf = guests.spin(20000)
-    env = zkvm.ExecutorEnv.builder().segment_limit_po2(13).build()
+    elf = guests.echo_input(8)
+    env = zkvm.ExecutorEnv.builder().write_slice(bytes(range(8))).build()
     info = zkvm.LocalProver().prove(env, elf)
     inner = info.receipt.inner
     assert inner.kind == "succinct"
-    assert len(inner.segment_publics) >= 2
     info.receipt.verify(compute_image_id(elf))
 
     # forged d0 binding: the pair claim no longer matches the root
