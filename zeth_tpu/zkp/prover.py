@@ -120,6 +120,35 @@ def _lde_only_std(trace_std_u32):
     return _lde_group(F.to_monty(trace_std_u32))[1]
 
 
+# Above ~1.2e9 LDE elements (po2>=19 at rv32im width) the one-shot LDE
+# program's transients (bit-reversal gather + zero-pad concatenate) no
+# longer fit beside the resident groups in 16 GB HBM; chunk the trace
+# column-wise and write each chunk's LDE into a donated output buffer.
+_LDE_CHUNK_THRESHOLD = 1_200_000_000
+_LDE_CHUNK_ELEMS = 600_000_000
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _lde_fill_std(out, chunk_std, off):
+    lde = _lde_group(F.to_monty(chunk_std))[1]
+    return jax.lax.dynamic_update_slice(out, lde, (jnp.int32(0), off))
+
+
+def _lde_chunked_std(dev):
+    n, c = dev.shape
+    total = BLOWUP * n * c
+    if total <= _LDE_CHUNK_THRESHOLD:
+        return _lde_only_std(dev)
+    k = -(-total // _LDE_CHUNK_ELEMS)
+    w = -(-c // k)
+    out = jnp.zeros((BLOWUP * n, c), _U32)
+    for off in range(0, c, w):
+        cw = min(w, c - off)
+        chunk = jax.lax.slice_in_dim(dev, off, off + cw, axis=1)
+        out = _lde_fill_std(out, chunk, jnp.int32(off))
+    return out
+
+
 _to_monty_dev = jax.jit(F.to_monty)
 
 
@@ -132,7 +161,7 @@ def _lde_dispatch(mesh, n: int):
     if mesh is None and n >= mxu.FS_MIN_ROWS:
         def lde_std(dev):
             if dev.shape[1] > mxu.FS_MAX_COLS:
-                return _lde_only_std(dev)
+                return _lde_chunked_std(dev)
             return mxu.coset_lde_fs(_to_monty_dev(dev))
 
         def lde_monty(m):
