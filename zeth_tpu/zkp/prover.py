@@ -125,28 +125,37 @@ def _lde_only_std(trace_std_u32):
 # longer fit beside the resident groups in 16 GB HBM; chunk the trace
 # column-wise and write each chunk's LDE into a donated output buffer.
 _LDE_CHUNK_THRESHOLD = 1_200_000_000
-_LDE_CHUNK_ELEMS = 600_000_000
+_LDE_CHUNK_ELEMS = 300_000_000
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
-def _lde_fill_std(out, chunk_std, off):
-    lde = _lde_group(F.to_monty(chunk_std))[1]
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("std",))
+def _lde_fill(out, chunk, off, std: bool):
+    m = F.to_monty(chunk) if std else chunk
+    lde = _lde_group(m)[1]
     return jax.lax.dynamic_update_slice(out, lde, (jnp.int32(0), off))
 
 
-def _lde_chunked_std(dev):
+def _lde_chunked(dev, std: bool):
     n, c = dev.shape
     total = BLOWUP * n * c
     if total <= _LDE_CHUNK_THRESHOLD:
-        return _lde_only_std(dev)
+        return _lde_only_std(dev) if std else _lde_only(dev)
     k = -(-total // _LDE_CHUNK_ELEMS)
     w = -(-c // k)
     out = jnp.zeros((BLOWUP * n, c), _U32)
     for off in range(0, c, w):
         cw = min(w, c - off)
         chunk = jax.lax.slice_in_dim(dev, off, off + cw, axis=1)
-        out = _lde_fill_std(out, chunk, jnp.int32(off))
+        out = _lde_fill(out, chunk, jnp.int32(off), std)
     return out
+
+
+def _lde_chunked_std(dev):
+    return _lde_chunked(dev, True)
+
+
+def _lde_chunked_monty(dev):
+    return _lde_chunked(dev, False)
 
 
 _to_monty_dev = jax.jit(F.to_monty)
@@ -159,14 +168,19 @@ def _lde_dispatch(mesh, n: int):
     mesh (where the row sharding maps onto the butterfly stages)."""
     from .. import mxu
     if mesh is None and n >= mxu.FS_MIN_ROWS:
+        # at po2>=19 the MXU four-step's int8-plane transients don't fit
+        # beside the resident main LDE: take the leaner chunked radix-2
+        # path for every group
+        big = n >= (1 << 19)
+
         def lde_std(dev):
-            if dev.shape[1] > mxu.FS_MAX_COLS:
+            if big or dev.shape[1] > mxu.FS_MAX_COLS:
                 return _lde_chunked_std(dev)
             return mxu.coset_lde_fs(_to_monty_dev(dev))
 
         def lde_monty(m):
-            if m.shape[1] > mxu.FS_MAX_COLS:
-                return _lde_only(m)
+            if big or m.shape[1] > mxu.FS_MAX_COLS:
+                return _lde_chunked_monty(m)
             return mxu.coset_lde_fs(m)
 
         return lde_std, lde_monty
@@ -513,6 +527,18 @@ def _open_groups(ldes_t, layers_t, q_idx, idx_mat):
     return rows, sibs
 
 
+@functools.partial(jax.jit, static_argnames=("nq",))
+def _open_group_lean(lde, layers_t, q_idx, idx_mat, nq: int):
+    """One group's openings via per-query dynamic slices: the row gather
+    on a multi-GB LDE otherwise costs a full layout copy at po2>=19."""
+    rows = jnp.concatenate(
+        [jax.lax.dynamic_slice_in_dim(lde, q_idx[i], 1, 0)
+         for i in range(nq)], axis=0)
+    sibs = tuple(F.from_monty(layer[idx_mat[d]])
+                 for d, layer in enumerate(reversed(list(layers_t)[1:])))
+    return F.from_monty(rows), sibs
+
+
 @jax.jit
 def _point_inverses(x_pows, z_monty):
     """ext inverse of (x_i - z) for all LDE points. x_pows: (4n,) base."""
@@ -737,6 +763,9 @@ def prove(air: Air, main_std: np.ndarray, publics: list[int],
     # --- FRI + query openings -------------------------------------------
     with _Stage("fri"):
         fri_proof, qs = fri.prove(f0, GENERATOR, n, t)
+    # the DEEP working set is dead after FRI; at po2>=19 the openings
+    # gather needs that HBM back
+    del f0, groups_z, bps_z, inv_z, inv_zg, x_pows, bw, bw_pair
     openings = {}
     q_idx = jnp.asarray(np.array(qs, dtype=np.int32))
     with _Stage("openings"):
@@ -753,10 +782,21 @@ def prove(air: Air, main_std: np.ndarray, publics: list[int],
             idxs = [i >> 1 for i in idxs]
         idx_mat = jnp.asarray(np.array(idx_rows, np.int32)) if depth else \
             jnp.zeros((0, len(qs)), jnp.int32)
-        rows_t, sibs_t = jax.device_get(_open_groups(
-            tuple(ldes[g] for g in gnames),
-            tuple(tuple(trees[g].layers) for g in gnames),
-            q_idx, idx_mat))
+        if BLOWUP * n * sum(ldes[g].shape[1] for g in gnames) \
+                <= _LDE_CHUNK_THRESHOLD:
+            rows_t, sibs_t = jax.device_get(_open_groups(
+                tuple(ldes[g] for g in gnames),
+                tuple(tuple(trees[g].layers) for g in gnames),
+                q_idx, idx_mat))
+        else:
+            # huge traces: per-group programs with per-query dynamic
+            # slices keep the opening's HBM footprint to one group's
+            # buffers (a row gather would add a full LDE layout copy)
+            parts = [jax.device_get(_open_group_lean(
+                        ldes[g], tuple(trees[g].layers),
+                        q_idx, idx_mat, len(qs))) for g in gnames]
+            rows_t = tuple(p[0] for p in parts)
+            sibs_t = tuple(p[1] for p in parts)
         for g in ("control", "main", "aux", "check"):
             if g not in gnames:
                 openings[g] = GroupOpening(
