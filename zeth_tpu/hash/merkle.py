@@ -97,11 +97,22 @@ def commit_rows(matrix) -> MerkleTree:
     """
     n = matrix.shape[0]
     assert n & (n - 1) == 0, "row count must be a power of two"
-    if matrix.size > P2.STREAM_HASH_ELEMS:
-        leaves = P2.hash_rows_large(matrix)
-    else:
-        leaves = P2.hash_rows(matrix)
+    leaves = leaf_digests(matrix)
     return MerkleTree(layers=_build_layers_from_digests(leaves), n_leaves=n)
+
+
+def leaf_digests(matrix):
+    """Batched leaf hash of a (rows, cols) Montgomery matrix: the Pallas
+    fused-sponge kernel on a real chip, the XLA absorb scan elsewhere
+    (bit-identical; tests/test_pallas.py)."""
+    from .. import pallas as PK
+    if matrix.shape[1] and PK.enabled(matrix):
+        from ..pallas import poseidon2 as PP
+        if PP.supported(matrix.shape):
+            return PP.hash_rows(matrix)
+    if matrix.size > P2.STREAM_HASH_ELEMS:
+        return P2.hash_rows_large(matrix)
+    return P2.hash_rows(matrix)
 
 
 # Below this many digests the remaining levels move to the host: one

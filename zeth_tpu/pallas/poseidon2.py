@@ -1,0 +1,251 @@
+"""Pallas TPU kernel: fused Poseidon2 sponge leaf hash.
+
+Replaces the XLA absorb-scan path of zeth_tpu.hash.poseidon2.hash_rows
+for Merkle leaf hashing of trace-LDE matrices (the prover's dominant
+hash cost — risc0-zkp commits every group's 4n-row LDE, SURVEY.md §2.2).
+
+Why a kernel: the XLA path round-trips the (24, R) sponge state through
+HBM once per permutation round (50 rounds x ~64 absorb chunks for the
+1009-column rv32im main group = ~600 GB of state traffic at po2=18).
+Here one grid step loads a (C, 1024)-row tile into VMEM once and runs
+the ENTIRE absorb chain in registers/VMEM: HBM traffic drops to one
+read of the matrix plus one 32-byte-per-row digest write.
+
+Layout: the batch (rows) must ride the 128-lane axis for full VPU
+utilization, so the caller feeds the matrix TRANSPOSED and tiled as
+(C16, G, 8, 128) — C16 = columns zero-padded to a RATE multiple (the
+sponge zero-pads ragged chunks identically, so padded columns do not
+change digests), G = R/1024 row tiles, each (8, 128) = one VPU tile of
+1024 rows. Every Poseidon2 cell is then an (8, 128) tile and the whole
+permutation is straight-line VPU code. Round constants come in via SMEM
+(dynamic round indexing); the internal-diagonal constants are baked in
+as immediates.
+
+Bit-identical to hash.poseidon2.hash_rows (tests/test_pallas.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import field as F
+from ..hash import poseidon2 as P2
+
+_U32 = jnp.uint32
+TILE = 1024               # rows per grid step (8 sublanes x 128 lanes)
+CELLS = P2.CELLS
+RATE = P2.RATE
+DIGEST = P2.DIGEST_LEN
+
+
+def _sbox(x):
+    x2 = F.mul(x, x)
+    x4 = F.mul(x2, x2)
+    return F.mul(F.mul(x4, x2), x)
+
+
+def _m4_cells(cells):
+    outs = []
+    for b in range(CELLS // 4):
+        x0, x1, x2, x3 = cells[4 * b:4 * b + 4]
+        t0 = F.add(x0, x1)
+        t1 = F.add(x2, x3)
+        t2 = F.add(F.add(x1, x1), t1)
+        t3 = F.add(F.add(x3, x3), t0)
+        t4 = F.add(F.add(F.add(t1, t1), F.add(t1, t1)), t3)
+        t5 = F.add(F.add(F.add(t0, t0), F.add(t0, t0)), t2)
+        outs.extend([F.add(t3, t5), t5, F.add(t2, t4), t4])
+    return outs
+
+
+def _external_cells(cells):
+    z = _m4_cells(cells)
+    s = list(z[0:4])
+    for b in range(1, CELLS // 4):
+        for j in range(4):
+            s[j] = F.add(s[j], z[4 * b + j])
+    return [F.add(z[i], s[i % 4]) for i in range(CELLS)]
+
+
+def _permute(cells, rc_ext_ref, rc_int_ref, diag_m1):
+    """Full Poseidon2 permutation on a 24-tuple of (8, 128) tiles.
+
+    rc_ext_ref: (8, 24) SMEM; rc_int_ref: (21, 1) SMEM; diag_m1: python
+    ints (immediates). Round loops are lax.fori_loop with the cells
+    tuple as carry — Mosaic keeps the 24 tiles in vector registers/VMEM.
+    """
+    half = P2.ROUNDS_FULL // 2
+
+    def ext_round(r, cells):
+        cs = [F.add(cells[i], rc_ext_ref[r, i]) for i in range(CELLS)]
+        return tuple(_external_cells([_sbox(c) for c in cs]))
+
+    def int_round(r, cells):
+        cs = list(cells)
+        cs[0] = _sbox(F.add(cs[0], rc_int_ref[r, 0]))
+        t = cs
+        while len(t) > 1:
+            nxt = [F.add(t[i], t[i + 1]) for i in range(0, len(t) - 1, 2)]
+            if len(t) % 2:
+                nxt.append(t[-1])
+            t = nxt
+        s = t[0]
+        return tuple(F.add(s, F.mul(cs[i], jnp.uint32(diag_m1[i])))
+                     for i in range(CELLS))
+
+    cells = tuple(_external_cells(list(cells)))
+    cells = jax.lax.fori_loop(0, half, ext_round, cells)
+    cells = jax.lax.fori_loop(0, P2.ROUNDS_PARTIAL, int_round, cells)
+    cells = jax.lax.fori_loop(half, P2.ROUNDS_FULL, ext_round, cells)
+    return cells
+
+
+def _leaf_kernel(nch: int, diag_m1: tuple,
+                 rc_ext_ref, rc_int_ref, xt_ref, out_ref):
+    zero = jnp.zeros((8, 128), _U32)
+    cells0 = tuple(zero for _ in range(CELLS))
+
+    def chunk(k, cells):
+        blk = xt_ref[pl.ds(k * RATE, RATE), 0]
+        cs = tuple(F.add(cells[j], blk[j]) for j in range(RATE)) \
+            + cells[RATE:]
+        return _permute(cs, rc_ext_ref, rc_int_ref, diag_m1)
+
+    cells = jax.lax.fori_loop(0, nch, chunk, cells0)
+    for j in range(DIGEST):
+        out_ref[0, j] = cells[j]
+
+
+@functools.partial(jax.jit, static_argnames=("nch", "diag"))
+def _leaf_call(xt4, rc_ext, rc_int, nch: int, diag: tuple):
+    cp, g = xt4.shape[0], xt4.shape[1]
+    kernel = functools.partial(_leaf_kernel, nch, diag)
+    out = pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((P2.ROUNDS_FULL, CELLS),
+                         lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((P2.ROUNDS_PARTIAL, 1),
+                         lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((cp, 1, 8, 128), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, DIGEST, 8, 128),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g, DIGEST, 8, 128), _U32),
+    )(rc_ext, rc_int, xt4)
+    # (G, 8cell, 8sub, 128lane) -> (R, 8): row r = g*1024 + s*128 + l
+    return jnp.transpose(out, (0, 2, 3, 1)).reshape(g * TILE, DIGEST)
+
+
+@functools.lru_cache(maxsize=1)
+def _smem_constants():
+    mc = P2._monty_constants()
+    rc_ext = np.asarray(mc["rc_ext"], np.uint32)            # (8, 24)
+    rc_int = np.asarray(mc["rc_int"], np.uint32).reshape(-1, 1)
+    diag = tuple(int(v) for v in np.asarray(mc["diag_m1"]))
+    return rc_ext, rc_int, diag
+
+
+@functools.partial(jax.jit, static_argnames=("pad",))
+def _transpose_pad(x, pad: int):
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.zeros((x.shape[0], pad), _U32)], axis=1)
+    xt = x.T
+    cp = xt.shape[0]
+    return xt.reshape(cp, xt.shape[1] // TILE, 8, 128)
+
+
+def supported(shape) -> bool:
+    r, c = shape
+    return r % TILE == 0 and r >= TILE and c > 0
+
+
+def hash_rows(rows):
+    """Drop-in for hash.poseidon2.hash_rows on (R, C) Montgomery input.
+
+    R must be a TILE multiple (all LDE domains are); any C. Returns
+    (R, 8) Montgomery digests, bit-identical to the XLA path.
+    """
+    r, c = rows.shape
+    assert supported((r, c))
+    pad = (-c) % RATE
+    rc_ext, rc_int, diag = _smem_constants()
+    xt4 = _transpose_pad(rows, pad)
+    return _leaf_call(xt4, jnp.asarray(rc_ext), jnp.asarray(rc_int),
+                      (c + pad) // RATE, diag)
+
+
+# -- pair-tree reduction -----------------------------------------------------
+#
+# One grid step loads 2*TILE consecutive leaf digests and produces TILE
+# parent digests: left children are even rows, right odd. The caller
+# pre-splits even/odd with one XLA gather (digest layers are 32 bytes x
+# R — tiny next to the leaf matrix), so in-kernel cells stay (8, 128)
+# tiles with no stride-2 relayout.
+
+
+def _pair_kernel(diag_m1: tuple, rc_ext_ref, rc_int_ref,
+                 left_ref, right_ref, out_ref):
+    zero = jnp.zeros((8, 128), _U32)
+    tag = jnp.full((8, 128), np.uint32((P2.PAIR_TAG << 32) % P2.P), _U32)
+    cells = tuple(
+        [left_ref[j, 0] for j in range(DIGEST)]
+        + [right_ref[j, 0] for j in range(DIGEST)]
+        + [tag] + [zero] * (CELLS - 2 * DIGEST - 1))
+    out = _permute(cells, rc_ext_ref, rc_int_ref, diag_m1)
+    for j in range(DIGEST):
+        out_ref[0, j] = out[j]
+
+
+@functools.partial(jax.jit, static_argnames=("diag",))
+def _pair_call(lt, rt, rc_ext, rc_int, diag: tuple):
+    g = lt.shape[1]
+    kernel = functools.partial(_pair_kernel, diag)
+    spec = pl.BlockSpec((DIGEST, 1, 8, 128), lambda i: (0, i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((P2.ROUNDS_FULL, CELLS),
+                         lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((P2.ROUNDS_PARTIAL, 1),
+                         lambda i: (0, 0), memory_space=pltpu.SMEM),
+            spec, spec,
+        ],
+        out_specs=pl.BlockSpec((1, DIGEST, 8, 128),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g, DIGEST, 8, 128), _U32),
+    )(rc_ext, rc_int, lt, rt)
+    return jnp.transpose(out, (0, 2, 3, 1)).reshape(g * TILE, DIGEST)
+
+
+@jax.jit
+def _split_tiles(digests):
+    """(2m, 8) digests -> even/odd halves tiled (8, m/TILE, 8, 128)."""
+    m = digests.shape[0] // 2
+    lt = digests[0::2].T.reshape(DIGEST, m // TILE, 8, 128)
+    rt = digests[1::2].T.reshape(DIGEST, m // TILE, 8, 128)
+    return lt, rt
+
+
+def hash_pairs_level(digests):
+    """One tree level over (2m, 8) Montgomery digests -> (m, 8)."""
+    m = digests.shape[0] // 2
+    assert m % TILE == 0
+    rc_ext, rc_int, diag = _smem_constants()
+    lt, rt = _split_tiles(digests)
+    return _pair_call(lt, rt, jnp.asarray(rc_ext), jnp.asarray(rc_int),
+                      diag)

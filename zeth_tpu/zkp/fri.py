@@ -84,6 +84,48 @@ class FriProof:
     pow_nonce: int = 0      # grinding nonce (POW_BITS)
 
 
+@jax.jit
+def _gather_layers(mats, layer_tuples, gl_idx, idx_mats):
+    """Queried group rows + sibling digests of EVERY FRI layer in one
+    program (one device round-trip instead of two per layer — the
+    tunneled chip's dispatch latency dominated the opening phase)."""
+    rows = tuple(F.from_monty(mat[gl]) for mat, gl in zip(mats, gl_idx))
+    sibs = tuple(
+        tuple(F.from_monty(layer[idx_mat[d]])
+              for d, layer in enumerate(reversed(list(layers)[1:])))
+        for layers, idx_mat in zip(layer_tuples, idx_mats))
+    return rows, sibs
+
+
+def _open_all_layers(layers, pos_per_layer):
+    """Rows + sibling paths for all queries on all layers, batched."""
+    mats, gl_idx, idx_mats, depths = [], [], [], []
+    for (tree, lay, _, _), gl in zip(layers, pos_per_layer):
+        mats.append(group_matrix(lay))
+        gl_idx.append(jnp.asarray(np.array(gl, np.int32)))
+        depth = len(tree.layers) - 1
+        depths.append(depth)
+        idx_rows = []
+        idxs = list(gl)
+        for _ in range(depth):
+            idx_rows.append([i ^ 1 for i in idxs])
+            idxs = [i >> 1 for i in idxs]
+        idx_mats.append(jnp.asarray(np.array(idx_rows, np.int32))
+                        if depth else jnp.zeros((0, len(gl)), jnp.int32))
+    rows_t, sibs_t = jax.device_get(_gather_layers(
+        tuple(mats), tuple(tuple(t.layers) for (t, _, _, _) in layers),
+        tuple(gl_idx), tuple(idx_mats)))
+    rows_per_layer = [np.asarray(r, np.uint64) for r in rows_t]
+    paths_per_layer = []
+    for li, depth in enumerate(depths):
+        sib_layers = [np.asarray(s, np.uint64) for s in sibs_t[li]]
+        nq = rows_per_layer[li].shape[0]
+        paths_per_layer.append(
+            [np.stack([sib_layers[d][qi] for d in range(depth)])
+             if depth else np.zeros((0, 8), np.uint64) for qi in range(nq)])
+    return rows_per_layer, paths_per_layer
+
+
 def _inv_x0_table(shift: int, n: int) -> np.ndarray:
     """Montgomery table of (shift * w_n^g)^-1 for g < n/16."""
     m = n // FRI_FOLD
@@ -145,15 +187,9 @@ def prove(evals, shift: int, degree: int, transcript: Transcript):
         m = n_l // FRI_FOLD
         cur_pos = [p % m for p in cur_pos]
         pos_per_layer.append(list(cur_pos))
-    rows_per_layer = []
-    paths_per_layer = []
     with _Stage("  fri openings"):
-        for (tree, lay, _, _), gl in zip(layers, pos_per_layer):
-            mat = group_matrix(lay)
-            rows = np.asarray(F.from_monty(
-                mat[jnp.asarray(np.array(gl, np.int32))])).astype(np.uint64)
-            rows_per_layer.append(rows)
-            paths_per_layer.append(tree.open_many(gl))
+        rows_per_layer, paths_per_layer = _open_all_layers(
+            layers, pos_per_layer)
     for qi in range(len(qs)):
         per_layer = []
         for li in range(len(layers)):

@@ -120,11 +120,12 @@ def _lde_only_std(trace_std_u32):
     return _lde_group(F.to_monty(trace_std_u32))[1]
 
 
-# Above ~1.2e9 LDE elements (po2>=19 at rv32im width) the one-shot LDE
-# program's transients (bit-reversal gather + zero-pad concatenate) no
-# longer fit beside the resident groups in 16 GB HBM; chunk the trace
-# column-wise and write each chunk's LDE into a donated output buffer.
-_LDE_CHUNK_THRESHOLD = 1_200_000_000
+# Above ~0.8e9 LDE elements (the po2=18 rv32im main group and up) the
+# one-shot LDE program's transients (bit-reversal gather + the fused
+# radix-4 stage intermediates + zero-pad concatenate) no longer fit
+# beside the resident groups in 16 GB HBM; chunk the trace column-wise
+# and write each chunk's LDE into a donated output buffer.
+_LDE_CHUNK_THRESHOLD = 800_000_000
 _LDE_CHUNK_ELEMS = 300_000_000
 
 
@@ -548,6 +549,46 @@ def _point_inverses(x_pows, z_monty):
     return F.ext_inv(diff)
 
 
+@functools.partial(jax.jit, static_argnames=("n",))
+def _taps_fused(groups, z_m, zg_m, n: int):
+    """Every DEEP tap in ONE program: the point-power and (x - z)^-1
+    tables, the barycentric weights at z and z*w_n, and each group's
+    stride-4 weighted reduction. Replaces ~15 per-group dispatches whose
+    tunnel round-trip latency dominated the taps stage.
+
+    groups: tuple of (4n, c) Montgomery LDEs. Returns (per-group (c, 8)
+    Montgomery tap values ([:, :4] at z, [:, 4:] at z*w_n), inv_z,
+    inv_zg) — the inverse tables are reused by the DEEP combination.
+    """
+    m4 = BLOWUP * n
+    w4n = np.uint32((H.rou_fwd(m4) << 32) % P)
+    g_m = np.uint32((GENERATOR << 32) % P)
+    x_pows = F.mul(base_power_series(jnp.full((), w4n, _U32), m4),
+                   jnp.full((), g_m, _U32))
+    inv_z = _point_inverses(x_pows, z_m)
+    inv_zg = _point_inverses(x_pows, zg_m)
+    x4 = x_pows[::4]
+    gn = pow(GENERATOR, n, P)
+    den_inv = pow((n * gn) % P, P - 2, P)
+    gn_ext = np.zeros(4, np.uint64)
+    gn_ext[0] = gn
+    gn_m = jnp.asarray(_to_monty_np(gn_ext))
+    den_m = jnp.full((), np.uint32(((den_inv) << 32) % P), _U32)
+
+    def bary(zz_m, inv4):
+        zn = F.ext_pow_const(zz_m, n)
+        k = F.ext_mul_base(F.ext_sub(zn, gn_m), den_m)
+        mk = F.neg(k)
+        return F.ext_mul(F.ext_mul_base(inv4, x4),
+                         jnp.broadcast_to(mk, (n, 4)))
+
+    bw_pair = jnp.concatenate(
+        [bary(z_m, inv_z[::4]), bary(zg_m, inv_zg[::4])], axis=1)
+    chunk = min(4096, n)
+    outs = tuple(_eval_rows_ext_s4(lde, bw_pair, chunk) for lde in groups)
+    return outs, inv_z, inv_zg
+
+
 import os as _os
 import sys as _sys
 import time as _time
@@ -599,7 +640,14 @@ def prove(air: Air, main_std: np.ndarray, publics: list[int],
     ldes, trees, roots = {}, {}, {}
     dev_std = {}
     control_std = air.control_trace(po2)
-    for gname, std in (("control", control_std), ("main", main_std)):
+    # dispatch the main upload FIRST: the multi-MB tunnel transfer then
+    # overlaps the control group's commit (the transcript's device_get
+    # of each root is the only hard sync point)
+    main_dev = None
+    if main_commit is None:
+        with _Stage("main upload (async)"):
+            main_dev = _upload_main(air, main_std, shard_rows)
+    for gname in ("control", "main"):
         if gname == "main" and main_commit is not None:
             dev, ldes["main"], trees["main"] = main_commit
             if device_aux:
@@ -610,23 +658,24 @@ def prove(air: Air, main_std: np.ndarray, publics: list[int],
         with _Stage(f"commit {gname}"):
             with _Stage(f"  {gname} upload"):
                 if gname == "main":
-                    dev = _upload_main(air, std, shard_rows)
+                    dev = main_dev
+                    main_dev = None
                 else:
                     dev = shard_rows(
-                        np.asarray(std, np.uint64).astype(np.uint32))
-                # keep the tunnel dispatch queue shallow: deep async
-                # queues over the remote-chip path serialize badly (6x
-                # slowdown measured at po2=14)
-                dev.block_until_ready()
+                        np.asarray(control_std, np.uint64).astype(np.uint32))
+                if _TIMING:
+                    dev.block_until_ready()
             with _Stage(f"  {gname} lde"):
                 ldes[gname] = lde_std(dev)
-                ldes[gname].block_until_ready()
+                if _TIMING:
+                    ldes[gname].block_until_ready()
             if device_aux:
                 dev_std[gname] = dev
             del dev          # the standard-form upload buffer is ~1 GB at po2=18
             with _Stage(f"  {gname} tree"):
                 trees[gname] = merkle.commit_rows(ldes[gname])
-                jax.block_until_ready(trees[gname].root)
+                if _TIMING:
+                    jax.block_until_ready(trees[gname].layers[-1])
             roots[gname] = trees[gname].root
         t.mix(roots[gname])
 
@@ -682,36 +731,19 @@ def prove(air: Air, main_std: np.ndarray, publics: list[int],
     _tap_t0 = _time.time()
     w_n = H.rou_fwd(n)
     zg = H.ext_mul(H.ext(z), H.ext(w_n))
-    m4 = BLOWUP * n
-    w_monty = jnp.asarray(_to_monty_np(H.rou_fwd(m4)))
-    x_pows = F.mul(base_power_series(w_monty, m4),
-                   jnp.asarray(_to_monty_np(GENERATOR)))
-    inv_z = _point_inverses(x_pows, jnp.asarray(_to_monty_np(z)))
-    inv_zg = _point_inverses(x_pows, jnp.asarray(_to_monty_np(zg)))
-
     # Every committed column has degree < n, so its tap interpolates
     # exactly from the n stride-4 LDE rows (the coset g*<w_n>) — 4x less
-    # work than the full 4n-row reduction.
-    gn = pow(GENERATOR, n, P)
-    den_inv = pow((n * gn) % P, P - 2, P)
-    x4 = x_pows[::4]
-
-    def _bary_weights(zz, inv_xz4):
-        zn = H.ext_pow(H.ext(zz), n)
-        k = H.ext_mul(H.ext_sub(zn, H.ext(gn)), H.ext(den_inv))
-        mk = jnp.asarray(_to_monty_np(H.ext_neg(k)))
-        return F.ext_mul(F.ext_mul_base(inv_xz4, x4), mk[None, :])
-
-    bw = {0: _bary_weights(z, inv_z[::4]), 1: _bary_weights(zg, inv_zg[::4])}
-    bw_pair = jnp.concatenate([bw[0], bw[1]], axis=1)     # (n, 8)
-    chunk = min(4096, n)
-    group_vals = {}
-    for gname in ("control", "main", "aux", "check"):
-        lde = ldes[gname]
-        if lde.shape[1] == 0:
-            continue
-        w = bw[0] if gname == "check" else bw_pair
-        group_vals[gname] = _from_monty(_eval_rows_ext_s4(lde, w, chunk))
+    # work than the full 4n-row reduction. One fused program computes
+    # every group's taps plus the DEEP inverse tables.
+    gnames = [g for g in ("control", "main", "aux", "check")
+              if ldes[g].shape[1] > 0]
+    gv_dev, inv_z, inv_zg = _taps_fused(
+        tuple(ldes[g] for g in gnames),
+        jnp.asarray(_to_monty_np(z)), jnp.asarray(_to_monty_np(zg)), n)
+    rinv = np.uint64(pow(1 << 32, P - 2, P))
+    group_vals = {
+        g: np.asarray(jax.device_get(v), np.uint64) * rinv % np.uint64(P)
+        for g, v in zip(gnames, gv_dev)}
     tap_vals = []
     for (gname, offset) in TAP_STREAMS:
         if ldes[gname].shape[1] == 0:
@@ -765,7 +797,7 @@ def prove(air: Air, main_std: np.ndarray, publics: list[int],
         fri_proof, qs = fri.prove(f0, GENERATOR, n, t)
     # the DEEP working set is dead after FRI; at po2>=19 the openings
     # gather needs that HBM back
-    del f0, groups_z, bps_z, inv_z, inv_zg, x_pows, bw, bw_pair
+    del f0, groups_z, bps_z, inv_z, inv_zg, gv_dev
     openings = {}
     q_idx = jnp.asarray(np.array(qs, dtype=np.int32))
     with _Stage("openings"):
