@@ -84,6 +84,21 @@ def main():
     rv.verify_segments([seal], [pg_seal], claim, ia, iw, entry)
     seal_words = int(seal.shape[0]) + int(pg_seal.shape[0])
 
+    # ---- the real workload: one stateless-client (EVM) segment --------
+    # (BASELINE.md north star is EVM Mcycles/s/chip; spin flatters —
+    # an EVM segment pays RAM-argument aux, paging companions and
+    # accelerator-bound IO per cycle)
+    evm_note = "evm=skipped"
+    if os.environ.get("BENCH_EVM", "1") == "1" \
+            and time.time() - start < budget * 0.5:
+        evm_note = _bench_evm_segment(po2, budget - (time.time() - start))
+
+    # ---- recursion: lift one segment proof on the chip ----------------
+    lift_note = "lift=skipped"
+    if os.environ.get("BENCH_LIFT", "1") == "1" \
+            and time.time() - start < budget * 0.75:
+        lift_note = _bench_lift(seal, pg_seal, ia, iw)
+
     mcps = cycles / prove_s / 1e6
     prev = float(os.environ.get("BENCH_PREV", "0") or 0)
     out = {
@@ -92,10 +107,96 @@ def main():
         "unit": f"Mcycles/s/chip (po2={po2}, {cycles} cycles, "
                 f"prove {prove_s:.2f}s, first-run-incl-compile "
                 f"{compile_s:.1f}s, seal {seal_words * 4 // 1024}KiB, "
-                f"verified)",
+                f"verified; {evm_note}; {lift_note})",
         "vs_baseline": round(mcps / prev, 3) if prev else 1.0,
     }
     print(json.dumps(out))
+
+
+def _bench_evm_segment(po2: int, budget_left: float) -> str:
+    """Prove + verify the FIRST segment of the stateless-client guest
+    validating the committed Cancun fixture block; returns the EVM
+    Mcycles/s/chip note for the unit string."""
+    import glob
+    import json as _json
+    import time
+
+    import numpy as np
+
+    from zeth_tpu.app.chainspec import MAINNET
+    from zeth_tpu.app.guest_input import (build_stateless_elf,
+                                          encode_guest_input)
+    from zeth_tpu.app.host import StatelessInput
+    from zeth_tpu.circuits import rv32im as rv
+    from zeth_tpu.circuits.paging import PagingAir
+    from zeth_tpu.executor import Executor, load_image
+    from zeth_tpu.zkp import proof as proof_mod
+    from zeth_tpu.zkp import verifier as verifier_mod
+
+    fixdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tests", "fixtures")
+    paths = sorted(glob.glob(os.path.join(fixdir, "input_0x*.json")),
+                   key=os.path.getsize)
+    if not paths:
+        return "evm=no-fixture"
+    with open(paths[0]) as f:
+        inp = StatelessInput.from_json(_json.load(f))
+    elf = build_stateless_elf()
+    entry, ia, iw = load_image(elf)
+    raw = encode_guest_input(inp, MAINNET.chain_id)
+    res = Executor(elf, input_bytes=raw, segment_po2=po2, trace=True).run()
+    seg = res.segments[0]
+    cycles = seg.trace.shape[0]
+    t0 = time.time()
+    seals, pg_seals = rv.prove_segments([seg], ia, iw)
+    first = time.time() - t0
+    prove_s = first
+    if time.time() - t0 < budget_left * 0.5:
+        t0 = time.time()
+        seals, pg_seals = rv.prove_segments([seg], ia, iw)
+        prove_s = min(prove_s, time.time() - t0)
+    # cryptographic verification of the segment pair (the chain checks
+    # need every segment; the bench proves only the first)
+    proof = proof_mod.decode(seals[0])
+    pg_proof = proof_mod.decode(pg_seals[0])
+    ppg = PagingAir.parse_publics([int(p) for p in pg_proof.publics])
+    verifier_mod.verify(PagingAir(), pg_proof,
+                        [int(p) for p in pg_proof.publics])
+    air = rv.Rv32imAir(ia, iw)
+    sampled = verifier_mod.verify(
+        air, proof, [int(p) for p in proof.publics],
+        derived_extra={"d0": ppg["d0"], "d1": ppg["d1"]},
+        extra_mix=pg_proof.roots["main"])
+    assert (np.asarray(sampled[4], np.uint64) == ppg["g4"]).all()
+    return (f"evm={cycles / prove_s / 1e6:.4f} Mc/s "
+            f"({res.segments and len(res.segments)} segs total, "
+            f"seg0 {cycles} cycles, prove {prove_s:.2f}s incl "
+            f"first {first:.1f}s, verified)")
+
+
+def _bench_lift(seal, pg_seal, ia, iw) -> str:
+    """Time ONE recursion lift of the spin segment proof (the per-block
+    marginal cost of the reference's lift/join aggregation)."""
+    import time
+
+    import numpy as np
+
+    from zeth_tpu.circuits.paging import PagingAir
+    from zeth_tpu.circuits.rv32im import Rv32imAir
+    from zeth_tpu.recursion import succinct
+    from zeth_tpu.zkp import proof as proof_mod
+
+    air = Rv32imAir(ia, iw)
+    proof = proof_mod.decode(seal)
+    pg_proof = proof_mod.decode(pg_seal)
+    ppg = PagingAir.parse_publics([int(p) for p in pg_proof.publics])
+    extra = (np.asarray(pg_proof.roots["main"], np.uint64),
+             ppg["d0"], ppg["d1"], ppg["g4"], ppg["g5"])
+    t0 = time.time()
+    rec = succinct.lift(air, proof, extra=extra)
+    lift_s = time.time() - t0
+    assert rec.proof is not None
+    return f"lift(po2={proof.po2})={lift_s:.1f}s"
 
 
 if __name__ == "__main__":

@@ -143,19 +143,33 @@ def _mk_header(number, parent_hash, state_root, timestamp=1800000000):
         "blob_gas_used": 0,
         "excess_blob_gas": 0,
         "parent_beacon_block_root": b"\x00" * 32,
-        "requests_hash": keccak256(b""),
+        # no deposits and empty request queues -> sha256 of empty concat
+        # (EIP-7685)
+        "requests_hash": __import__("hashlib").sha256(b"").digest(),
     })
     return h
 
 
+# Stand-in EIP-7002/7251 system contracts for synthetic fixtures: return
+# empty request queues (PUSH1 0 PUSH1 0 RETURN). Real witnesses carry the
+# real deployed contracts; the host only needs them present + executable.
+_EMPTY_QUEUE_CODE = bytes.fromhex("60006000f3")
+
+
 def _fixture_input():
+    from zeth_tpu.app.host import (CONSOLIDATION_REQUESTS_ADDRESS,
+                                   WITHDRAWAL_REQUESTS_ADDRESS)
     t, _ = _build_state()
+    for addr in (WITHDRAWAL_REQUESTS_ADDRESS, CONSOLIDATION_REQUESTS_ADDRESS):
+        a = Account(nonce=1, balance=0, storage_root=EMPTY_ROOT,
+                    code_hash=keccak256(_EMPTY_QUEUE_CODE))
+        t.insert(keccak256(addr), a.encode())
     pre_root = t.root_hash()
     parent = _mk_header(100, b"\x11" * 32, pre_root)
     block = _mk_header(101, parent.hash(), pre_root)
     wit_json = {
         "state": ["0x" + n.hex() for n in t.rlp_nodes()],
-        "codes": [],
+        "codes": ["0x" + _EMPTY_QUEUE_CODE.hex()],
         "headers": ["0x" + parent.encode().hex()],
     }
     hj = {}

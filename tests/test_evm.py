@@ -145,7 +145,7 @@ def _mk_block(transactions, withdrawals=()):
     pre_root = t.root_hash()
     state = SparseState(pre_root, t.rlp_nodes(), [CODE])
     be = BlockEvm(state, {})
-    be.set_block(coinbase=COINBASE, number=101, timestamp=1_800_000_000,
+    be.set_block(coinbase=COINBASE, number=101, timestamp=1_740_000_000,
                  gas_limit=30_000_000, basefee=7, prevrandao=b"\x00" * 32,
                  blob_basefee=0, chain_id=1)
     cumulative = 0
@@ -174,7 +174,7 @@ def _mk_block(transactions, withdrawals=()):
         "transactions_root": EMPTY_ROOT, "receipts_root": EMPTY_ROOT,
         "logs_bloom": b"\x00" * 256, "difficulty": 0, "number": 100,
         "gas_limit": 30_000_000, "gas_used": 0,
-        "timestamp": 1_799_999_988, "extra_data": b"",
+        "timestamp": 1_739_999_988, "extra_data": b"",
         "mix_hash": b"\x00" * 32, "nonce": b"\x00" * 8,
         "base_fee_per_gas": 7, "withdrawals_root": EMPTY_ROOT,
         "blob_gas_used": 0, "excess_blob_gas": 0,
@@ -183,7 +183,7 @@ def _mk_block(transactions, withdrawals=()):
     header = Header(dict(parent.fields))
     header.fields.update({
         "parent_hash": parent.hash(), "number": 101,
-        "timestamp": 1_800_000_000, "state_root": post_root,
+        "timestamp": 1_740_000_000, "state_root": post_root,
         "transactions_root": trie_root([tx.encode() for tx in transactions]),
         "receipts_root": trie_root(receipts),
         "logs_bloom": logs_bloom(all_logs),
@@ -389,7 +389,7 @@ def _mk_storage_block(slots: dict):
     pre_root = t.root_hash()
     state = SparseState(pre_root, t.rlp_nodes() + st.rlp_nodes(), [CODE])
     be = BlockEvm(state, {})
-    be.set_block(coinbase=COINBASE, number=101, timestamp=1_800_000_000,
+    be.set_block(coinbase=COINBASE, number=101, timestamp=1_740_000_000,
                  gas_limit=30_000_000, basefee=7, prevrandao=b"\x00" * 32,
                  blob_basefee=0, chain_id=1)
     tx = _signed_tx(0, CONTRACT, 0, b"\x00" * 32)
@@ -407,7 +407,7 @@ def _mk_storage_block(slots: dict):
         "transactions_root": EMPTY_ROOT, "receipts_root": EMPTY_ROOT,
         "logs_bloom": b"\x00" * 256, "difficulty": 0, "number": 100,
         "gas_limit": 30_000_000, "gas_used": 0,
-        "timestamp": 1_799_999_988, "extra_data": b"",
+        "timestamp": 1_739_999_988, "extra_data": b"",
         "mix_hash": b"\x00" * 32, "nonce": b"\x00" * 8,
         "base_fee_per_gas": 7, "withdrawals_root": EMPTY_ROOT,
         "blob_gas_used": 0, "excess_blob_gas": 0,
@@ -416,7 +416,7 @@ def _mk_storage_block(slots: dict):
     header = Header(dict(parent.fields))
     header.fields.update({
         "parent_hash": parent.hash(), "number": 101,
-        "timestamp": 1_800_000_000, "state_root": post_root,
+        "timestamp": 1_740_000_000, "state_root": post_root,
         "transactions_root": trie_root([tx.encode()]),
         "receipts_root": trie_root([encode_receipt(
             tx.type, res.status, res.gas_used, res.logs)]),

@@ -105,7 +105,7 @@ class BlockBuilder:
         state = SparseState(pre_root, nodes, self.codes)
         be = BlockEvm(state, {})
         be.set_block(coinbase=COINBASE, number=101,
-                     timestamp=1_800_000_000, gas_limit=30_000_000,
+                     timestamp=1_740_000_000, gas_limit=30_000_000,
                      basefee=7, prevrandao=b"\x00" * 32, blob_basefee=0,
                      chain_id=1)
         cumulative = 0
@@ -134,7 +134,7 @@ class BlockBuilder:
             "transactions_root": EMPTY_ROOT, "receipts_root": EMPTY_ROOT,
             "logs_bloom": b"\x00" * 256, "difficulty": 0, "number": 100,
             "gas_limit": 30_000_000, "gas_used": 0,
-            "timestamp": 1_799_999_988, "extra_data": b"",
+            "timestamp": 1_739_999_988, "extra_data": b"",
             "mix_hash": b"\x00" * 32, "nonce": b"\x00" * 8,
             "base_fee_per_gas": 7, "withdrawals_root": EMPTY_ROOT,
             "blob_gas_used": 0, "excess_blob_gas": 0,
@@ -143,7 +143,7 @@ class BlockBuilder:
         header = Header(dict(parent.fields))
         header.fields.update({
             "parent_hash": parent.hash(), "number": 101,
-            "timestamp": 1_800_000_000, "state_root": post_root,
+            "timestamp": 1_740_000_000, "state_root": post_root,
             "transactions_root": trie_root([tx.encode() for tx in txs]),
             "receipts_root": trie_root(receipts),
             "logs_bloom": logs_bloom(all_logs),

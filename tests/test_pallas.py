@@ -25,7 +25,7 @@ def _interpret(monkeypatch):
                         functools.partial(pl.pallas_call, interpret=True))
 
 
-def test_leaf_hash_matches_xla():
+def test_leaf_hash_matches_xla(monkeypatch):
     from zeth_tpu.pallas import poseidon2 as PP
     rng = np.random.default_rng(7)
     for r, c in [(1024, 5), (1024, 16), (2048, 37)]:
@@ -33,6 +33,10 @@ def test_leaf_hash_matches_xla():
         got = PP.hash_rows(m)
         want = P2.hash_rows(m)
         assert jnp.array_equal(got, want), (r, c)
+    # multi-slab path (sponge state carried across absorb calls)
+    monkeypatch.setattr(PP, "SLAB_BYTES", 1024 * 4 * 32)
+    m = jnp.asarray(rng.integers(0, F.P, size=(1024, 100), dtype=np.uint32))
+    assert jnp.array_equal(PP.hash_rows(m), P2.hash_rows(m))
 
 
 def test_leaf_hash_matches_host_ground_truth():

@@ -418,3 +418,111 @@ def g1_decompress(data: bytes):
     if not g1_in_subgroup(pt):
         raise ValueError("g1 point not in subgroup")
     return pt
+
+
+# -- EIP-2537 precompile dispatch (Prague, addresses 0x0b..0x11) --------------
+#
+# Wire format per the EIP: Fp = 64 bytes (16 zero bytes || 48-byte BE),
+# G1 = 128 bytes (x || y), G2 = 256 bytes (x_c0 || x_c1 || y_c0 || y_c1),
+# infinity = all zeros. ADD accepts any on-curve point; MSM and PAIRING
+# require subgroup membership. Backs the native engine's 0x0b-0x0f cases
+# (app/csrc/evm.cpp) and the in-guest mirrors.
+
+
+def _dec_fp(data: bytes) -> int:
+    if len(data) != 64 or data[:16] != b"\x00" * 16:
+        raise ValueError("bad fp padding")
+    v = int.from_bytes(data[16:], "big")
+    if v >= P:
+        raise ValueError("fp out of range")
+    return v
+
+
+def _dec_g1(data: bytes, subgroup: bool):
+    x = _dec_fp(data[:64])
+    y = _dec_fp(data[64:])
+    if x == 0 and y == 0:
+        return None
+    pt = (x, y)
+    if not g1_valid(pt):
+        raise ValueError("g1 point not on curve")
+    if subgroup and not g1_in_subgroup(pt):
+        raise ValueError("g1 point not in subgroup")
+    return pt
+
+
+def _dec_g2(data: bytes, subgroup: bool):
+    x = (_dec_fp(data[:64]), _dec_fp(data[64:128]))
+    y = (_dec_fp(data[128:192]), _dec_fp(data[192:256]))
+    if x == (0, 0) and y == (0, 0):
+        return None
+    pt = (x, y)
+    if not g2_valid(pt):
+        raise ValueError("g2 point not on curve")
+    if subgroup and not g2_in_subgroup(pt):
+        raise ValueError("g2 point not in subgroup")
+    return pt
+
+
+def _enc_fp(v: int) -> bytes:
+    return v.to_bytes(64, "big")
+
+
+def _enc_g1(pt) -> bytes:
+    if pt is None:
+        return b"\x00" * 128
+    return _enc_fp(pt[0]) + _enc_fp(pt[1])
+
+
+def _enc_g2(pt) -> bytes:
+    if pt is None:
+        return b"\x00" * 256
+    (x, y) = pt
+    return _enc_fp(x[0]) + _enc_fp(x[1]) + _enc_fp(y[0]) + _enc_fp(y[1])
+
+
+def eip2537_dispatch(op: int, data: bytes) -> bytes:
+    """op: 0=g1add 1=g1msm 2=g2add 3=g2msm 4=pairing (5/6 = map_fp*,
+    unimplemented — the SSWU isogeny constants are not available in this
+    build environment; the engine fails those blocks loudly).
+    Raises ValueError on malformed input (precompile failure)."""
+    if op == 0:
+        if len(data) != 256:
+            raise ValueError("g1add length")
+        return _enc_g1(g1_add(_dec_g1(data[:128], False),
+                              _dec_g1(data[128:], False)))
+    if op == 1:
+        if not data or len(data) % 160:
+            raise ValueError("g1msm length")
+        acc = None
+        for off in range(0, len(data), 160):
+            pt = _dec_g1(data[off:off + 128], True)
+            k = int.from_bytes(data[off + 128:off + 160], "big")
+            acc = g1_add(acc, g1_mul(pt, k))
+        return _enc_g1(acc)
+    if op == 2:
+        if len(data) != 512:
+            raise ValueError("g2add length")
+        return _enc_g2(g2_add(_dec_g2(data[:256], False),
+                              _dec_g2(data[256:], False)))
+    if op == 3:
+        if not data or len(data) % 288:
+            raise ValueError("g2msm length")
+        acc = None
+        for off in range(0, len(data), 288):
+            pt = _dec_g2(data[off:off + 256], True)
+            k = int.from_bytes(data[off + 256:off + 288], "big")
+            acc = g2_add(acc, g2_mul(pt, k))
+        return _enc_g2(acc)
+    if op == 4:
+        if not data or len(data) % 384:
+            raise ValueError("pairing length")
+        pairs = []
+        for off in range(0, len(data), 384):
+            p1 = _dec_g1(data[off:off + 128], True)
+            q2 = _dec_g2(data[off + 128:off + 384], True)
+            if p1 is not None and q2 is not None:
+                pairs.append((p1, q2))
+        ok = pairing_check(pairs) if pairs else True
+        return (1 if ok else 0).to_bytes(32, "big")
+    raise NotImplementedError(f"eip2537 op {op}")

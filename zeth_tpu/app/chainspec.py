@@ -45,11 +45,20 @@ class ChainSpec:
         return False
 
     def blob_params_at(self, timestamp: int) -> BlobParams | None:
-        return self.blob_params.get(self.active_fork(timestamp))
+        fork = self.active_fork(timestamp)
+        if fork == "osaka" and "osaka" not in self.blob_params:
+            fork = "prague"
+        return self.blob_params.get(fork)
 
 
 _BLOBS_CANCUN = BlobParams(3, 6, 3338477)
 _BLOBS_PRAGUE = BlobParams(6, 9, 5007716)
+# Osaka keeps the Prague schedule at activation (the reference resolves
+# per-fork blob params through Osaka — crates/chainspec/src/lib.rs:
+# 141-153; BPO revisions land as scheduled overrides, not a new fork
+# constant). No Osaka activation timestamp is scheduled in the pinned
+# reference snapshot, so the fork entry is added when announced.
+_BLOBS_OSAKA = BlobParams(6, 9, 5007716)
 
 MAINNET = ChainSpec(
     chain_id=1,
@@ -60,7 +69,8 @@ MAINNET = ChainSpec(
         ("prague", 1746612311),
     ),
     deposit_contract=bytes.fromhex("00000000219ab540356cbb839cbe05303d7705fa"),
-    blob_params={"cancun": _BLOBS_CANCUN, "prague": _BLOBS_PRAGUE},
+    blob_params={"cancun": _BLOBS_CANCUN, "prague": _BLOBS_PRAGUE,
+                 "osaka": _BLOBS_OSAKA},
 )
 
 SEPOLIA = ChainSpec(
@@ -72,7 +82,8 @@ SEPOLIA = ChainSpec(
         ("prague", 1741159776),
     ),
     deposit_contract=bytes.fromhex("7f02c3e3c98b133055b8b348b2ac625669ed295d"),
-    blob_params={"cancun": _BLOBS_CANCUN, "prague": _BLOBS_PRAGUE},
+    blob_params={"cancun": _BLOBS_CANCUN, "prague": _BLOBS_PRAGUE,
+                 "osaka": _BLOBS_OSAKA},
 )
 
 HOLESKY = ChainSpec(
@@ -84,7 +95,8 @@ HOLESKY = ChainSpec(
         ("prague", 1740434112),
     ),
     deposit_contract=bytes.fromhex("4242424242424242424242424242424242424242"),
-    blob_params={"cancun": _BLOBS_CANCUN, "prague": _BLOBS_PRAGUE},
+    blob_params={"cancun": _BLOBS_CANCUN, "prague": _BLOBS_PRAGUE,
+                 "osaka": _BLOBS_OSAKA},
 )
 
 HOODI = ChainSpec(
@@ -96,7 +108,8 @@ HOODI = ChainSpec(
         ("prague", 1742999832),
     ),
     deposit_contract=bytes.fromhex("00000000219ab540356cbb839cbe05303d7705fa"),
-    blob_params={"cancun": _BLOBS_CANCUN, "prague": _BLOBS_PRAGUE},
+    blob_params={"cancun": _BLOBS_CANCUN, "prague": _BLOBS_PRAGUE,
+                 "osaka": _BLOBS_OSAKA},
 )
 
 BY_CHAIN_ID = {c.chain_id: c for c in (MAINNET, SEPOLIA, HOLESKY, HOODI)}

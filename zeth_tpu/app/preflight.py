@@ -132,7 +132,7 @@ def execution_witness(upstream, block_number: str, spec) -> dict:
                 ancestors[cur.number] = cur.hash()
             return ancestors.get(number, default)
 
-    be, cumulative, receipts, logs, blob_gas = run_block_txs(
+    be, cumulative, receipts, logs, blob_gas, _requests = run_block_txs(
         header, txs, withdrawals, spec, state, RecordingAncestors())
 
     # the diff decides which keys need post-state hydration

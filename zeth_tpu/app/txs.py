@@ -50,6 +50,51 @@ def _get(d: dict, *names, default=None):
 
 
 @dataclass
+class Authorization:
+    """EIP-7702 authorization tuple (type-4 transactions, Prague)."""
+    chain_id: int
+    address: bytes
+    nonce: int
+    y_parity: int
+    r: int
+    s: int
+
+    @classmethod
+    def from_json(cls, d: dict) -> "Authorization":
+        return cls(
+            chain_id=_to_int(_get(d, "chainId", "chain_id", default=0)),
+            address=_to_bytes(_get(d, "address", default="0x" + "00" * 20)),
+            nonce=_to_int(_get(d, "nonce", default=0)),
+            y_parity=_to_int(_get(d, "yParity", "y_parity", "v", default=0)),
+            r=_to_int(_get(d, "r", default=0)),
+            s=_to_int(_get(d, "s", default=0)),
+        )
+
+    def rlp_items(self) -> list:
+        return [self.chain_id, self.address, self.nonce,
+                self.y_parity, self.r, self.s]
+
+    def signing_hash(self) -> bytes:
+        from . import rlp as _rlp
+        return keccak256(
+            b"\x05" + _rlp.encode([self.chain_id, self.address, self.nonce]))
+
+    def authority(self) -> bytes | None:
+        """Recover the authorizing account (None if the sig is invalid)."""
+        from .evm import ecrecover
+        if self.y_parity not in (0, 1):
+            return None
+        return ecrecover(self.signing_hash(), self.r, self.s, self.y_parity)
+
+    def pack(self) -> bytes:
+        """125-byte wire entry for the native engine (evm.cpp auth_list)."""
+        return (self.chain_id.to_bytes(32, "big") + self.address
+                + self.nonce.to_bytes(8, "little")
+                + bytes([self.y_parity])
+                + self.r.to_bytes(32, "big") + self.s.to_bytes(32, "big"))
+
+
+@dataclass
 class Tx:
     type: int
     nonce: int
@@ -67,6 +112,7 @@ class Tx:
     access_list: list = field(default_factory=list)   # [(addr, [slots])]
     max_fee_per_blob_gas: int | None = None
     blob_hashes: list = field(default_factory=list)
+    authorization_list: list = field(default_factory=list)  # EIP-7702
     from_field: bytes | None = None         # RPC-provided sender
 
     @classmethod
@@ -111,6 +157,10 @@ class Tx:
             blob_hashes=[_to_bytes(h) for h in
                          _get(d, "blobVersionedHashes",
                               "blob_versioned_hashes", default=[]) or []],
+            authorization_list=[
+                Authorization.from_json(a) for a in
+                _get(d, "authorizationList", "authorization_list",
+                     default=[]) or []],
             from_field=_to_bytes(_get(d, "from")) if _get(d, "from") else None,
         )
 
@@ -144,6 +194,15 @@ class Tx:
                                list(self.blob_hashes),
                                self.v, self.r, self.s])
             return b"\x03" + body
+        if self.type == 4:                  # EIP-7702 SetCode (Prague)
+            body = rlp.encode([self.chain_id, self.nonce,
+                               self.max_priority_fee, self.max_fee,
+                               self.gas_limit, to, self.value, self.data,
+                               self._acl_rlp(),
+                               [a.rlp_items()
+                                for a in self.authorization_list],
+                               self.v, self.r, self.s])
+            return b"\x04" + body
         raise ValueError(f"unsupported tx type {self.type}")
 
     # -- signing hash + sender recovery -----------------------------------
@@ -178,6 +237,12 @@ class Tx:
                  self.max_fee, self.gas_limit, to, self.value, self.data,
                  self._acl_rlp(), self.max_fee_per_blob_gas,
                  list(self.blob_hashes)])
+        elif self.type == 4:
+            pre = b"\x04" + rlp.encode(
+                [self.chain_id, self.nonce, self.max_priority_fee,
+                 self.max_fee, self.gas_limit, to, self.value, self.data,
+                 self._acl_rlp(),
+                 [a.rlp_items() for a in self.authorization_list]])
         else:
             raise ValueError(f"unsupported tx type {self.type}")
         return keccak256(pre), self.v
@@ -228,6 +293,10 @@ def fake_exponential(factor: int, numerator: int, denominator: int) -> int:
     return output // denominator
 
 
-def blob_base_fee(excess_blob_gas: int) -> int:
+def blob_base_fee(excess_blob_gas: int,
+                  update_fraction: int = BLOB_BASE_FEE_UPDATE_FRACTION) -> int:
+    """Blob base fee; the update fraction is fork-dependent from Prague
+    (chainspec.blob_params_at — EIP-7691 raised it with the blob count,
+    mirrored from crates/chainspec/src/lib.rs:141-153)."""
     return fake_exponential(MIN_BLOB_BASE_FEE, excess_blob_gas,
-                            BLOB_BASE_FEE_UPDATE_FRACTION)
+                            update_fraction)

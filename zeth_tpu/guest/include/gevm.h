@@ -23,6 +23,7 @@ typedef struct {
   uint32_t n_ancestors;
   uint32_t ancestor_first;        /* number of headers[0] (the parent) */
   const uint8_t *ancestor_hashes; /* 32 bytes each, parent first */
+  uint32_t is_prague;             /* EIP-7702/2537/7623 surface */
 } gevm_env;
 
 extern gevm_env ENV;
@@ -51,6 +52,10 @@ typedef struct {
   uint32_t n_blobs;
   u256 blob_fee;
   uint32_t tx_nonce;
+  /* EIP-7702: raw RLP payload of the authorization list (type 4) */
+  const uint8_t *auth_rlp;
+  uint32_t auth_rlp_len;
+  uint32_t n_auth;
 } txctx;
 
 /* Returns 1 success, 0 revert, -1 invalid tx (caller faults the block). */
@@ -59,5 +64,11 @@ int gevm_exec_tx(const txctx *c, uint32_t *out_gas_used);
 /* EIP-4788-style system call (state commits, logs/output dropped) */
 void gevm_system_call(const uint8_t to[20], const uint8_t *data,
                       uint32_t data_len);
+
+/* System call capturing the return data (EIP-7002/7251 request
+ * contracts). Returns output length (buffer gmalloc'd into *out), or
+ * -1 if the target has no code (caller faults the block). */
+int gevm_system_call_out(const uint8_t to[20], const uint8_t *data,
+                         uint32_t data_len, uint8_t **out);
 
 #endif

@@ -21,6 +21,10 @@ typedef struct {
   uint32_t acl_len;
   uint8_t *blob_hashes;     /* 32 bytes each */
   uint32_t n_blobs;
+  /* EIP-7702 (type 4): raw RLP slice of the authorization list */
+  const uint8_t *auth_rlp;
+  uint32_t auth_rlp_len;
+  uint32_t n_auth;
   uint32_t recid;
   u256 r, s;
   uint8_t sighash[32];

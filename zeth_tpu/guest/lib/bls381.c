@@ -971,3 +971,243 @@ int bls_kzg_verify(const uint8_t commitment[48], const uint8_t z_be[32],
   bls_final_exp(&kv_acc, &kv_f);
   return blsf12_is_one(&kv_acc) ? 1 : 0;
 }
+
+/* -- EIP-2537 precompile backend (Prague, addresses 0x0b..0x0f) ----------
+ *
+ * Mirrors the host dispatch (app/bls12381.py eip2537_dispatch): Fp is 64
+ * bytes (16 zero bytes || 48-byte BE), G1 = 128, G2 = 256, infinity =
+ * all-zero. ADD accepts any on-curve point; MSM/PAIRING require
+ * subgroup membership. Gas discount tables mirror app/csrc/evm.cpp. */
+
+static const uint16_t BLS_G1_DISC[128] = {
+    1000, 949, 848, 797, 764, 750, 738, 728, 719, 712, 705, 698, 692, 687,
+    682,  677, 673, 669, 665, 661, 658, 654, 651, 648, 645, 642, 640, 637,
+    635,  632, 630, 627, 625, 623, 621, 619, 617, 615, 613, 611, 609, 608,
+    606,  604, 603, 601, 599, 598, 596, 595, 593, 592, 591, 589, 588, 586,
+    585,  584, 582, 581, 580, 579, 577, 576, 575, 574, 573, 572, 570, 569,
+    568,  567, 566, 565, 564, 563, 562, 561, 560, 559, 558, 557, 556, 555,
+    554,  553, 552, 551, 550, 549, 548, 547, 547, 546, 545, 544, 543, 542,
+    541,  540, 540, 539, 538, 537, 536, 536, 535, 534, 533, 532, 532, 531,
+    530,  529, 528, 528, 527, 526, 525, 525, 524, 523, 522, 522, 521, 520,
+    520,  519};
+
+static const uint16_t BLS_G2_DISC[128] = {
+    1000, 1000, 923, 884, 855, 838, 824, 812, 800, 789, 779, 770, 762, 754,
+    747, 740, 734, 728, 722, 717, 712, 707, 702, 698, 694, 690, 686, 682,
+    678, 675, 671, 668, 665, 662, 659, 656, 653, 650, 647, 645, 642, 640,
+    637, 635, 633, 630, 628, 626, 624, 622, 620, 618, 616, 614, 612, 610,
+    608, 606, 604, 603, 601, 599, 598, 596, 594, 593, 591, 590, 588, 587,
+    585, 584, 582, 581, 580, 578, 577, 575, 574, 573, 572, 570, 569, 568,
+    567, 565, 564, 563, 562, 561, 559, 558, 557, 556, 555, 554, 553, 552,
+    551, 550, 549, 548, 547, 546, 545, 544, 543, 542, 541, 540, 539, 538,
+    537, 536, 535, 534, 533, 532, 532, 531, 530, 529, 528, 527, 526, 526,
+    525, 524};
+
+uint32_t bls_msm_gas(uint32_t k, uint32_t base, uint32_t g2) {
+  uint32_t idx, disc;
+  if (k == 0) return 0;
+  idx = (k < 128 ? k : 128) - 1;
+  disc = g2 ? BLS_G2_DISC[idx] : BLS_G1_DISC[idx];
+  /* k*base <= 128*22500 = 2.88e6; * disc <= 2.88e9 < 2^32 (exact) */
+  return k * base * disc / 1000u;
+}
+
+static int bls_dec_fp64(const uint8_t *p, blsfp *out) {
+  uint32_t i;
+  for (i = 0; i < 16; i++)
+    if (p[i]) return -1;
+  blsfp_from_be48(out, p + 16);
+  if (blsfp_cmp(out, &BLS_FP_P) >= 0) return -1;
+  return 0;
+}
+
+static void bls_enc_fp64(const blsfp *v, uint8_t *out) {
+  uint32_t i;
+  memset(out, 0, 16);
+  for (i = 0; i < 12; i++) {
+    uint32_t w = v->w[11 - i];
+    out[16 + 4 * i] = (uint8_t)(w >> 24);
+    out[17 + 4 * i] = (uint8_t)(w >> 16);
+    out[18 + 4 * i] = (uint8_t)(w >> 8);
+    out[19 + 4 * i] = (uint8_t)w;
+  }
+}
+
+static int bls_g1_on_curve(const blsg1pt *p) {
+  blsfp t, rhs, four;
+  if (p->inf) return 1;
+  blsfp_mul(&t, &p->x, &p->x);
+  blsfp_mul(&rhs, &t, &p->x);
+  memset(&four, 0, sizeof four);
+  four.w[0] = 4;
+  blsfp_add(&rhs, &rhs, &four);
+  blsfp_mul(&t, &p->y, &p->y);
+  return blsfp_eq(&t, &rhs);
+}
+
+static int bls_g2_on_curve(const blsg2pt *p) {
+  blsf2 t, rhs, b2;
+  if (p->inf) return 1;
+  blsf2_mul(&t, &p->x, &p->x);
+  blsf2_mul(&rhs, &t, &p->x);
+  memset(&b2, 0, sizeof b2);            /* B2 = 4 (1 + u) */
+  b2.a.w[0] = 4;
+  b2.b.w[0] = 4;
+  blsf2_add(&rhs, &rhs, &b2);
+  blsf2_mul(&t, &p->y, &p->y);
+  return blsf2_eq(&t, &rhs);
+}
+
+static uint32_t blsg2_in_subgroup(const blsg2pt *p) {
+  blsg2pt t;
+  if (p->inf) return 1;
+  blsg2_mul_w(&t, p, BLS_R_W, 255);
+  return t.inf;
+}
+
+static int bls_dec_g1_128(const uint8_t *p, blsg1pt *out, int sub) {
+  uint32_t i, zero = 1;
+  for (i = 0; i < 128; i++)
+    if (p[i]) { zero = 0; break; }
+  if (zero) {
+    memset(out, 0, sizeof *out);
+    out->inf = 1;
+    return 0;
+  }
+  if (bls_dec_fp64(p, &out->x) < 0) return -1;
+  if (bls_dec_fp64(p + 64, &out->y) < 0) return -1;
+  out->inf = 0;
+  if (!bls_g1_on_curve(out)) return -1;
+  if (sub && !blsg1_in_subgroup(out)) return -1;
+  return 0;
+}
+
+static void bls_enc_g1_128(const blsg1pt *p, uint8_t *out) {
+  if (p->inf) {
+    memset(out, 0, 128);
+    return;
+  }
+  bls_enc_fp64(&p->x, out);
+  bls_enc_fp64(&p->y, out + 64);
+}
+
+static int bls_dec_g2_256(const uint8_t *p, blsg2pt *out, int sub) {
+  uint32_t i, zero = 1;
+  for (i = 0; i < 256; i++)
+    if (p[i]) { zero = 0; break; }
+  if (zero) {
+    memset(out, 0, sizeof *out);
+    out->inf = 1;
+    return 0;
+  }
+  if (bls_dec_fp64(p, &out->x.a) < 0) return -1;
+  if (bls_dec_fp64(p + 64, &out->x.b) < 0) return -1;
+  if (bls_dec_fp64(p + 128, &out->y.a) < 0) return -1;
+  if (bls_dec_fp64(p + 192, &out->y.b) < 0) return -1;
+  out->inf = 0;
+  if (!bls_g2_on_curve(out)) return -1;
+  if (sub && !blsg2_in_subgroup(out)) return -1;
+  return 0;
+}
+
+static void bls_enc_g2_256(const blsg2pt *p, uint8_t *out) {
+  if (p->inf) {
+    memset(out, 0, 256);
+    return;
+  }
+  bls_enc_fp64(&p->x.a, out);
+  bls_enc_fp64(&p->x.b, out + 64);
+  bls_enc_fp64(&p->y.a, out + 128);
+  bls_enc_fp64(&p->y.b, out + 192);
+}
+
+static void bls_scalar_w(const uint8_t *be32, uint32_t w[12]) {
+  uint32_t i;
+  memset(w, 0, 48);
+  for (i = 0; i < 8; i++) {
+    const uint8_t *p = be32 + 28 - 4 * i;
+    w[i] = ((uint32_t)p[0] << 24) | ((uint32_t)p[1] << 16) |
+           ((uint32_t)p[2] << 8) | p[3];
+  }
+}
+
+static blsg1pt ep_a1, ep_b1, ep_acc1;
+static blsg2pt ep_a2, ep_b2, ep_acc2;
+static blsf12 ep_f, ep_m;
+
+int bls_eip2537(int op, const uint8_t *input, uint32_t len, uint8_t *out,
+                uint32_t *outlen) {
+  uint32_t off;
+  blsfp_from_w(&BLS_FP_P, BLS_P_W);
+  switch (op) {
+    case 0:                                               /* g1 add */
+      if (len != 256) return 0;
+      if (bls_dec_g1_128(input, &ep_a1, 0) < 0) return 0;
+      if (bls_dec_g1_128(input + 128, &ep_b1, 0) < 0) return 0;
+      blsg1_add(&ep_acc1, &ep_a1, &ep_b1);
+      bls_enc_g1_128(&ep_acc1, out);
+      *outlen = 128;
+      return 1;
+    case 1: {                                             /* g1 msm */
+      uint32_t kw[12];
+      if (len == 0 || len % 160) return 0;
+      memset(&ep_acc1, 0, sizeof ep_acc1);
+      ep_acc1.inf = 1;
+      for (off = 0; off < len; off += 160) {
+        if (bls_dec_g1_128(input + off, &ep_a1, 1) < 0) return 0;
+        bls_scalar_w(input + off + 128, kw);
+        blsg1_mul_w(&ep_b1, &ep_a1, kw, 256);
+        blsg1_add(&ep_acc1, &ep_acc1, &ep_b1);
+      }
+      bls_enc_g1_128(&ep_acc1, out);
+      *outlen = 128;
+      return 1;
+    }
+    case 2:                                               /* g2 add */
+      if (len != 512) return 0;
+      if (bls_dec_g2_256(input, &ep_a2, 0) < 0) return 0;
+      if (bls_dec_g2_256(input + 256, &ep_b2, 0) < 0) return 0;
+      blsg2_add(&ep_acc2, &ep_a2, &ep_b2);
+      bls_enc_g2_256(&ep_acc2, out);
+      *outlen = 256;
+      return 1;
+    case 3: {                                             /* g2 msm */
+      uint32_t kw[12];
+      if (len == 0 || len % 288) return 0;
+      memset(&ep_acc2, 0, sizeof ep_acc2);
+      ep_acc2.inf = 1;
+      for (off = 0; off < len; off += 288) {
+        if (bls_dec_g2_256(input + off, &ep_a2, 1) < 0) return 0;
+        bls_scalar_w(input + off + 256, kw);
+        blsg2_mul_w(&ep_b2, &ep_a2, kw, 256);
+        blsg2_add(&ep_acc2, &ep_acc2, &ep_b2);
+      }
+      bls_enc_g2_256(&ep_acc2, out);
+      *outlen = 256;
+      return 1;
+    }
+    case 4: {                                             /* pairing */
+      uint32_t any = 0;
+      if (len == 0 || len % 384) return 0;
+      blsf12_one(&ep_f);
+      for (off = 0; off < len; off += 384) {
+        if (bls_dec_g1_128(input + off, &ep_a1, 1) < 0) return 0;
+        if (bls_dec_g2_256(input + off + 128, &ep_a2, 1) < 0) return 0;
+        if (ep_a1.inf || ep_a2.inf) continue;
+        bls_miller_loop(&ep_m, &ep_a2, &ep_a1);
+        blsf12_mul(&ep_f, &ep_f, &ep_m);
+        any = 1;
+      }
+      memset(out, 0, 32);
+      if (!any) {
+        out[31] = 1;
+      } else {
+        bls_final_exp(&ep_f, &ep_f);
+        out[31] = blsf12_is_one(&ep_f) ? 1 : 0;
+      }
+      *outlen = 32;
+      return 1;
+    }
+  }
+  return 0;
+}

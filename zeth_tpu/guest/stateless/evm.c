@@ -134,9 +134,15 @@ static void addr_of(const u256 *v, uint8_t out[20]) {
 
 static uint32_t is_precompile_addr(const uint8_t a[20]) {
   uint32_t i;
+  uint32_t hi = ENV.is_prague ? 0x11 : 0x0a;
   for (i = 0; i < 19; i++)
     if (a[i]) return 0;
-  return a[19] >= 1 && a[19] <= 0x0a;
+  return a[19] >= 1 && a[19] <= hi;
+}
+
+/* EIP-7702 delegation designator: 0xef0100 || address */
+static uint32_t is_delegation(const uint8_t *code, uint32_t len) {
+  return len == 23 && code[0] == 0xef && code[1] == 0x01 && code[2] == 0x00;
 }
 
 /* 63/64 rule */
@@ -929,6 +935,8 @@ void call_frame(const gframe *f, uint32_t gas, uint32_t depth,
           uint8_t target[20];
           uint32_t io, il, oo, ol, dummy, cgas, avail, extra;
           gacct *tacc;
+          uint8_t *tcode;
+          uint32_t tcl;
           callres cr;
           NEED(has_value ? 7u : 6u);
           gv = M.stack[M.sp - 1];
@@ -950,6 +958,14 @@ void call_frame(const gframe *f, uint32_t gas, uint32_t depth,
           (void)dummy;
           tacc = gs_account(target);
           GAS(gs_warm_account(tacc) ? G_WARM : G_COLD_ACCOUNT);
+          /* EIP-7702: execution follows a delegation designator (one
+           * hop), charging the delegate's account-access cost */
+          tcode = gs_code(tacc, &tcl);
+          if (ENV.is_prague && is_delegation(tcode, tcl)) {
+            gacct *dacc = gs_account(tcode + 3);
+            GAS(gs_warm_account(dacc) ? G_WARM : G_COLD_ACCOUNT);
+            tcode = gs_code(dacc, &tcl);
+          }
           extra = 0;
           if (!u256_is_zero(&value)) {
             extra += 9000;
@@ -999,7 +1015,6 @@ void call_frame(const gframe *f, uint32_t gas, uint32_t depth,
                 cr.gas_left = 0;
               } else {
                 gframe sub;
-                uint32_t cl;
                 memset(&sub, 0, sizeof(sub));
                 memcpy(sub.caller, f->address, 20);
                 if (op == 0xf4) sub.value = f->value;
@@ -1012,8 +1027,8 @@ void call_frame(const gframe *f, uint32_t gas, uint32_t depth,
                 }
                 sub.input_len = il;
                 sub.is_static = f->is_static || op == 0xfa;
-                sub.code = gs_code(tacc, &cl);
-                sub.code_len = cl;
+                sub.code = tcode;
+                sub.code_len = tcl;
                 if (op == 0xf2 || op == 0xf4) {
                   memcpy(sub.address, f->address, 20);
                 } else {
@@ -1631,6 +1646,44 @@ uint32_t precompile(const uint8_t a[20], const uint8_t *input,
       *out_len = 64;
       return 1;
     }
+    /* EIP-2537 BLS12-381 suite (Prague, 0x0b..0x11). Curve math runs
+     * in lib/bls381.c over the SYS_BIGINT accelerator; gas mirrors the
+     * host engine's tables (app/csrc/evm.cpp). The map-to-curve pair
+     * (0x10/0x11) needs the SSWU isogeny constants, which are not
+     * available in this build environment — fault loudly. */
+    case 0x0b: case 0x0c: case 0x0d: case 0x0e:
+    case 0x0f: case 0x10: case 0x11: {
+      uint32_t need = 0;
+      uint32_t olen = 0;
+      if (id == 0x0b) {
+        if (input_len != 256) return 0;
+        need = 375;
+      } else if (id == 0x0c) {
+        if (input_len == 0 || input_len % 160) return 0;
+        need = bls_msm_gas(input_len / 160, 12000, 0);
+      } else if (id == 0x0d) {
+        if (input_len != 512) return 0;
+        need = 600;
+      } else if (id == 0x0e) {
+        if (input_len == 0 || input_len % 288) return 0;
+        need = bls_msm_gas(input_len / 288, 22500, 1);
+      } else if (id == 0x0f) {
+        if (input_len == 0 || input_len % 384) return 0;
+        need = 32600u * (input_len / 384) + 37700u;
+      } else {
+        gpanic("BLS map-to-curve precompile unsupported", 141);
+      }
+      if (*gas < need) return 0;
+      *gas -= need;
+      *out = (uint8_t *)gcalloc(256);
+      if (bls_eip2537((int)(id - 0x0b), input, input_len, *out,
+                      &olen) != 1) {
+        *out = 0;
+        return 0;
+      }
+      *out_len = olen;
+      return 1;
+    }
       return 0;
   }
   return 0;
@@ -1653,7 +1706,7 @@ int gevm_exec_tx(const txctx *c, uint32_t *out_gas_used) {
   uint32_t n_blobs = c->n_blobs;
   const u256 *blob_fee = &c->blob_fee;
   uint32_t tx_nonce = c->tx_nonce;
-  uint32_t intrinsic, i, gas;
+  uint32_t intrinsic, i, gas, floor_gas;
   gacct *sacc;
   callres cr;
   uint32_t is_create = to == 0;
@@ -1682,7 +1735,17 @@ int gevm_exec_tx(const txctx *c, uint32_t *out_gas_used) {
       off += 32u * ns;
     }
   }
+  if (c->n_auth && !ENV.is_prague) return -1;
+  intrinsic += 25000u * c->n_auth;          /* EIP-7702 */
   if (intrinsic > gas_limit) return -1;
+  /* EIP-7623 calldata floor (Prague) */
+  floor_gas = 0;
+  if (ENV.is_prague) {
+    uint32_t tokens = 0;
+    for (i = 0; i < data_len; i++) tokens += data[i] ? 4u : 1u;
+    floor_gas = 21000u + 10u * tokens;
+    if (floor_gas > gas_limit) return -1;
+  }
 
   sacc = gs_account(from);
   if (sacc->nonce != tx_nonce) return -1;
@@ -1702,7 +1765,7 @@ int gevm_exec_tx(const txctx *c, uint32_t *out_gas_used) {
   /* warm sets */
   gs_warm_account(sacc);
   gs_warm_account(gs_account(ENV.coinbase));
-  for (i = 1; i <= 0x0a; i++) {
+  for (i = 1; i <= (ENV.is_prague ? 0x11u : 0x0au); i++) {
     uint8_t p[20];
     memset(p, 0, 20);
     p[19] = (uint8_t)i;
@@ -1723,6 +1786,105 @@ int gevm_exec_tx(const txctx *c, uint32_t *out_gas_used) {
         gs_warm_slot(aa, access_list + off);
         off += 32;
       }
+    }
+  }
+
+  /* EIP-7702 authorization processing (after the sender nonce bump,
+   * before execution; invalid tuples are skipped, not fatal) */
+  if (c->n_auth && ENV.is_prague) {
+    /* secp256k1 N/2 (EIP-2 malleability bound for auth signatures) */
+    static const uint8_t HALF_N_BE[32] = {
+      0x7f, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff,
+      0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff,
+      0x5d, 0x57, 0x6e, 0x73, 0x57, 0xa4, 0x50, 0x1d,
+      0xdf, 0xe9, 0x2f, 0x46, 0x68, 0x1b, 0x20, 0xa0};
+    rlp_t auth;
+    const uint8_t *cur = 0;
+    rlp_t entry;
+    memset(&auth, 0, sizeof(auth));
+    auth.p = c->auth_rlp;
+    auth.len = c->auth_rlp_len;
+    auth.is_list = 1;
+    while (rlp_next(&auth, &cur, &entry)) {
+      rlp_t it;
+      u256 a_chain, sig_r, sig_s, half_n;
+      uint32_t a_nonce, yp;
+      uint8_t a_addr[20];
+      uint8_t digest[32];
+      uint8_t authority[20];
+      gacct *aacc;
+      uint8_t *acode;
+      uint32_t acl2;
+      if (!entry.is_list || rlp_count(&entry) != 6) continue;
+      rlp_at(&entry, 0, &it);
+      rlp_u256(&it, &a_chain);
+      rlp_at(&entry, 1, &it);
+      if (it.len != 20) continue;
+      memcpy(a_addr, it.p, 20);
+      rlp_at(&entry, 2, &it);
+      if (it.len > 4) continue;               /* nonce must fit u32 here */
+      a_nonce = rlp_u32(&it);
+      rlp_at(&entry, 3, &it);
+      yp = rlp_u32(&it);
+      rlp_at(&entry, 4, &it);
+      rlp_u256(&it, &sig_r);
+      rlp_at(&entry, 5, &it);
+      rlp_u256(&it, &sig_s);
+      if (!u256_is_zero(&a_chain)) {
+        if (!u256_fits_u32(&a_chain)
+            || u256_low_u32(&a_chain) != ENV.chain_id)
+          continue;
+      }
+      if (yp > 1) continue;
+      u256_from_be(&half_n, HALF_N_BE);
+      if (u256_cmp(&sig_s, &half_n) > 0) continue;
+      /* authority = ecrecover(keccak(0x05 || rlp([chain, addr, nonce]))) */
+      {
+        uint8_t msg[96];
+        rlpw_t w;
+        uint32_t mark;
+        msg[0] = 0x05;
+        rlpw_init(&w, msg + 1, 95);
+        mark = rlpw_list_begin(&w);
+        if (u256_fits_u32(&a_chain)) rlpw_u32(&w, u256_low_u32(&a_chain));
+        else {
+          uint8_t be[32];
+          u256_to_be(&a_chain, be);
+          rlpw_bytes(&w, be, 32);
+        }
+        rlpw_bytes(&w, a_addr, 20);
+        rlpw_u32(&w, a_nonce);
+        rlpw_list_end(&w, mark);
+        keccak256(msg, 1 + w.len, digest);
+      }
+      if (!secp_ecrecover(digest, yp, &sig_r, &sig_s, authority)) continue;
+      aacc = gs_account(authority);
+      gs_warm_account(aacc);
+      acode = gs_code(aacc, &acl2);
+      if (acl2 != 0 && !is_delegation(acode, acl2)) continue;
+      if (aacc->nonce != a_nonce) continue;
+      if (aacc->exists
+          && !(aacc->nonce == 0 && u256_is_zero(&aacc->balance)
+               && acl2 == 0))
+        gs_add_refund(25000u - 12500u, 0);
+      {
+        uint32_t zero = 1;
+        for (i = 0; i < 20; i++)
+          if (a_addr[i]) zero = 0;
+        if (zero) {
+          static uint8_t no_code[1];
+          gs_set_code(aacc, no_code, 0);
+        } else {
+          uint8_t *d = (uint8_t *)gmalloc(23);
+          d[0] = 0xef;
+          d[1] = 0x01;
+          d[2] = 0x00;
+          memcpy(d + 3, a_addr, 20);
+          gs_set_code(aacc, d, 23);
+        }
+      }
+      if (!aacc->exists) gs_mark_created(aacc);
+      gs_set_nonce(aacc, aacc->nonce + 1);
     }
   }
 
@@ -1770,15 +1932,33 @@ int gevm_exec_tx(const txctx *c, uint32_t *out_gas_used) {
         } else {
           gframe frame;
           uint32_t cl;
+          uint8_t *tc;
+          uint32_t dlg_oog = 0;
           memset(&frame, 0, sizeof(frame));
           memcpy(frame.address, to, 20);
           memcpy(frame.caller, from, 20);
           frame.value = *value;
           frame.input = data;
           frame.input_len = data_len;
-          frame.code = gs_code(tacc, &cl);
+          tc = gs_code(tacc, &cl);
+          if (ENV.is_prague && is_delegation(tc, cl)) {
+            /* EIP-7702: top-level execution follows the designator */
+            gacct *dacc = gs_account(tc + 3);
+            uint32_t need = gs_warm_account(dacc) ? G_WARM : G_COLD_ACCOUNT;
+            if (need > gas) dlg_oog = 1;
+            else {
+              gas -= need;
+              tc = gs_code(dacc, &cl);
+            }
+          }
+          frame.code = tc;
           frame.code_len = cl;
-          call_frame(&frame, gas, 1, &cr);
+          if (dlg_oog) {
+            cr.success = 0;
+            cr.gas_left = 0;
+          } else {
+            call_frame(&frame, gas, 1, &cr);
+          }
         }
       }
       if (!cr.success) gs_revert(snap);
@@ -1790,6 +1970,7 @@ int gevm_exec_tx(const txctx *c, uint32_t *out_gas_used) {
     uint32_t refund = gs_refund();
     if (refund > used / 5u) refund = used / 5u;
     if (cr.success) used -= refund;
+    if (used < floor_gas) used = floor_gas;  /* EIP-7623 calldata floor */
     {
       u256 t, amt;
       u256_from_u32(&t, gas_limit - used);
@@ -1839,4 +2020,43 @@ void gevm_system_call(const uint8_t to[20], const uint8_t *data,
     if (!cr.success) gs_revert(snap);
   }
   gs_end_tx();
+}
+
+int gevm_system_call_out(const uint8_t to[20], const uint8_t *data,
+                         uint32_t data_len, uint8_t **out) {
+  gacct *tacc = gs_account(to);
+  uint32_t cl;
+  uint8_t *code = gs_code(tacc, &cl);
+  int n = -2;
+  static const uint8_t SYS[20] = {0xff, 0xff, 0xff, 0xff, 0xff, 0xff,
+                                  0xff, 0xff, 0xff, 0xff, 0xff, 0xff,
+                                  0xff, 0xff, 0xff, 0xff, 0xff, 0xff,
+                                  0xff, 0xfe};
+  *out = 0;
+  if (cl == 0) return -1;
+  gs_begin_tx();
+  memcpy(ENV.origin, SYS, 20);
+  u256_zero(&ENV.gas_price);
+  {
+    gframe frame;
+    callres cr;
+    uint32_t snap = gs_snapshot();
+    memset(&frame, 0, sizeof(frame));
+    memcpy(frame.address, to, 20);
+    memcpy(frame.caller, SYS, 20);
+    frame.input = data;
+    frame.input_len = data_len;
+    frame.code = code;
+    frame.code_len = cl;
+    call_frame(&frame, 30000000, 1, &cr);
+    if (!cr.success) {
+      gs_revert(snap);
+    } else {
+      *out = cr.out;
+      n = (int)cr.out_len;
+    }
+  }
+  gs_end_tx();
+  if (n == -2) gpanic("request system call failed", 140);
+  return n;
 }

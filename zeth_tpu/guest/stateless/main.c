@@ -30,11 +30,60 @@
 #include <gtx.h>
 
 #define GAS_PER_BLOB 131072u
-#define BLOB_FEE_FRACTION 3338477u
+#define BLOB_FEE_FRACTION 3338477u          /* Cancun (EIP-4844) */
+#define BLOB_FEE_FRACTION_PRAGUE 5007716u   /* Prague (EIP-7691) */
 
 static const uint8_t BEACON_ROOTS[20] = {
   0x00, 0x0F, 0x3d, 0xf6, 0xd7, 0x32, 0x80, 0x7e, 0xf1, 0x31,
   0x9f, 0xb7, 0xb8, 0xbb, 0x85, 0x22, 0xd0, 0xbe, 0xac, 0x02};
+/* EIP-2935 block-hash history contract */
+static const uint8_t HISTORY_STORAGE[20] = {
+  0x00, 0x00, 0xF9, 0x08, 0x27, 0xf1, 0xc5, 0x3a, 0x10, 0xcb,
+  0x7a, 0x02, 0x33, 0x5b, 0x17, 0x53, 0x20, 0x00, 0x29, 0x35};
+/* EIP-7002 withdrawal-requests contract */
+static const uint8_t WITHDRAWAL_REQUESTS[20] = {
+  0x00, 0x00, 0x09, 0x61, 0xEf, 0x48, 0x0E, 0xb5, 0x5e, 0x80,
+  0xD1, 0x9a, 0xd8, 0x35, 0x79, 0xA6, 0x4c, 0x00, 0x70, 0x02};
+/* EIP-7251 consolidation-requests contract */
+static const uint8_t CONSOLIDATION_REQUESTS[20] = {
+  0x00, 0x00, 0xBB, 0xdD, 0xc7, 0xCE, 0x48, 0x86, 0x42, 0xfb,
+  0x57, 0x9F, 0x8B, 0x00, 0xf3, 0xa5, 0x90, 0x00, 0x72, 0x51};
+/* keccak("DepositEvent(bytes,bytes,bytes,bytes,bytes)") (EIP-6110) */
+static const uint8_t DEPOSIT_TOPIC[32] = {
+  0x64, 0x9b, 0xbc, 0x62, 0xd0, 0xe3, 0x13, 0x42, 0xaf, 0xea, 0x4e,
+  0x5c, 0xd8, 0x2d, 0x40, 0x49, 0xe7, 0xe1, 0xee, 0x91, 0x2f, 0xc0,
+  0x88, 0x9a, 0xa7, 0x90, 0x80, 0x3b, 0xe3, 0x90, 0x38, 0xc5};
+
+/* Compiled-in chain specification (the reference embeds zeth-chainspec
+ * per guest binary — crates/chainspec/src/lib.rs:40-80; mirroring
+ * app/chainspec.py). Prague activation timestamps + deposit contracts. */
+typedef struct {
+  uint32_t chain_id;
+  uint32_t prague_ts;
+  uint8_t deposit_contract[20];
+} gspec;
+
+static const gspec SPECS[4] = {
+  {1u, 1746612311u,
+   {0x00, 0x00, 0x00, 0x00, 0x21, 0x9a, 0xb5, 0x40, 0x35, 0x6c,
+    0xbb, 0x83, 0x9c, 0xbe, 0x05, 0x30, 0x3d, 0x77, 0x05, 0xfa}},
+  {11155111u, 1741159776u,
+   {0x7f, 0x02, 0xc3, 0xe3, 0xc9, 0x8b, 0x13, 0x30, 0x55, 0xb8,
+    0xb3, 0x48, 0xb2, 0xac, 0x62, 0x56, 0x69, 0xed, 0x29, 0x5d}},
+  {17000u, 1740434112u,
+   {0x42, 0x42, 0x42, 0x42, 0x42, 0x42, 0x42, 0x42, 0x42, 0x42,
+    0x42, 0x42, 0x42, 0x42, 0x42, 0x42, 0x42, 0x42, 0x42, 0x42}},
+  {560048u, 1742999832u,
+   {0x00, 0x00, 0x00, 0x00, 0x21, 0x9a, 0xb5, 0x40, 0x35, 0x6c,
+    0xbb, 0x83, 0x9c, 0xbe, 0x05, 0x30, 0x3d, 0x77, 0x05, 0xfa}}};
+
+static const gspec *spec_of(uint32_t chain_id) {
+  uint32_t i;
+  for (i = 0; i < 4; i++)
+    if (SPECS[i].chain_id == chain_id) return &SPECS[i];
+  gpanic("unsupported chain id", 145);
+  return 0;
+}
 
 typedef struct {
   const uint8_t *raw;
@@ -59,6 +108,8 @@ typedef struct {
   u256 excess_blob_gas;
   uint32_t has_beacon_root;
   uint8_t beacon_root[32];
+  uint32_t has_requests;
+  uint8_t requests_hash[32];
 } gheader;
 
 static void parse_header(const uint8_t *raw, uint32_t len, gheader *h) {
@@ -116,13 +167,21 @@ static void parse_header(const uint8_t *raw, uint32_t len, gheader *h) {
       memcpy(h->beacon_root, it.p, 32);
     }
   }
+  if (h->n_items > 20) {
+    rlp_at(&top, 20, &it);
+    if (it.len == 32) {
+      h->has_requests = 1;
+      memcpy(h->requests_hash, it.p, 32);
+    }
+  }
 }
 
-/* EIP-4844 blob base fee: fake_exponential(1, excess, 3338477) */
-static void blob_base_fee(const u256 *excess, u256 *out) {
+/* EIP-4844 blob base fee: fake_exponential(1, excess, fraction) —
+ * the update fraction is fork-dependent (Prague = EIP-7691) */
+static void blob_base_fee(const u256 *excess, uint32_t fraction, u256 *out) {
   u256 acc, output, denom, i_u, t;
   uint32_t i = 1;
-  u256_from_u32(&denom, BLOB_FEE_FRACTION);
+  u256_from_u32(&denom, fraction);
   acc = denom;                      /* factor = 1 */
   u256_zero(&output);
   while (!u256_is_zero(&acc)) {
@@ -264,6 +323,9 @@ int main(void) {
   const uint8_t *withdrawals;
   u256 bbf;
   uint32_t i;
+  const gspec *spec;
+  uint8_t *deposits = 0;
+  uint32_t deposits_len = 0, deposits_cap = 0;
 
   {
     uint32_t hdr[1];
@@ -375,12 +437,21 @@ int main(void) {
   ENV.n_ancestors = n_anc;
   ENV.ancestor_first = parent.number;
   ENV.ancestor_hashes = anc_hashes;
+  spec = spec_of(chain_id);
+  ENV.is_prague = header.timestamp >= spec->prague_ts;
+  if (ENV.is_prague != header.has_requests)
+    gpanic("requests_hash does not match the active fork", 146);
   u256_zero(&bbf);
-  if (header.has_blob) blob_base_fee(&header.excess_blob_gas, &bbf);
+  if (header.has_blob)
+    blob_base_fee(&header.excess_blob_gas,
+                  ENV.is_prague ? BLOB_FEE_FRACTION_PRAGUE
+                                : BLOB_FEE_FRACTION, &bbf);
   ENV.blob_basefee = bbf;
 
   if (header.has_beacon_root)
     gevm_system_call(BEACON_ROOTS, header.beacon_root, 32);
+  if (ENV.is_prague)
+    gevm_system_call(HISTORY_STORAGE, header.parent_hash, 32);
 
   /* execute every transaction */
   {
@@ -422,6 +493,9 @@ int main(void) {
         c.n_blobs = tx.n_blobs;
         c.blob_fee = blob_fee;
         c.tx_nonce = tx.nonce;
+        c.auth_rlp = tx.auth_rlp;
+        c.auth_rlp_len = tx.auth_rlp_len;
+        c.n_auth = tx.n_auth;
         rc = gevm_exec_tx(&c, &used);
       }
       if (rc < 0) gpanic("invalid transaction", 130);
@@ -437,6 +511,58 @@ int main(void) {
                                  logs, n_logs, &rlen);
         trie_insert(&rct, key, klen, receipt, rlen);
         bloom_logs(logs, n_logs, block_bloom);
+        /* EIP-6110: collect deposit requests from the deposit
+         * contract's DepositEvent logs (strict ABI layout check) */
+        if (ENV.is_prague) {
+          glog *g = logs;
+          uint32_t li;
+          for (li = 0; li < n_logs && g; li++, g = g->next) {
+            uint32_t f;
+            static const uint32_t DL_OFF[5] = {160, 256, 320, 384, 512};
+            static const uint32_t DL_LEN[5] = {48, 32, 8, 96, 8};
+            if (memcmp(g->addr, spec->deposit_contract, 20) != 0)
+              continue;
+            if (g->n_topics == 0
+                || memcmp(g->topics[0], DEPOSIT_TOPIC, 32) != 0)
+              continue;
+            if (g->data_len != 576)
+              gpanic("malformed DepositEvent data", 147);
+            for (f = 0; f < 5; f++) {
+              const uint8_t *w = g->data + 32 * f;
+              uint32_t v = ((uint32_t)w[28] << 24) | ((uint32_t)w[29] << 16)
+                           | ((uint32_t)w[30] << 8) | w[31];
+              uint32_t k2;
+              for (k2 = 0; k2 < 28; k2++)
+                if (w[k2]) gpanic("malformed DepositEvent offsets", 148);
+              if (v != DL_OFF[f])
+                gpanic("malformed DepositEvent offsets", 148);
+              w = g->data + DL_OFF[f];
+              v = ((uint32_t)w[28] << 24) | ((uint32_t)w[29] << 16)
+                  | ((uint32_t)w[30] << 8) | w[31];
+              for (k2 = 0; k2 < 28; k2++)
+                if (w[k2]) gpanic("malformed DepositEvent length", 149);
+              if (v != DL_LEN[f])
+                gpanic("malformed DepositEvent length", 149);
+              if (deposits_len + DL_LEN[f] + 1 > deposits_cap) {
+                uint32_t ncap = deposits_cap ? deposits_cap * 2 : 1024;
+                uint8_t *nb;
+                while (ncap < deposits_len + DL_LEN[f] + 1) ncap *= 2;
+                nb = (uint8_t *)gmalloc(ncap);
+                if (deposits_len) memcpy(nb, deposits, deposits_len);
+                else nb[0] = 0x00;            /* request type byte */
+                deposits = nb;
+                deposits_cap = ncap;
+              }
+              if (deposits_len == 0) {
+                deposits[0] = 0x00;
+                deposits_len = 1;
+              }
+              memcpy(deposits + deposits_len, g->data + DL_OFF[f] + 32,
+                     DL_LEN[f]);
+              deposits_len += DL_LEN[f];
+            }
+          }
+        }
       }
     }
 
@@ -453,6 +579,43 @@ int main(void) {
         u256_add(&nb, &a->balance, &amount);
         a->balance = nb;
       }
+    }
+
+    /* EIP-7685 requests hash (Prague): sha256 over sha256(type || data)
+     * of each non-empty request — deposits from logs, then the
+     * EIP-7002/7251 system-call queues */
+    if (ENV.is_prague) {
+      uint8_t acc[96];
+      uint32_t acc_len = 0;
+      uint8_t rh[32];
+      if (deposits_len > 1) {
+        sha256(deposits, deposits_len, acc + acc_len);
+        acc_len += 32;
+      }
+      {
+        uint8_t *qout;
+        int qn = gevm_system_call_out(WITHDRAWAL_REQUESTS, 0, 0, &qout);
+        if (qn < 0) gpanic("EIP-7002 contract missing", 150);
+        if (qn > 0) {
+          uint8_t *buf = (uint8_t *)gmalloc((uint32_t)qn + 1);
+          buf[0] = 0x01;
+          memcpy(buf + 1, qout, (uint32_t)qn);
+          sha256(buf, (uint32_t)qn + 1, acc + acc_len);
+          acc_len += 32;
+        }
+        qn = gevm_system_call_out(CONSOLIDATION_REQUESTS, 0, 0, &qout);
+        if (qn < 0) gpanic("EIP-7251 contract missing", 151);
+        if (qn > 0) {
+          uint8_t *buf = (uint8_t *)gmalloc((uint32_t)qn + 1);
+          buf[0] = 0x02;
+          memcpy(buf + 1, qout, (uint32_t)qn);
+          sha256(buf, (uint32_t)qn + 1, acc + acc_len);
+          acc_len += 32;
+        }
+      }
+      sha256(acc, acc_len, rh);
+      if (memcmp(rh, header.requests_hash, 32) != 0)
+        gpanic("requests hash mismatch", 152);
     }
 
     /* post-execution header commitments */

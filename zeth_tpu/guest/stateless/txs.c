@@ -134,7 +134,7 @@ void gtx_parse(const uint8_t *env, uint32_t env_len, gtx *tx) {
   if (env_len == 0) gpanic("empty tx", 96);
   if (env[0] <= 0x7f) {
     tx->type = env[0];
-    if (tx->type > 3) gpanic("unsupported tx type", 97);
+    if (tx->type > 4) gpanic("unsupported tx type", 97);
     body = env + 1;
     body_len = env_len - 1;
   } else {
@@ -174,10 +174,11 @@ void gtx_parse(const uint8_t *env, uint32_t env_len, gtx *tx) {
   }
 
   /* typed: [chainid, nonce, (prices...), gaslimit, to, value, data, acl,
-   *         (blob fields), yparity, r, s] */
+   *         (blob fields | auth list), yparity, r, s] */
   {
     uint32_t idx = 0;
-    uint32_t want = tx->type == 1 ? 11 : (tx->type == 2 ? 12 : 14);
+    uint32_t want = tx->type == 1 ? 11
+                    : (tx->type == 2 ? 12 : (tx->type == 3 ? 14 : 13));
     rlp_t acl;
     if (n != want) gpanic("typed tx arity", 101);
     rlp_at(&list, idx++, &it);
@@ -226,6 +227,16 @@ void gtx_parse(const uint8_t *env, uint32_t env_len, gtx *tx) {
           }
         }
       }
+    }
+    if (tx->type == 4) {                  /* EIP-7702 authorization list */
+      rlp_t auth;
+      rlp_at(&list, idx++, &auth);
+      if (!auth.is_list) gpanic("auth list", 107);
+      tx->auth_rlp = auth.p;
+      tx->auth_rlp_len = auth.len;
+      tx->n_auth = rlp_count(&auth);
+      if (tx->n_auth == 0) gpanic("empty auth list", 108);
+      if (!tx->has_to) gpanic("type-4 create", 109);
     }
     sighash_typed((uint8_t)tx->type, &list, idx, tx->sighash);
     rlp_at(&list, idx++, &it);

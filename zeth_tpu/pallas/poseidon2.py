@@ -107,10 +107,14 @@ def _permute(cells, rc_ext_ref, rc_int_ref, diag_m1):
     return cells
 
 
-def _leaf_kernel(nch: int, diag_m1: tuple,
-                 rc_ext_ref, rc_int_ref, xt_ref, out_ref):
-    zero = jnp.zeros((8, 128), _U32)
-    cells0 = tuple(zero for _ in range(CELLS))
+def _leaf_kernel(nch: int, diag_m1: tuple, first: bool, last: bool,
+                 rc_ext_ref, rc_int_ref, xt_ref, st_ref, out_ref,
+                 stout_ref):
+    if first:
+        zero = jnp.zeros((8, 128), _U32)
+        cells0 = tuple(zero for _ in range(CELLS))
+    else:
+        cells0 = tuple(st_ref[0, j] for j in range(CELLS))
 
     def chunk(k, cells):
         blk = xt_ref[pl.ds(k * RATE, RATE), 0]
@@ -119,14 +123,23 @@ def _leaf_kernel(nch: int, diag_m1: tuple,
         return _permute(cs, rc_ext_ref, rc_int_ref, diag_m1)
 
     cells = jax.lax.fori_loop(0, nch, chunk, cells0)
-    for j in range(DIGEST):
-        out_ref[0, j] = cells[j]
+    if last:
+        for j in range(DIGEST):
+            out_ref[0, j] = cells[j]
+    else:
+        for j in range(CELLS):
+            stout_ref[0, j] = cells[j]
 
 
-@functools.partial(jax.jit, static_argnames=("nch", "diag"))
-def _leaf_call(xt4, rc_ext, rc_int, nch: int, diag: tuple):
+@functools.partial(jax.jit,
+                   static_argnames=("nch", "diag", "first", "last"))
+def _leaf_call(xt4, state, rc_ext, rc_int, nch: int, diag: tuple,
+               first: bool, last: bool):
+    """One column-slab absorb over every row tile. state: (G, 24, 8,
+    128) sponge cells carried between slabs (ignored when first)."""
     cp, g = xt4.shape[0], xt4.shape[1]
-    kernel = functools.partial(_leaf_kernel, nch, diag)
+    kernel = functools.partial(_leaf_kernel, nch, diag, first, last)
+    out_cells = DIGEST if last else CELLS
     out = pl.pallas_call(
         kernel,
         grid=(g,),
@@ -137,14 +150,21 @@ def _leaf_call(xt4, rc_ext, rc_int, nch: int, diag: tuple):
                          lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((cp, 1, 8, 128), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CELLS, 8, 128), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, DIGEST, 8, 128),
-                               lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((g, DIGEST, 8, 128), _U32),
-    )(rc_ext, rc_int, xt4)
-    # (G, 8cell, 8sub, 128lane) -> (R, 8): row r = g*1024 + s*128 + l
-    return jnp.transpose(out, (0, 2, 3, 1)).reshape(g * TILE, DIGEST)
+        out_specs=(
+            pl.BlockSpec((1, DIGEST, 8, 128), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CELLS, 8, 128), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((g, DIGEST, 8, 128), _U32),
+            jax.ShapeDtypeStruct((g, CELLS, 8, 128), _U32),
+        ),
+    )(rc_ext, rc_int, xt4, state)
+    return out
 
 
 @functools.lru_cache(maxsize=1)
@@ -156,12 +176,14 @@ def _smem_constants():
     return rc_ext, rc_int, diag
 
 
-@functools.partial(jax.jit, static_argnames=("pad",))
-def _transpose_pad(x, pad: int):
+@functools.partial(jax.jit, static_argnames=("off", "c", "pad"))
+def _transpose_pad(x, off: int, c: int, pad: int):
+    """Columns [off, off+c) transposed + tiled: (c+pad, G, 8, 128)."""
+    sl = jax.lax.slice_in_dim(x, off, off + c, axis=1)
     if pad:
-        x = jnp.concatenate(
-            [x, jnp.zeros((x.shape[0], pad), _U32)], axis=1)
-    xt = x.T
+        sl = jnp.concatenate(
+            [sl, jnp.zeros((sl.shape[0], pad), _U32)], axis=1)
+    xt = sl.T
     cp = xt.shape[0]
     return xt.reshape(cp, xt.shape[1] // TILE, 8, 128)
 
@@ -171,19 +193,46 @@ def supported(shape) -> bool:
     return r % TILE == 0 and r >= TILE and c > 0
 
 
+# column-slab staging budget: bounds the transposed copy of one absorb
+# call (slab_cols * R * 4 bytes) — the whole-matrix transpose was an
+# 8 GB HBM temp beside the resident 8.4 GB LDE at po2=19
+SLAB_BYTES = 1 << 29
+
+
+def _slab_cols(r: int) -> int:
+    w = SLAB_BYTES // (r * 4)
+    return max(RATE, min(512, (w // RATE) * RATE))
+
+
 def hash_rows(rows):
     """Drop-in for hash.poseidon2.hash_rows on (R, C) Montgomery input.
 
-    R must be a TILE multiple (all LDE domains are); any C. Returns
+    R must be a TILE multiple (all LDE domains are); any C. Wide
+    matrices stream in SLAB_COLS column slabs with the sponge state
+    carried in an (G, 24, 8, 128) HBM buffer between calls. Returns
     (R, 8) Montgomery digests, bit-identical to the XLA path.
     """
     r, c = rows.shape
     assert supported((r, c))
-    pad = (-c) % RATE
     rc_ext, rc_int, diag = _smem_constants()
-    xt4 = _transpose_pad(rows, pad)
-    return _leaf_call(xt4, jnp.asarray(rc_ext), jnp.asarray(rc_int),
-                      (c + pad) // RATE, diag)
+    rc_ext = jnp.asarray(rc_ext)
+    rc_int = jnp.asarray(rc_int)
+    g = r // TILE
+    state = jnp.zeros((g, CELLS, 8, 128), _U32)
+    digests = None
+    off = 0
+    slab = _slab_cols(r)
+    while off < c:
+        cw = min(slab, c - off)
+        pad = (-cw) % RATE
+        xt4 = _transpose_pad(rows, off, cw, pad)
+        first = off == 0
+        last = off + cw >= c
+        digests, state = _leaf_call(xt4, state, rc_ext, rc_int,
+                                    (cw + pad) // RATE, diag, first, last)
+        off += cw
+    # (G, 8cell, 8sub, 128lane) -> (R, 8): row r = g*1024 + s*128 + l
+    return jnp.transpose(digests, (0, 2, 3, 1)).reshape(r, DIGEST)
 
 
 # -- pair-tree reduction -----------------------------------------------------

@@ -528,6 +528,21 @@ def _open_groups(ldes_t, layers_t, q_idx, idx_mat):
     return rows, sibs
 
 
+@jax.jit
+def _open_groups_pallas(ldes_t, layers_t, q_idx, idx_mat):
+    """Same as _open_groups, but the LDE row extraction runs through the
+    Pallas scalar-prefetch gather: XLA's gather/dynamic-slice lowering
+    copies the whole multi-GB operand to a linear layout first (the
+    po2>=19 HBM blocker); the kernel DMAs only the ~50 queried rows."""
+    from ..pallas.gather import gather_rows
+    rows = tuple(F.from_monty(gather_rows(lde, q_idx)) for lde in ldes_t)
+    sibs = tuple(
+        tuple(F.from_monty(layer[idx_mat[d]])
+              for d, layer in enumerate(reversed(list(layers)[1:])))
+        for layers in layers_t)
+    return rows, sibs
+
+
 @functools.partial(jax.jit, static_argnames=("nq",))
 def _open_group_lean(lde, layers_t, q_idx, idx_mat, nq: int):
     """One group's openings via per-query dynamic slices: the row gather
@@ -814,16 +829,22 @@ def prove(air: Air, main_std: np.ndarray, publics: list[int],
             idxs = [i >> 1 for i in idxs]
         idx_mat = jnp.asarray(np.array(idx_rows, np.int32)) if depth else \
             jnp.zeros((0, len(qs)), jnp.int32)
-        if BLOWUP * n * sum(ldes[g].shape[1] for g in gnames) \
+        from .. import pallas as PK
+        if PK.enabled(ldes["main"]):
+            rows_t, sibs_t = jax.device_get(_open_groups_pallas(
+                tuple(ldes[g] for g in gnames),
+                tuple(tuple(trees[g].layers) for g in gnames),
+                q_idx, idx_mat))
+        elif BLOWUP * n * sum(ldes[g].shape[1] for g in gnames) \
                 <= _LDE_CHUNK_THRESHOLD:
             rows_t, sibs_t = jax.device_get(_open_groups(
                 tuple(ldes[g] for g in gnames),
                 tuple(tuple(trees[g].layers) for g in gnames),
                 q_idx, idx_mat))
         else:
-            # huge traces: per-group programs with per-query dynamic
-            # slices keep the opening's HBM footprint to one group's
-            # buffers (a row gather would add a full LDE layout copy)
+            # huge traces on the XLA path: per-group programs with
+            # per-query dynamic slices keep the opening's HBM footprint
+            # to one group's buffers
             parts = [jax.device_get(_open_group_lean(
                         ldes[g], tuple(trees[g].layers),
                         q_idx, idx_mat, len(qs))) for g in gnames]
