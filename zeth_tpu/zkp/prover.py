@@ -162,6 +162,89 @@ def _lde_chunked_monty(dev):
 _to_monty_dev = jax.jit(F.to_monty)
 
 
+# -- streamed main group (po2 >= 20) ----------------------------------------
+#
+# At po2=20 x rv32im width the blowup-4 main LDE is ~17 GB — it cannot
+# be resident on a 16 GB chip at all. Instead the g-shifted COEFFICIENT
+# matrix (n x c, 1/4 the LDE) stays resident and single-coset
+# evaluations are recomputed on demand: the LDE domain g*<w_4n> is the
+# union of 4 cosets (g*w_4n^r)*<w_n>, and natural-order LDE row 4k+r is
+# coset r at position k. Merkle leaves hash per coset and interleave;
+# the check polynomial evaluates coset by coset (tape stride=1); taps
+# and the DEEP mix only ever read the stride-4 subdomain = coset 0; the
+# ~50 query-opening rows evaluate straight from the coefficients on the
+# MXU. Seals stay bit-identical to the resident-LDE path.
+
+_STREAM_MAIN_BYTES = 12 << 30
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _coeffs_fill(out, chunk_std, off, shift_pows):
+    cf = ntt.intt(F.to_monty(chunk_std))
+    cf = F.mul(cf, shift_pows[:, None])
+    return jax.lax.dynamic_update_slice(out, cf, (jnp.int32(0), off))
+
+
+def _shifted_coeffs(dev_std):
+    """(n, c) std trace evals -> (n, c) Montgomery coefficients of
+    f(g*x) (column-chunked; bounded transients)."""
+    n, c = dev_std.shape
+    sp = base_power_series(
+        jnp.asarray(np.uint32((GENERATOR << 32) % P)), n)
+    w = max(1, _LDE_CHUNK_ELEMS // n)
+    out = jnp.zeros((n, c), _U32)
+    for off in range(0, c, w):
+        cw = min(w, c - off)
+        chunk = jax.lax.slice_in_dim(dev_std, off, off + cw, axis=1)
+        out = _coeffs_fill(out, chunk, jnp.int32(off), sp)
+    return out
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _coset_fill(out, cf_chunk, off, r_pows):
+    ev = ntt.ntt(F.mul(cf_chunk, r_pows[:, None]))
+    return jax.lax.dynamic_update_slice(out, ev, (jnp.int32(0), off))
+
+
+def _coset_eval(coeffs1, r: int, n: int):
+    """Evaluations of the main columns on coset r: (n, c) Montgomery
+    (= LDE rows 4k+r)."""
+    c = coeffs1.shape[1]
+    wr = pow(H.rou_fwd(BLOWUP * n), r, P)
+    rp = base_power_series(jnp.asarray(np.uint32((wr << 32) % P)), n)
+    w = max(1, _LDE_CHUNK_ELEMS // n)
+    out = jnp.zeros((n, c), _U32)
+    for off in range(0, c, w):
+        cw = min(w, c - off)
+        chunk = jax.lax.slice_in_dim(coeffs1, off, off + cw, axis=1)
+        out = _coset_fill(out, chunk, jnp.int32(off), rp)
+    return out
+
+
+@jax.jit
+def _interleave4(parts):
+    """4 x (n, k) per-coset arrays -> (4n, k) natural LDE order."""
+    return jnp.stack(parts, axis=1).reshape(
+        4 * parts[0].shape[0], parts[0].shape[1])
+
+
+@functools.partial(jax.jit, static_argnames=("r",))
+def _coset_rows(lde, r: int):
+    """Rows 4k+r of a resident (4n, c) LDE -> (n, c) copy."""
+    return lde[r::BLOWUP]
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _eval_rows_at_points(coeffs1, pts_m, n: int):
+    """Open main rows at LDE indices directly from the coefficients:
+    row value = sum_j coeffs1[j, c] * (w_4n^q)^j (MXU mod-p matmul).
+    pts_m: (Q,) Montgomery w_4n^q points. Returns (Q, c) Montgomery."""
+    from .. import mxu
+    pows_m = jax.vmap(lambda b: base_power_series(b, n))(pts_m)
+    pows_std = F.from_monty(pows_m)
+    return mxu.modmm(pows_std, coeffs1)
+
+
 def _lde_dispatch(mesh, n: int):
     """Pick the LDE implementation: the MXU four-step path for
     trace-scale single-chip arrays (O(N*sqrt N) int8 systolic MACs, 2
@@ -188,21 +271,24 @@ def _lde_dispatch(mesh, n: int):
     return _lde_only_std, _lde_only
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",))
-def _eval_rows_ext_s4(rows, w, chunk: int):
+@functools.partial(jax.jit, static_argnames=("chunk", "stride"))
+def _eval_rows_ext_s4(rows, w, chunk: int, stride: int = 4):
     """Weighted stride-4 row reduction for DEEP taps: row 4k of a
     blowup-4 LDE in natural order is the trace polynomial at g*w_n^k,
     so a degree-<n column is interpolated exactly from every 4th LDE
     row — 4x less compute and HBM traffic than reducing all 4n rows.
-    rows: (4n, c) Montgomery; w: (n, e) Montgomery ext weights -> (c, e).
+    rows: (stride*n, c) Montgomery; w: (n, e) Montgomery ext weights ->
+    (c, e). stride=1 when `rows` already carries only the coset-0
+    evaluations (the streamed-main path).
     """
     c = rows.shape[1]
     n = w.shape[0]
     e = w.shape[1]
 
     def body(acc, i):
-        rc = jax.lax.dynamic_slice(rows, (i * chunk * 4, 0), (chunk * 4, c))
-        rc = rc[::4]
+        rc = jax.lax.dynamic_slice(rows, (i * chunk * stride, 0),
+                                   (chunk * stride, c))
+        rc = rc[::stride]
         wc = jax.lax.dynamic_slice(w, (i * chunk, 0), (chunk, e))
         t = F.mul(rc[:, :, None], wc[:, None, :])
         return F.add(acc, ntt.modsum(t, axis=0)), None
@@ -444,16 +530,49 @@ def _check_group(air: Air, ldes: dict, alpha: np.ndarray, publics, challenges,
         acc = tape.eval_check(tp, ldes, pubs_s, challenges, alpha_pows,
                               single_block=mesh is not None)
         acc.block_until_ready()
+    return _finish_check(acc, _zinv_dev(n), _sinv_dev(n))
 
-    zinv = jnp.asarray(np.tile(_zinv_table(n), n))
-    sinv = base_power_series(
+
+def _zinv_dev(n: int):
+    return jnp.asarray(np.tile(_zinv_table(n), n))
+
+
+def _sinv_dev(n: int):
+    return base_power_series(
         jnp.asarray(np.uint32((pow(GENERATOR, P - 2, P) << 32) % P)),
         BLOWUP * n)
-    return _finish_check(acc, zinv, sinv)
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "n_zg_groups"))
-def _deep_mix_s4(groups, bps_z, chunk: int, n_zg_groups: int):
+def _check_group_streamed(air: Air, coeffs1, ldes: dict, alpha, publics,
+                          challenges, n: int):
+    """_check_group for the streamed main group: the constraint tape
+    evaluates coset by coset (stride=1 leaf offsets), interleaving the
+    per-coset alpha-mixes back into natural LDE order — bit-identical
+    to the resident-LDE evaluation."""
+    register_air(air)
+    pubs_s = scalar_publics(air, publics)
+    tp = _tape_program(air.name, len(pubs_s))
+    assert tp.max_degree <= BLOWUP + 1
+    alpha_pows = H.ext_powers(alpha, tp.n_stage)
+    parts = []
+    with _Stage(f"constraint tape streamed ({tp.ops.shape[0]} ops)"):
+        for r in range(BLOWUP):
+            ev = _coset_eval(coeffs1, r, n)
+            sub = {"main": ev}
+            for g in ("control", "aux"):
+                if g in ldes and ldes[g].shape[1]:
+                    sub[g] = _coset_rows(ldes[g], r)
+            parts.append(tape.eval_check(tp, sub, pubs_s, challenges,
+                                         alpha_pows, stride=1))
+            del ev, sub
+        acc = _interleave4(tuple(parts))
+    return _finish_check(acc, _zinv_dev(n), _sinv_dev(n))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("chunk", "n_zg_groups", "strides"))
+def _deep_mix_s4(groups, bps_z, chunk: int, n_zg_groups: int,
+                 strides: tuple = None):
     """Beta-mixes of all committed columns on the stride-4 subdomain.
 
     mix_z(x) = sum_c beta^c f_c(x) is itself a degree-<n polynomial, so
@@ -463,16 +582,21 @@ def _deep_mix_s4(groups, bps_z, chunk: int, n_zg_groups: int):
     mix, so each prefix group's products are shared and the beta^(n_z)
     scale is applied downstream. Returns (n, 8): [:, :4] = mix over all
     groups, [:, 4:] = mix over the first n_zg_groups (control/main/aux).
+    strides: per-group LDE stride (1 = the group array already holds
+    only coset-0 rows — the streamed-main path).
     """
-    n = groups[0].shape[0] // BLOWUP
+    if strides is None:
+        strides = tuple(BLOWUP for _ in groups)
+    n = groups[0].shape[0] // strides[0]
 
     def body(_, i):
         acc_z = jnp.zeros((chunk, 4), _U32)
         acc_pre = jnp.zeros((chunk, 4), _U32)
         for gi, (cat, bz) in enumerate(zip(groups, bps_z)):
+            st = strides[gi]
             rc = jax.lax.dynamic_slice(
-                cat, (i * chunk * BLOWUP, 0),
-                (chunk * BLOWUP, cat.shape[1]))[::BLOWUP]
+                cat, (i * chunk * st, 0),
+                (chunk * st, cat.shape[1]))[::st]
             w = F.mul(rc[:, :, None], bz[None])
             s = ntt.modsum(w, axis=1)
             acc_z = F.add(acc_z, s)
@@ -508,11 +632,13 @@ def _deep_f0(mix4, beta_nz, cz, cpre, iz, izg):
 
 
 def _deep_combine(groups_z, n_zg_groups, beta_pows_z, beta_nz,
-                  const_z, const_pre, inv_z, inv_zg):
-    n4 = groups_z[0].shape[0]
-    chunk = min(n4 // BLOWUP, 2048)
+                  const_z, const_pre, inv_z, inv_zg, strides=None):
+    if strides is None:
+        strides = tuple(BLOWUP for _ in groups_z)
+    n = groups_z[0].shape[0] // strides[0]
+    chunk = min(n, 2048)
     mix_n = _deep_mix_s4(tuple(groups_z), tuple(beta_pows_z), chunk,
-                         n_zg_groups)
+                         n_zg_groups, tuple(strides))
     mix4 = _extend_coset_evals(mix_n)
     return _deep_f0(mix4, beta_nz, const_z, const_pre, inv_z, inv_zg)
 
@@ -528,18 +654,41 @@ def _open_groups(ldes_t, layers_t, q_idx, idx_mat):
     return rows, sibs
 
 
+@functools.partial(jax.jit, static_argnames=("off", "w"))
+def _gather_chunk(x, q_idx, off: int, w: int):
+    sl = jax.lax.slice_in_dim(x, off, off + w, axis=1)
+    return F.from_monty(sl[q_idx])
+
+
+def _gather_rows_chunked(x, q_idx):
+    """Query-row extraction with bounded transients: XLA's row gather on
+    a multi-GB tiled operand materializes a relayout copy of the WHOLE
+    operand (the po2>=19 HBM blocker), so gather per <=1 GB column chunk
+    — one DISPATCH per chunk (a single fused program hoists one
+    whole-array relayout again). Returns standard-form host rows."""
+    r, c = x.shape
+    cw = max(64, (1 << 30) // (r * 4))
+    parts = []
+    for off in range(0, c, cw):
+        w = min(cw, c - off)
+        parts.append(np.asarray(
+            jax.device_get(_gather_chunk(x, q_idx, off, w)), np.uint64))
+    return parts[0] if len(parts) == 1 else np.concatenate(parts, axis=1)
+
+
 @jax.jit
-def _open_groups_pallas(ldes_t, layers_t, q_idx, idx_mat):
-    """Same as _open_groups, but the LDE row extraction runs through the
-    Pallas scalar-prefetch gather: XLA's gather/dynamic-slice lowering
-    copies the whole multi-GB operand to a linear layout first (the
-    po2>=19 HBM blocker); the kernel DMAs only the ~50 queried rows."""
-    from ..pallas.gather import gather_rows
-    rows = tuple(F.from_monty(gather_rows(lde, q_idx)) for lde in ldes_t)
-    sibs = tuple(
-        tuple(F.from_monty(layer[idx_mat[d]])
-              for d, layer in enumerate(reversed(list(layers)[1:])))
-        for layers in layers_t)
+def _gather_paths_t(layers_t, idx_mat):
+    """Sibling digests for one tree at the (depth, Q) index matrix."""
+    return tuple(F.from_monty(layer[idx_mat[d]])
+                 for d, layer in enumerate(reversed(list(layers_t)[1:])))
+
+
+def _open_groups_chunked(ldes_t, layers_t, q_idx, idx_mat):
+    """_open_groups with the chunked row gather (huge-LDE safe).
+    Host-side orchestration: one dispatch per column chunk per group."""
+    rows = tuple(_gather_rows_chunked(lde, q_idx) for lde in ldes_t)
+    sibs = tuple(jax.device_get(_gather_paths_t(tuple(layers), idx_mat))
+                 for layers in layers_t)
     return rows, sibs
 
 
@@ -564,8 +713,8 @@ def _point_inverses(x_pows, z_monty):
     return F.ext_inv(diff)
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
-def _taps_fused(groups, z_m, zg_m, n: int):
+@functools.partial(jax.jit, static_argnames=("n", "strides"))
+def _taps_fused(groups, z_m, zg_m, n: int, strides: tuple = None):
     """Every DEEP tap in ONE program: the point-power and (x - z)^-1
     tables, the barycentric weights at z and z*w_n, and each group's
     stride-4 weighted reduction. Replaces ~15 per-group dispatches whose
@@ -600,7 +749,10 @@ def _taps_fused(groups, z_m, zg_m, n: int):
     bw_pair = jnp.concatenate(
         [bary(z_m, inv_z[::4]), bary(zg_m, inv_zg[::4])], axis=1)
     chunk = min(4096, n)
-    outs = tuple(_eval_rows_ext_s4(lde, bw_pair, chunk) for lde in groups)
+    if strides is None:
+        strides = tuple(4 for _ in groups)
+    outs = tuple(_eval_rows_ext_s4(lde, bw_pair, chunk, st)
+                 for lde, st in zip(groups, strides))
     return outs, inv_z, inv_zg
 
 
@@ -658,6 +810,11 @@ def prove(air: Air, main_std: np.ndarray, publics: list[int],
     # dispatch the main upload FIRST: the multi-MB tunnel transfer then
     # overlaps the control group's commit (the transcript's device_get
     # of each root is the only hard sync point)
+    # streamed main group: the blowup-4 main LDE exceeds HBM (po2>=20);
+    # keep shifted coefficients resident, recompute cosets on demand
+    stream_main = (mesh is None and main_commit is None
+                   and BLOWUP * n * air.main_cols * 4 > _STREAM_MAIN_BYTES)
+    main_coeffs = None
     main_dev = None
     if main_commit is None:
         with _Stage("main upload (async)"):
@@ -668,6 +825,25 @@ def prove(air: Air, main_std: np.ndarray, publics: list[int],
             if device_aux:
                 dev_std["main"] = dev
             roots["main"] = trees["main"].root
+            t.mix(roots["main"])
+            continue
+        if gname == "main" and stream_main:
+            with _Stage("commit main (streamed cosets)"):
+                dev = main_dev
+                main_dev = None
+                main_coeffs = _shifted_coeffs(dev)
+                if device_aux:
+                    dev_std["main"] = dev
+                del dev
+                dparts = []
+                for r in range(BLOWUP):
+                    ev = _coset_eval(main_coeffs, r, n)
+                    dparts.append(merkle.leaf_digests(ev))
+                    del ev
+                trees["main"] = merkle.commit_digests(
+                    _interleave4(tuple(dparts)))
+                del dparts
+                roots["main"] = trees["main"].root
             t.mix(roots["main"])
             continue
         with _Stage(f"commit {gname}"):
@@ -729,8 +905,12 @@ def prove(air: Air, main_std: np.ndarray, publics: list[int],
     # --- composition / check group --------------------------------------
     alpha = t.sample_ext()
     with _Stage("check group"):
-        check_cols = _check_group(air, ldes, alpha, publics, challenges, n,
-                                  mesh=mesh)
+        if stream_main:
+            check_cols = _check_group_streamed(air, main_coeffs, ldes,
+                                               alpha, publics, challenges, n)
+        else:
+            check_cols = _check_group(air, ldes, alpha, publics,
+                                      challenges, n, mesh=mesh)
         ldes["check"] = lde_monty(check_cols)
         trees["check"] = merkle.commit_rows(ldes["check"])
         roots["check"] = trees["check"].root
@@ -750,18 +930,33 @@ def prove(air: Air, main_std: np.ndarray, publics: list[int],
     # exactly from the n stride-4 LDE rows (the coset g*<w_n>) — 4x less
     # work than the full 4n-row reduction. One fused program computes
     # every group's taps plus the DEEP inverse tables.
+    def _gwidth(g):
+        if g == "main" and stream_main:
+            return air.main_cols
+        return ldes[g].shape[1]
+
     gnames = [g for g in ("control", "main", "aux", "check")
-              if ldes[g].shape[1] > 0]
+              if _gwidth(g) > 0]
+    # streamed main: coset-0 evaluations stand in for the stride-4 rows
+    main_ev0 = _coset_eval(main_coeffs, 0, n) if stream_main else None
+
+    def _grows(g):
+        return main_ev0 if (g == "main" and stream_main) else ldes[g]
+
+    def _gstride(g):
+        return 1 if (g == "main" and stream_main) else 4
+
     gv_dev, inv_z, inv_zg = _taps_fused(
-        tuple(ldes[g] for g in gnames),
-        jnp.asarray(_to_monty_np(z)), jnp.asarray(_to_monty_np(zg)), n)
+        tuple(_grows(g) for g in gnames),
+        jnp.asarray(_to_monty_np(z)), jnp.asarray(_to_monty_np(zg)), n,
+        tuple(_gstride(g) for g in gnames))
     rinv = np.uint64(pow(1 << 32, P - 2, P))
     group_vals = {
         g: np.asarray(jax.device_get(v), np.uint64) * rinv % np.uint64(P)
         for g, v in zip(gnames, gv_dev)}
     tap_vals = []
     for (gname, offset) in TAP_STREAMS:
-        if ldes[gname].shape[1] == 0:
+        if _gwidth(gname) == 0:
             tap_vals.append(np.zeros((0, 4), dtype=np.uint64))
             continue
         tap_vals.append(group_vals[gname][:, 4 * offset:4 * offset + 4])
@@ -789,38 +984,37 @@ def prove(air: Air, main_std: np.ndarray, publics: list[int],
     # stream (weights beta^(n_z + j) for the control/main/aux prefix);
     # _deep_stage factors beta^n_z out so both mixes share one set of
     # per-column products.
-    groups_z, bps_z = [], []
+    groups_z, bps_z, strides_z = [], [], []
     off = 0
     for g in ("control", "main", "aux", "check"):
-        c = ldes[g].shape[1]
+        c = _gwidth(g)
         if c:
-            groups_z.append(ldes[g])
+            groups_z.append(_grows(g))
+            strides_z.append(_gstride(g))
             bps_z.append(jnp.asarray(_to_monty_np(beta_pows[off:off + c])))
         off += c
     n_zg_groups = sum(1 for g in ("control", "main", "aux")
-                      if ldes[g].shape[1])
+                      if _gwidth(g))
     with _Stage("deep setup"):
         pass
     f0 = _deep_combine(tuple(groups_z), n_zg_groups, tuple(bps_z),
                        jnp.asarray(_to_monty_np(beta_pows[n_z])),
                        jnp.asarray(_to_monty_np(const_z)),
                        jnp.asarray(_to_monty_np(const_pre)),
-                       inv_z, inv_zg)
+                       inv_z, inv_zg, strides=tuple(strides_z))
 
     # --- FRI + query openings -------------------------------------------
     with _Stage("fri"):
         fri_proof, qs = fri.prove(f0, GENERATOR, n, t)
     # the DEEP working set is dead after FRI; at po2>=19 the openings
     # gather needs that HBM back
-    del f0, groups_z, bps_z, inv_z, inv_zg, gv_dev
+    del f0, groups_z, bps_z, inv_z, inv_zg, gv_dev, main_ev0
     openings = {}
     q_idx = jnp.asarray(np.array(qs, dtype=np.int32))
     with _Stage("openings"):
         # all group rows + all sibling paths in ONE device dispatch and
         # ONE host transfer (per-group roundtrips dominate on tunneled
         # chips; the full LDEs are huge so only queried rows move)
-        gnames = [g for g in ("control", "main", "aux", "check")
-                  if ldes[g].shape[1] > 0]
         depth = len(trees[gnames[0]].layers) - 1
         idx_rows = []
         idxs = list(qs)
@@ -829,39 +1023,49 @@ def prove(air: Air, main_std: np.ndarray, publics: list[int],
             idxs = [i >> 1 for i in idxs]
         idx_mat = jnp.asarray(np.array(idx_rows, np.int32)) if depth else \
             jnp.zeros((0, len(qs)), jnp.int32)
-        from .. import pallas as PK
-        if PK.enabled(ldes["main"]):
-            rows_t, sibs_t = jax.device_get(_open_groups_pallas(
-                tuple(ldes[g] for g in gnames),
-                tuple(tuple(trees[g].layers) for g in gnames),
-                q_idx, idx_mat))
-        elif BLOWUP * n * sum(ldes[g].shape[1] for g in gnames) \
+        open_names = [g for g in gnames
+                      if not (g == "main" and stream_main)]
+        if BLOWUP * n * sum(ldes[g].shape[1] for g in open_names) \
                 <= _LDE_CHUNK_THRESHOLD:
             rows_t, sibs_t = jax.device_get(_open_groups(
-                tuple(ldes[g] for g in gnames),
-                tuple(tuple(trees[g].layers) for g in gnames),
+                tuple(ldes[g] for g in open_names),
+                tuple(tuple(trees[g].layers) for g in open_names),
                 q_idx, idx_mat))
         else:
-            # huge traces on the XLA path: per-group programs with
-            # per-query dynamic slices keep the opening's HBM footprint
-            # to one group's buffers
-            parts = [jax.device_get(_open_group_lean(
-                        ldes[g], tuple(trees[g].layers),
-                        q_idx, idx_mat, len(qs))) for g in gnames]
-            rows_t = tuple(p[0] for p in parts)
-            sibs_t = tuple(p[1] for p in parts)
+            # huge traces: chunked row gather bounds the relayout
+            # transient to ~1 GB per column chunk
+            rows_t, sibs_t = jax.device_get(_open_groups_chunked(
+                tuple(ldes[g] for g in open_names),
+                tuple(tuple(trees[g].layers) for g in open_names),
+                q_idx, idx_mat))
+        main_rows = main_sibs = None
+        if stream_main:
+            # main rows evaluate straight from the coefficients (no LDE
+            # exists); sibling digests come from the resident tree
+            w4n = H.rou_fwd(BLOWUP * n)
+            pts = np.array([pow(w4n, int(q), P) for q in qs], np.uint64)
+            rows_m = _eval_rows_at_points(
+                main_coeffs, jnp.asarray(_to_monty_np(pts)), n)
+            main_rows = np.asarray(
+                jax.device_get(F.from_monty(rows_m)), np.uint64)
+            main_sibs = [np.asarray(s, np.uint64) for s in jax.device_get(
+                _gather_paths_t(tuple(trees["main"].layers), idx_mat))]
         for g in ("control", "main", "aux", "check"):
             if g not in gnames:
                 openings[g] = GroupOpening(
                     rows=np.zeros((len(qs), 0), dtype=np.uint64), paths=[])
                 continue
-            gi = gnames.index(g)
-            sib_layers = [np.asarray(s, np.uint64) for s in sibs_t[gi]]
+            if g == "main" and stream_main:
+                sib_layers = main_sibs
+                rows_g = main_rows
+            else:
+                gi = open_names.index(g)
+                sib_layers = [np.asarray(s, np.uint64) for s in sibs_t[gi]]
+                rows_g = np.asarray(rows_t[gi], np.uint64)
             paths = [np.stack([sib_layers[d][qi] for d in range(depth)])
                      if depth else np.zeros((0, 8), np.uint64)
                      for qi in range(len(qs))]
-            openings[g] = GroupOpening(
-                rows=np.asarray(rows_t[gi], np.uint64), paths=paths)
+            openings[g] = GroupOpening(rows=rows_g, paths=paths)
 
     return StarkProof(air_name=air.name, po2=po2, publics=list(publics),
                       roots=roots, taps=taps, fri_proof=fri_proof,

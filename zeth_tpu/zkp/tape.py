@@ -494,14 +494,17 @@ def build_levels(tp: TapeProgram) -> LevelProgram:
 _LEVEL_FNS: dict = {}
 
 
-def _leveled_fn(key, lp: LevelProgram, nb: int, n_stage: int):
+def _leveled_fn(key, lp: LevelProgram, nb: int, n_stage: int,
+                stride: int = 4):
     """Jitted one-block evaluator with the level program as constants.
 
     Signature: fn(exts_tuple, start, S, W) -> (nb, 4) Montgomery.
-    exts_tuple: per leaf-group-source (n+4, C) LDE arrays extended by
-    their first 4 wrapped rows, in the order of distinct group names.
+    exts_tuple: per leaf-group-source (n+stride) LDE-row arrays extended
+    by their first `stride` wrapped rows, in the order of distinct group
+    names. stride: rows per +1 trace-row leaf offset (4 on the blowup-4
+    LDE; 1 when evaluating a single coset — the streamed-main path).
     """
-    fn = _LEVEL_FNS.get((key, nb))
+    fn = _LEVEL_FNS.get((key, nb, stride))
     if fn is not None:
         return fn
 
@@ -514,12 +517,14 @@ def _leveled_fn(key, lp: LevelProgram, nb: int, n_stage: int):
         blk = {}
         for gi, g in enumerate(gnames):
             c = exts[gi].shape[1]
-            blk[g] = jax.lax.dynamic_slice(exts[gi], (start, 0), (nb + 4, c))
+            blk[g] = jax.lax.dynamic_slice(exts[gi], (start, 0),
+                                           (nb + stride, c))
         mats = []
         if lp.has_one:
             mats.append(jnp.full((nb, 1), F.mont_one(), _U32))
         for g, off, cols in lp.leaf_groups:
-            sub = jax.lax.slice_in_dim(blk[g], 4 * off, 4 * off + nb, axis=0)
+            sub = jax.lax.slice_in_dim(blk[g], stride * off,
+                                       stride * off + nb, axis=0)
             mats.append(jnp.take(sub, jnp.asarray(np.array(cols, np.int32)),
                                  axis=1))
         leaf_block = jnp.concatenate(mats, axis=1)       # (nb, n_leaves)
@@ -549,7 +554,7 @@ def _leveled_fn(key, lp: LevelProgram, nb: int, n_stage: int):
         return jnp.stack(acc, axis=1)                    # (nb, 4)
 
     fn = jax.jit(impl)
-    _LEVEL_FNS[(key, nb)] = fn
+    _LEVEL_FNS[(key, nb, stride)] = fn
     return fn
 
 
@@ -657,13 +662,18 @@ def _run_block(leaf_block, ops, S, W, n_regs: int, n_stage: int):
 
 
 def eval_check(tp: TapeProgram, ldes: dict, publics, challenges,
-               alpha_pows_std: np.ndarray, single_block: bool = False):
+               alpha_pows_std: np.ndarray, single_block: bool = False,
+               stride: int = 4):
     """Evaluate acc(x) = sum_i alpha^i * C_i(x) over the whole LDE domain.
 
     Returns an (N, 4) Montgomery device array (N = LDE rows).
     single_block: evaluate the whole domain in one dispatch (used when the
     LDEs are mesh-sharded — the interpreter is row-elementwise, so GSPMD
     partitions it cleanly; host row-blocking would force resharding).
+    stride: LDE rows per +1 trace-row leaf offset — 4 for blowup-4 LDE
+    inputs, 1 when `ldes` carries a SINGLE coset's evaluations (the
+    streamed-main po2>=20 path evaluates the check polynomial coset by
+    coset).
     """
     S = jnp.asarray(eval_scalars(tp, publics, challenges))
     n = next(iter(ldes.values())).shape[0]
@@ -694,18 +704,18 @@ def eval_check(tp: TapeProgram, ldes: dict, publics, challenges,
     # Copying the whole LDE +4 rows (the previous approach) doubled
     # resident HBM — the po2>=19 blocker.
     raw = tuple(ldes[g] for g in gnames)
-    fn = _leveled_fn(id(tp), lp, nb, tp.n_stage)
+    fn = _leveled_fn(id(tp), lp, nb, tp.n_stage, stride)
     outs = [fn(raw, jnp.int32(start), S, W)
             for start in range(0, n - nb, nb)]
-    tails = tuple(_wrap_tail(ldes[g], nb) for g in gnames)
+    tails = tuple(_wrap_tail(ldes[g], nb, stride) for g in gnames)
     outs.append(fn(tails, jnp.int32(0), S, W))
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("nb",))
-def _wrap_tail(lde, nb: int):
-    """Last (nb) LDE rows extended by the first 4 (wrap-around block)."""
-    return jnp.concatenate([lde[lde.shape[0] - nb:], lde[:4]], axis=0)
+@functools.partial(jax.jit, static_argnames=("nb", "stride"))
+def _wrap_tail(lde, nb: int, stride: int = 4):
+    """Last (nb) LDE rows extended by the first `stride` (wrap block)."""
+    return jnp.concatenate([lde[lde.shape[0] - nb:], lde[:stride]], axis=0)
 
 
 _LEVEL_PROGS: dict = {}
