@@ -7,13 +7,18 @@ when available (BENCH_PREV env or 1.0).
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 
-Env knobs: BENCH_PO2 (default 18 — the measured best
-Mcycles/s operating point on the attached chip: 0.0116 Mc/s at
-22.2s/segment steady-state), BENCH_REPS,
-BENCH_PLATFORM (default:
-jax default — the attached TPU under the driver; set cpu for local
-smoke). XLA programs are persisted in .jax_cache at the repo root, so a
-prior warm-up run (any process on this machine) amortizes the one-time
+Also measured (folded into the "unit" string): the REAL workload — one
+stateless-client (EVM) segment of the committed fixture block, proved
+and cryptographically verified (BENCH_EVM=0 to skip) — and one
+recursion lift of the segment proof (BENCH_LIFT=0 to skip), the
+per-block marginal cost of the reference's lift/join aggregation.
+
+Env knobs: BENCH_PO2 (default 18 — round-5 steady state ~9.2-9.7s per
+segment pair, ~0.027 Mc/s/chip; po2=19/20 run through the chunked /
+coset-streamed paths), BENCH_REPS, BENCH_PLATFORM (default: jax
+default — the attached TPU under the driver; set cpu for local smoke).
+XLA programs are persisted in .jax_cache at the repo root, so a prior
+warm-up run (any process on this machine) amortizes the one-time
 compile; the compile-vs-steady-state split is reported in "unit".
 """
 

@@ -317,3 +317,18 @@ def test_guest_prague_differential():
     from test_guest_stateless import run_guest_block
     d, header, txs, alice = make_prague_block()
     run_guest_block(d, header.hash())
+
+
+def test_eip2537_g2_vectors():
+    from zeth_tpu.app import bls12381 as B
+    g2 = B.G2_GEN
+    enc = (_enc_fp(g2[0][0]) + _enc_fp(g2[0][1])
+           + _enc_fp(g2[1][0]) + _enc_fp(g2[1][1]))
+    out = B.eip2537_dispatch(2, enc + enc)           # G2 + G2 == 2*G2
+    dbl = B.g2_mul(g2, 2)
+    assert out == (_enc_fp(dbl[0][0]) + _enc_fp(dbl[0][1])
+                   + _enc_fp(dbl[1][0]) + _enc_fp(dbl[1][1]))
+    out2 = B.eip2537_dispatch(3, enc + (2).to_bytes(32, "big"))  # MSM 2*G2
+    assert out2 == out
+    # infinity encodings round-trip
+    assert B.eip2537_dispatch(2, b"\x00" * 256 + enc) == enc

@@ -91,3 +91,22 @@ def test_control_root_host_matches_device():
     _, lde = _lde_group(jnp.asarray(_to_monty_np(air.control_trace(9))))
     dev = tuple(int(v) for v in merkle.commit_rows(lde).root)
     assert host == dev
+
+
+def test_streamed_main_bit_identical(monkeypatch):
+    """The coset-streamed main-group path (po2>=20: shifted coefficients
+    resident, per-coset recompute, MXU openings) produces a seal
+    bit-identical to the resident-LDE path and verifies."""
+    from zeth_tpu.circuits.toy import SquareChainAir
+    from zeth_tpu.zkp import proof as proof_mod
+    from zeth_tpu.zkp import prover, verifier
+
+    air = SquareChainAir()
+    main, publics = SquareChainAir.witgen(7, x0=5)
+    p_resident = prover.prove(air, main, publics)
+    monkeypatch.setattr(prover, "_STREAM_MAIN_BYTES", 1)
+    p_streamed = prover.prove(air, main, publics)
+    s1 = proof_mod.encode(p_resident)
+    s2 = proof_mod.encode(p_streamed)
+    assert (s1 == s2).all()
+    verifier.verify(air, p_streamed, publics)
