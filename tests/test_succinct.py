@@ -132,3 +132,41 @@ def test_rv32im_lift_constraints():
     claim_b = compiler.claim_digest(proof.po2, pubs,
                                     succinct._extra_row(bad))
     assert _constraints_ok(vp, stream_b, claim_b) != {}
+
+
+def test_accel_lift_constraints_and_claim_fold():
+    """In-circuit resolve: an accelerator (keccak) batch proof lifts
+    into the recursion circuit — the lift program recomputes the IO-RLC
+    derived challenge from the claim-pinned publics — and its claim
+    digest joins the root fold after the segment pairs."""
+    from zeth_tpu.circuits import keccak as keccak_air_mod
+
+    rng = np.random.default_rng(3)
+    # prove_batch input contract: (n_perms, 25) 64-bit lanes
+    lanes = rng.integers(0, np.iinfo(np.uint64).max, size=(1, 25),
+                         dtype=np.uint64)
+    seal, digest = keccak_air_mod.prove_batch(lanes)
+    from zeth_tpu.zkp import proof as proof_mod
+    pf = proof_mod.decode(seal)
+    air = keccak_air_mod.KeccakAir()
+    pubs = [int(p) for p in pf.publics]
+
+    vp = succinct.lift_program(air, pf.po2, len(pubs),
+                               succinct.publics_shape(air, pubs))
+    stream = compiler.proof_to_stream(vp, pf)
+    claim = compiler.claim_digest(pf.po2, pubs, None)
+    assert _constraints_ok(vp, stream, claim) == {}
+
+    # a tampered public IO limb changes the claim (rejected at fold
+    # level) and breaks the in-circuit RLC recomputation
+    bad_pubs = list(pubs)
+    bad_pubs[1] = (bad_pubs[1] + 1) % P
+    assert not (compiler.claim_digest(pf.po2, bad_pubs, None)
+                == claim).all()
+
+    # the fold with an accelerator claim appended mirrors
+    # expected-root-claim semantics (pairs first, then accel claims)
+    c1 = compiler.claim_digest(9, [1, 2])
+    acc = compiler.claim_digest(pf.po2, pubs, None)
+    want = succinct.join_claim(c1, acc)
+    assert (succinct._fold_claims([c1, acc]) == want).all()

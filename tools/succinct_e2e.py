@@ -93,8 +93,44 @@ def main():
     inner.root_seal = good
     print("forged root seal rejected:", ok_tamper_seal, flush=True)
 
+    # in-circuit resolve: a guest that uses the sha-256 accelerator —
+    # the batch proof is LIFTED into the root fold (no accelerator seal
+    # travels; receipt verification discharges the claim-pinned publics)
+    accel_resolved = None
+    if os.environ.get("E2E_ACCEL", "1") == "1":
+        import hashlib as _hl
+
+        from zeth_tpu.hash.sha256 import IV, pad_message
+        block = [int(w) for w in pad_message(b"abc")[0]]
+        elf2 = guests.sha256_guest([int(w) for w in IV], block)
+        t0 = time.time()
+        info2 = zkvm.LocalProver().prove(
+            zkvm.ExecutorEnv.builder().build(), elf2)
+        accel_s = time.time() - t0
+        assert info2.receipt.inner.kind == "succinct"
+        assert info2.receipt.inner.accel_publics, "sha claim not lifted"
+        info2.receipt.verify(compute_image_id(elf2))
+        # tamper a claim-pinned accelerator public -> rejected
+        pubs = list(info2.receipt.inner.accel_publics[0][2])
+        pubs[1] ^= 1
+        info2.receipt.inner.accel_publics[0] = (
+            info2.receipt.inner.accel_publics[0][0],
+            info2.receipt.inner.accel_publics[0][1], pubs)
+        ok = False
+        try:
+            info2.receipt.verify(compute_image_id(elf2))
+        except zkvm.VerificationError:
+            ok = True
+        assert ok, "tampered accelerator publics accepted"
+        accel_resolved = {"sha_guest_prove_s": round(accel_s, 1),
+                          "accel_publics_lifted": True,
+                          "tamper_accel_pub_rejected": True}
+        print("in-circuit accel resolve verified + tamper rejected",
+              flush=True)
+
     out = {
         "segments": n_seg,
+        "accel_resolve": accel_resolved,
         "segment_po2": po2,
         "total_cycles": int(res.total_cycles),
         "prove_plus_aggregate_s": round(prove_s, 1),

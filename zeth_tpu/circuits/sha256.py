@@ -118,6 +118,22 @@ class Sha256Air(Air):
             acc = (acc + np.uint64(limb) * gp[len(limbs) - 1 - i]) % H.PU
         return acc[None, :]
 
+    # -- recursion (in-circuit resolve) hooks ---------------------------
+
+    def publics_shape(self, publics):
+        return int(publics[0])
+
+    def derived_challenges_rec(self, b, pub_cells, chal_ext, pub_shape,
+                               extra_cells=None):
+        """In-circuit mirror of derived_challenges for the lift program
+        (Horner RLC over the public 16-bit IO limb stream)."""
+        b.assert_eq(pub_cells[0], int(pub_shape))
+        g = chal_ext[0]
+        acc = b.ZERO
+        for c in pub_cells[1:]:
+            acc = b.fma(a=acc, b=g, c=c, d=b.ONE, s0=1, s1=1)
+        return [acc]
+
     def build_aux(self, main_std, challenges):
         main_std = np.asarray(main_std, np.uint64)
         n = main_std.shape[0]

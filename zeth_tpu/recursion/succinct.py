@@ -208,17 +208,27 @@ def _fold(nodes: list) -> RecReceipt:
 
 
 def aggregate_segments(inner_air, inner_proofs: list, paging_air,
-                       paging_proofs: list, extras: list) -> RecReceipt:
+                       paging_proofs: list, extras: list,
+                       accel: list = None) -> RecReceipt:
     """Lift every (segment, paging) proof pair, join each pair, then
     fold to ONE root receipt. The segment lift's claim binds (paging
     main root, d0/d1, sampled g4/g5); the paging lift's claim binds the
     paging proof's own main root — so the root claim transitively pins
     the cross-proof link, and receipt verification needs no per-segment
-    STARK checks at all (only the root proof + host hashing)."""
+    STARK checks at all (only the root proof + host hashing).
+
+    accel: optional [(air, proof)] accelerator batch proofs (keccak /
+    bigint / sha) — each is lifted and appended to the fold (the
+    reference's in-circuit RESOLVE: the root claim then pins the
+    accelerator publics, so receipt verification discharges the
+    segments' RLC-bound IO against claim-pinned public streams with no
+    host-side accelerator STARK verification)."""
     pairs = []
     for p, pg, x in zip(inner_proofs, paging_proofs, extras):
         pairs.append(join(lift(inner_air, p, extra=x),
                           lift(paging_air, pg)))
+    for a_air, a_proof in (accel or []):
+        pairs.append(lift(a_air, a_proof))
     return _fold(pairs)
 
 
@@ -289,12 +299,17 @@ def verify_root(receipt: RecReceipt, inner_air, inner_po2s: list,
 
 def verify_root_segments(receipt: RecReceipt, inner_air, inner_po2s,
                          inner_publics, extras, paging_air, paging_po2s,
-                         paging_publics, paging_roots) -> None:
+                         paging_publics, paging_roots,
+                         accel: list = None) -> None:
     """verify_root for the (segment, paging) pair tree built by
     aggregate_segments: checks the root claim against the fold of the
     pair-joined claim digests — each segment claim bound to its paging
     claim via the shared paging main root — then verifies the ONE root
-    STARK against the recompiled pair-tree program."""
+    STARK against the recompiled pair-tree program.
+
+    accel: optional [(air, po2, publics)] accelerator batch claims that
+    were lifted into the fold (in-circuit resolve) — their claim
+    digests join the fold after the segment pairs."""
     if not (len(inner_po2s) == len(inner_publics) == len(extras)
             == len(paging_po2s) == len(paging_publics)
             == len(paging_roots)):
@@ -318,6 +333,8 @@ def verify_root_segments(receipt: RecReceipt, inner_air, inner_po2s,
         pg_claim = compiler.claim_digest(
             ppo2, ppub, np.asarray(proot, np.uint64).reshape(8))
         claims.append(join_claim(seg_claim, pg_claim))
+    for a_air, a_po2, a_pub in (accel or []):
+        claims.append(compiler.claim_digest(a_po2, a_pub, None))
     want = _fold_claims(claims)
     if not (np.asarray(receipt.claim, np.uint64) == want).all():
         raise verifier_mod.VerificationError("root claim mismatch")
@@ -329,6 +346,9 @@ def verify_root_segments(receipt: RecReceipt, inner_air, inner_po2s,
         pg_vp = lift_program(paging_air, ppo2, len(ppub),
                              publics_shape(paging_air, ppub))
         nodes.append(join_program(seg_vp, pg_vp))
+    for a_air, a_po2, a_pub in (accel or []):
+        nodes.append(lift_program(a_air, a_po2, len(a_pub),
+                                  publics_shape(a_air, a_pub)))
     root_air = _fold_programs(nodes).air()
     verifier_mod.verify(root_air, receipt.proof,
                         [int(x) for x in receipt.claim])

@@ -141,9 +141,11 @@ class SuccinctInner:
     image_addrs: np.ndarray = None
     image_words: np.ndarray = None
     entry_pc: int = 0
-    keccak_seal: np.ndarray = None
-    bigint_seal: np.ndarray = None
-    sha_seal: np.ndarray = None
+    # in-circuit resolve (reference: recursion "resolve" programs): the
+    # accelerator batch proofs were LIFTED into the root fold, so only
+    # their claim-pinned publics travel — no accelerator seals, no
+    # host-side accelerator STARK verification at receipt time
+    accel_publics: list = None      # [(kind, po2, publics ints)]
     kind: str = "succinct"
 
 
@@ -218,6 +220,19 @@ class Receipt:
                     "succinct receipt: paging binding count mismatch")
             paging_pubs_list = [[int(p) for p in ps]
                                 for ps in inner.paging_publics]
+            from .circuits import bigint2 as bigint_air_mod
+            from .circuits import keccak as keccak_air_mod
+            from .circuits import sha256 as sha_air_mod
+            _ACCEL_AIRS = {"keccak": keccak_air_mod.KeccakAir,
+                           "bigint": bigint_air_mod.Bigint2Air,
+                           "sha": sha_air_mod.Sha256Air}
+            accel = []
+            for kind, a_po2, a_pub in (inner.accel_publics or []):
+                if kind not in _ACCEL_AIRS:
+                    raise VerificationError(
+                        f"unknown accelerator claim kind {kind!r}")
+                accel.append((_ACCEL_AIRS[kind](), a_po2,
+                              [int(p) for p in a_pub]))
             root = succinct.RecReceipt(
                 proof=proof_mod.decode(inner.root_seal),
                 claim=None, node=None)
@@ -227,10 +242,33 @@ class Receipt:
                     root, air, inner.segment_po2s, inner.segment_publics,
                     inner.segment_extras, pg_air, inner.paging_po2s,
                     paging_pubs_list,
-                    [x[0] for x in inner.segment_extras])
+                    [x[0] for x in inner.segment_extras],
+                    accel=accel)
             except (verifier_mod.VerificationError, ValueError) as e:
                 raise VerificationError(f"succinct receipt: {e}") from e
-            acc_words, big_io, sha_io = _resolve_accelerators(self.inner)
+            # in-circuit resolve: the root proof already verified every
+            # accelerator batch; extract the claim-pinned IO streams
+            # from the publics (no accelerator STARK checks here)
+            acc_words = big_io = sha_io = None
+            try:
+                for kind, a_po2, a_pub in (inner.accel_publics or []):
+                    if kind == "keccak":
+                        acc_words = keccak_air_mod.parse_publics(a_pub)
+                    elif kind == "bigint":
+                        big_io = []
+                        for a, b, m, r in bigint_air_mod.parse_publics(
+                                a_pub):
+                            for v in (a, b, m, r):
+                                big_io += [(v >> (32 * w)) & 0xFFFFFFFF
+                                           for w in range(12)]
+                    elif kind == "sha":
+                        sha_io = []
+                        for st, blk, outw in sha_air_mod.parse_publics(
+                                a_pub):
+                            sha_io += list(st) + list(blk) + list(outw)
+            except ValueError as e:
+                raise VerificationError(
+                    f"accelerator claim publics: {e}") from e
             out = rv.verify_chain(
                 self.inner.segment_publics, self.claim,
                 self.inner.image_addrs, self.inner.image_words,
@@ -385,6 +423,9 @@ class LocalProver:
             rows = np.asarray(ex.sha_inputs, np.uint64)
             sha_seal, _ = sha_air.prove_batch(rows[:, :8], rows[:, 8:24])
         if os.environ.get("ZETH_SUCCINCT", "0") == "1":
+            from .circuits import bigint2 as bigint_air_mod
+            from .circuits import keccak as keccak_air_mod
+            from .circuits import sha256 as sha_air_mod
             from .circuits.paging import PagingAir
             from .circuits.rv32im import Rv32imAir
             from .recursion import succinct
@@ -399,8 +440,22 @@ class LocalProver:
                 extras.append((np.asarray(pg.roots["main"], np.uint64),
                                ppg["d0"], ppg["d1"], ppg["g4"],
                                ppg["g5"]))
+            # in-circuit resolve: lift the accelerator batch proofs into
+            # the fold (their publics get claim-pinned; seals dropped)
+            accel, accel_publics = [], []
+            for kind, seal_a, a_air in (
+                    ("keccak", keccak_seal, keccak_air_mod.KeccakAir()),
+                    ("bigint", bigint_seal, bigint_air_mod.Bigint2Air()),
+                    ("sha", sha_seal, sha_air_mod.Sha256Air())):
+                if seal_a is None:
+                    continue
+                pf = proof_mod.decode(seal_a)
+                accel.append((a_air, pf))
+                accel_publics.append((kind, pf.po2,
+                                      [int(p) for p in pf.publics]))
             root = succinct.aggregate_segments(air, proofs, pg_air,
-                                               pg_proofs, extras)
+                                               pg_proofs, extras,
+                                               accel=accel)
             inner = SuccinctInner(
                 root_seal=proof_mod.encode(root.proof),
                 segment_publics=[[int(p) for p in pf.publics]
@@ -411,8 +466,7 @@ class LocalProver:
                 paging_publics=[[int(p) for p in pf.publics]
                                 for pf in pg_proofs],
                 image_addrs=img_a, image_words=img_w, entry_pc=entry_pc,
-                keccak_seal=keccak_seal, bigint_seal=bigint_seal,
-                sha_seal=sha_seal)
+                accel_publics=accel_publics)
         else:
             inner = SegmentsInner(seals=seals, paging_seals=paging_seals,
                                   image_addrs=img_a,
