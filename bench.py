@@ -96,13 +96,20 @@ def main():
     evm_note = "evm=skipped"
     if os.environ.get("BENCH_EVM", "1") == "1" \
             and time.time() - start < budget * 0.5:
-        evm_note = _bench_evm_segment(po2, budget - (time.time() - start))
+        try:
+            evm_note = _bench_evm_segment(po2,
+                                          budget - (time.time() - start))
+        except Exception as e:                      # never lose the headline
+            evm_note = f"evm=error({type(e).__name__})"
 
     # ---- recursion: lift one segment proof on the chip ----------------
     lift_note = "lift=skipped"
     if os.environ.get("BENCH_LIFT", "1") == "1" \
-            and time.time() - start < budget * 0.75:
-        lift_note = _bench_lift(seal, pg_seal, ia, iw)
+            and time.time() - start < budget * 0.6:
+        try:
+            lift_note = _bench_lift(seal, pg_seal, ia, iw)
+        except Exception as e:
+            lift_note = f"lift=error({type(e).__name__})"
 
     mcps = cycles / prove_s / 1e6
     prev = float(os.environ.get("BENCH_PREV", "0") or 0)
