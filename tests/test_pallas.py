@@ -49,15 +49,6 @@ def test_leaf_hash_matches_host_ground_truth():
     assert (got == want).all()
 
 
-def test_pair_level_matches_xla():
-    from zeth_tpu.pallas import poseidon2 as PP
-    rng = np.random.default_rng(9)
-    d = jnp.asarray(rng.integers(0, F.P, size=(2048, 8), dtype=np.uint32))
-    got = PP.hash_pairs_level(d)
-    want = P2.hash_pairs(d[0::2], d[1::2])
-    assert jnp.array_equal(got, want)
-
-
 def test_supported_predicate():
     from zeth_tpu.pallas import poseidon2 as PP
     assert PP.supported((1024, 3))

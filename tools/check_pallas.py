@@ -42,16 +42,6 @@ def main():
         print(np.asarray(got)[:2], np.asarray(want)[:2])
         return 1
 
-    # pair level
-    d = jnp.asarray(rng.integers(0, F.P, size=(2 * PP.TILE, 8),
-                                 dtype=np.uint32))
-    got = PP.hash_pairs_level(d)
-    want = P2.hash_pairs(d[0::2], d[1::2])
-    ok = bool(jnp.array_equal(got, want))
-    print("pair_level matches XLA:", ok, flush=True)
-    if not ok:
-        return 1
-
     # timing at main-group scale
     for (rr, cc) in [(1 << 20, 1009), (1 << 20, 108), (1 << 16, 64)]:
         big = jnp.asarray(rng.integers(0, F.P, size=(rr, cc),
@@ -72,19 +62,6 @@ def main():
         print(f"leaf ({rr}x{cc}): pallas {tp * 1e3:.0f} ms vs XLA "
               f"{tx * 1e3:.0f} ms", flush=True)
 
-    # pair-level timing at 1M digests
-    d = jnp.asarray(rng.integers(0, F.P, size=(1 << 20, 8),
-                                 dtype=np.uint32))
-    force(PP.hash_pairs_level(d))
-    t0 = time.time()
-    force(PP.hash_pairs_level(d))
-    tp = time.time() - t0
-    force(P2.hash_pairs(d[0::2], d[1::2]))
-    t0 = time.time()
-    force(P2.hash_pairs(d[0::2], d[1::2]))
-    tx = time.time() - t0
-    print(f"pair level (2^20): pallas {tp * 1e3:.0f} ms vs XLA "
-          f"{tx * 1e3:.0f} ms", flush=True)
     return 0
 
 

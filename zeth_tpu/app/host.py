@@ -341,17 +341,22 @@ def _compute_requests_hash(be, spec: ChainSpec, all_logs) -> bytes:
     non-empty request, types 0x00 (EIP-6110 deposits from the deposit
     contract's logs), 0x01 (EIP-7002 withdrawal queue), 0x02 (EIP-7251
     consolidation queue)."""
+    from .evm import ExecutionError
     deposits = b""
     for log in all_logs:
         if log.address == spec.deposit_contract and log.topics \
                 and log.topics[0] == DEPOSIT_EVENT_TOPIC:
             deposits += _parse_deposit_log(log.data)
-    withdrawals_req = be.system_call_out(WITHDRAWAL_REQUESTS_ADDRESS)
-    if withdrawals_req is None:
-        raise ValidationError("EIP-7002 contract missing or empty")
-    consolidations = be.system_call_out(CONSOLIDATION_REQUESTS_ADDRESS)
-    if consolidations is None:
-        raise ValidationError("EIP-7251 contract missing or empty")
+    try:
+        withdrawals_req = be.system_call_out(WITHDRAWAL_REQUESTS_ADDRESS)
+        if withdrawals_req is None:
+            raise ValidationError("EIP-7002 contract missing or empty")
+        consolidations = be.system_call_out(CONSOLIDATION_REQUESTS_ADDRESS)
+        if consolidations is None:
+            raise ValidationError("EIP-7251 contract missing or empty")
+    except ExecutionError as e:
+        # a reverting request contract makes the block invalid (EIP-7002)
+        raise ValidationError(f"request system call failed: {e}") from e
     acc = b""
     for rtype, rdata in ((0, deposits), (1, withdrawals_req),
                          (2, consolidations)):

@@ -1004,12 +1004,20 @@ static const uint16_t BLS_G2_DISC[128] = {
     525, 524};
 
 uint32_t bls_msm_gas(uint32_t k, uint32_t base, uint32_t g2) {
-  uint32_t idx, disc;
+  uint32_t idx, disc, m, q, r;
   if (k == 0) return 0;
   idx = (k < 128 ? k : 128) - 1;
   disc = g2 ? BLS_G2_DISC[idx] : BLS_G1_DISC[idx];
-  /* k*base <= 128*22500 = 2.88e6; * disc <= 2.88e9 < 2^32 (exact) */
-  return k * base * disc / 1000u;
+  /* exact uint32 mirror of the host's u64 k*base*disc/1000: with
+   * m = base*disc (<= 2.25e7), k*m/1000 == k*(m/1000) + k*(m%1000)/1000
+   * (the first term's product is a multiple of 1000). k*(m/1000)
+   * overflows only for k >= ~190k where the true gas already exceeds
+   * any block limit — saturate (both sides then fail the charge). */
+  m = base * disc;
+  q = m / 1000u;
+  r = m % 1000u;
+  if (k >= 190000u) return 0xFFFFFFFFu;
+  return k * q + (k * r) / 1000u;
 }
 
 static int bls_dec_fp64(const uint8_t *p, blsfp *out) {

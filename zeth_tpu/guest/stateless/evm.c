@@ -1670,11 +1670,22 @@ uint32_t precompile(const uint8_t a[20], const uint8_t *input,
       } else if (id == 0x0f) {
         if (input_len == 0 || input_len % 384) return 0;
         need = 32600u * (input_len / 384) + 37700u;
+      } else if (id == 0x10) {
+        /* 0x10/0x11: malformed input or out-of-gas is an ordinary
+         * precompile failure (mirrors the host's check order); only a
+         * funded, well-formed call reaches the unsupported
+         * map-to-curve backend, which both sides fail hard on
+         * (host: engine error -> block rejected) */
+        if (input_len != 64) return 0;
+        need = 5500;
       } else {
-        gpanic("BLS map-to-curve precompile unsupported", 141);
+        if (input_len != 128) return 0;
+        need = 23800;
       }
       if (*gas < need) return 0;
       *gas -= need;
+      if (id >= 0x10)
+        gpanic("BLS map-to-curve precompile unsupported", 141);
       *out = (uint8_t *)gcalloc(256);
       if (bls_eip2537((int)(id - 0x0b), input, input_len, *out,
                       &olen) != 1) {
@@ -1736,7 +1747,11 @@ int gevm_exec_tx(const txctx *c, uint32_t *out_gas_used) {
     }
   }
   if (c->n_auth && !ENV.is_prague) return -1;
-  intrinsic += 25000u * c->n_auth;          /* EIP-7702 */
+  /* EIP-7702: 25000/tuple. Guard the uint32 product (the host computes
+   * in 64-bit): any tuple count that would overflow also certainly
+   * exceeds the block gas limit -> invalid either way. */
+  if (c->n_auth > gas_limit / 25000u) return -1;
+  intrinsic += 25000u * c->n_auth;
   if (intrinsic > gas_limit) return -1;
   /* EIP-7623 calldata floor (Prague) */
   floor_gas = 0;
@@ -1808,10 +1823,11 @@ int gevm_exec_tx(const txctx *c, uint32_t *out_gas_used) {
     while (rlp_next(&auth, &cur, &entry)) {
       rlp_t it;
       u256 a_chain, sig_r, sig_s, half_n;
-      uint32_t a_nonce, yp;
+      uint32_t a_nonce, yp, nonce_fits;
       uint8_t a_addr[20];
       uint8_t digest[32];
       uint8_t authority[20];
+      const uint8_t *pre_end;
       gacct *aacc;
       uint8_t *acode;
       uint32_t acl2;
@@ -1822,8 +1838,19 @@ int gevm_exec_tx(const txctx *c, uint32_t *out_gas_used) {
       if (it.len != 20) continue;
       memcpy(a_addr, it.p, 20);
       rlp_at(&entry, 2, &it);
-      if (it.len > 4) continue;               /* nonce must fit u32 here */
-      a_nonce = rlp_u32(&it);
+      if (it.len > 8) continue;               /* nonce is u64 per EIP */
+      if (it.len == 8) {                      /* nonce == 2^64-1 check */
+        uint32_t k2, allff = 1;
+        for (k2 = 0; k2 < 8; k2++)
+          if (it.p[k2] != 0xFF) allff = 0;
+        if (allff) continue;                  /* pre-recovery, as host */
+      }
+      /* accounts here carry u32 nonces; a larger tuple nonce can never
+       * match — but the host still recovers + WARMS the authority
+       * before the nonce check, so mirror that ordering */
+      nonce_fits = it.len <= 4;
+      a_nonce = nonce_fits ? rlp_u32(&it) : 0;
+      pre_end = it.raw + it.raw_len;          /* end of [chain,addr,nonce] */
       rlp_at(&entry, 3, &it);
       yp = rlp_u32(&it);
       rlp_at(&entry, 4, &it);
@@ -1838,22 +1865,19 @@ int gevm_exec_tx(const txctx *c, uint32_t *out_gas_used) {
       if (yp > 1) continue;
       u256_from_be(&half_n, HALF_N_BE);
       if (u256_cmp(&sig_s, &half_n) > 0) continue;
-      /* authority = ecrecover(keccak(0x05 || rlp([chain, addr, nonce]))) */
+      /* authority = ecrecover(keccak(0x05 || rlp([chain, addr, nonce])));
+       * the signed payload is the raw slice of the entry's first three
+       * items (no re-encoding — exact for any int widths) */
       {
         uint8_t msg[96];
         rlpw_t w;
         uint32_t mark;
+        uint32_t plen = (uint32_t)(pre_end - entry.p);
+        if (plen > 88) continue;
         msg[0] = 0x05;
         rlpw_init(&w, msg + 1, 95);
         mark = rlpw_list_begin(&w);
-        if (u256_fits_u32(&a_chain)) rlpw_u32(&w, u256_low_u32(&a_chain));
-        else {
-          uint8_t be[32];
-          u256_to_be(&a_chain, be);
-          rlpw_bytes(&w, be, 32);
-        }
-        rlpw_bytes(&w, a_addr, 20);
-        rlpw_u32(&w, a_nonce);
+        rlpw_raw(&w, entry.p, plen);
         rlpw_list_end(&w, mark);
         keccak256(msg, 1 + w.len, digest);
       }
@@ -1862,7 +1886,7 @@ int gevm_exec_tx(const txctx *c, uint32_t *out_gas_used) {
       gs_warm_account(aacc);
       acode = gs_code(aacc, &acl2);
       if (acl2 != 0 && !is_delegation(acode, acl2)) continue;
-      if (aacc->nonce != a_nonce) continue;
+      if (!nonce_fits || aacc->nonce != a_nonce) continue;
       if (aacc->exists
           && !(aacc->nonce == 0 && u256_is_zero(&aacc->balance)
                && acl2 == 0))

@@ -233,68 +233,3 @@ def hash_rows(rows):
         off += cw
     # (G, 8cell, 8sub, 128lane) -> (R, 8): row r = g*1024 + s*128 + l
     return jnp.transpose(digests, (0, 2, 3, 1)).reshape(r, DIGEST)
-
-
-# -- pair-tree reduction -----------------------------------------------------
-#
-# One grid step loads 2*TILE consecutive leaf digests and produces TILE
-# parent digests: left children are even rows, right odd. The caller
-# pre-splits even/odd with one XLA gather (digest layers are 32 bytes x
-# R — tiny next to the leaf matrix), so in-kernel cells stay (8, 128)
-# tiles with no stride-2 relayout.
-
-
-def _pair_kernel(diag_m1: tuple, rc_ext_ref, rc_int_ref,
-                 left_ref, right_ref, out_ref):
-    zero = jnp.zeros((8, 128), _U32)
-    tag = jnp.full((8, 128), np.uint32((P2.PAIR_TAG << 32) % P2.P), _U32)
-    cells = tuple(
-        [left_ref[j, 0] for j in range(DIGEST)]
-        + [right_ref[j, 0] for j in range(DIGEST)]
-        + [tag] + [zero] * (CELLS - 2 * DIGEST - 1))
-    out = _permute(cells, rc_ext_ref, rc_int_ref, diag_m1)
-    for j in range(DIGEST):
-        out_ref[0, j] = out[j]
-
-
-@functools.partial(jax.jit, static_argnames=("diag",))
-def _pair_call(lt, rt, rc_ext, rc_int, diag: tuple):
-    g = lt.shape[1]
-    kernel = functools.partial(_pair_kernel, diag)
-    spec = pl.BlockSpec((DIGEST, 1, 8, 128), lambda i: (0, i, 0, 0),
-                        memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        kernel,
-        grid=(g,),
-        in_specs=[
-            pl.BlockSpec((P2.ROUNDS_FULL, CELLS),
-                         lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((P2.ROUNDS_PARTIAL, 1),
-                         lambda i: (0, 0), memory_space=pltpu.SMEM),
-            spec, spec,
-        ],
-        out_specs=pl.BlockSpec((1, DIGEST, 8, 128),
-                               lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((g, DIGEST, 8, 128), _U32),
-    )(rc_ext, rc_int, lt, rt)
-    return jnp.transpose(out, (0, 2, 3, 1)).reshape(g * TILE, DIGEST)
-
-
-@jax.jit
-def _split_tiles(digests):
-    """(2m, 8) digests -> even/odd halves tiled (8, m/TILE, 8, 128)."""
-    m = digests.shape[0] // 2
-    lt = digests[0::2].T.reshape(DIGEST, m // TILE, 8, 128)
-    rt = digests[1::2].T.reshape(DIGEST, m // TILE, 8, 128)
-    return lt, rt
-
-
-def hash_pairs_level(digests):
-    """One tree level over (2m, 8) Montgomery digests -> (m, 8)."""
-    m = digests.shape[0] // 2
-    assert m % TILE == 0
-    rc_ext, rc_int, diag = _smem_constants()
-    lt, rt = _split_tiles(digests)
-    return _pair_call(lt, rt, jnp.asarray(rc_ext), jnp.asarray(rc_int),
-                      diag)

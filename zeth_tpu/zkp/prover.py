@@ -692,18 +692,6 @@ def _open_groups_chunked(ldes_t, layers_t, q_idx, idx_mat):
     return rows, sibs
 
 
-@functools.partial(jax.jit, static_argnames=("nq",))
-def _open_group_lean(lde, layers_t, q_idx, idx_mat, nq: int):
-    """One group's openings via per-query dynamic slices: the row gather
-    on a multi-GB LDE otherwise costs a full layout copy at po2>=19."""
-    rows = jnp.concatenate(
-        [jax.lax.dynamic_slice_in_dim(lde, q_idx[i], 1, 0)
-         for i in range(nq)], axis=0)
-    sibs = tuple(F.from_monty(layer[idx_mat[d]])
-                 for d, layer in enumerate(reversed(list(layers_t)[1:])))
-    return F.from_monty(rows), sibs
-
-
 @jax.jit
 def _point_inverses(x_pows, z_monty):
     """ext inverse of (x_i - z) for all LDE points. x_pows: (4n,) base."""

@@ -227,10 +227,17 @@ class Receipt:
                            "bigint": bigint_air_mod.Bigint2Air,
                            "sha": sha_air_mod.Sha256Air}
             accel = []
+            seen_kinds = set()
             for kind, a_po2, a_pub in (inner.accel_publics or []):
                 if kind not in _ACCEL_AIRS:
                     raise VerificationError(
                         f"unknown accelerator claim kind {kind!r}")
+                if kind in seen_kinds:
+                    # one batch per kind (prover contract): a duplicate
+                    # would silently shadow the first IO stream below
+                    raise VerificationError(
+                        f"duplicate accelerator claim kind {kind!r}")
+                seen_kinds.add(kind)
                 accel.append((_ACCEL_AIRS[kind](), a_po2,
                               [int(p) for p in a_pub]))
             root = succinct.RecReceipt(
