@@ -2472,8 +2472,22 @@ def prove_segments(segments, image_addrs, image_words, mesh=None):
     prove is launched from the challenge callback on a worker thread,
     so it overlaps the rv32im prove's post-challenge stages (the two
     transcripts are independent; seals are deterministic either way).
+
+    ZETH_PAGING_CPU=1 (experimental, default off) moves the companion
+    prove to the HOST CPU backend: the paging trace is tiny, so its
+    prove is dominated by per-dispatch tunnel latency AND it competes
+    with the rv32im prove for the one chip — on CPU the thread overlap
+    would be real, and integer-only field arithmetic keeps the seal
+    bit-identical across backends. Off by default because the shared
+    .jax_cache can hold XLA:CPU AOT entries compiled on a DIFFERENT
+    machine (the axon host); loading those locally logs machine-feature
+    mismatches and can SIGILL/hang the offload thread (observed r5).
+    Enable only with a machine-local compilation cache.
     """
+    import os
     from concurrent.futures import ThreadPoolExecutor
+
+    import jax
 
     from ..hash import pagetree as PT_
     from . import paging as paging_mod
@@ -2482,6 +2496,20 @@ def prove_segments(segments, image_addrs, image_words, mesh=None):
     tree = PT_.SparsePageTree(image_addrs, image_words)
     zero4 = np.zeros(4, np.uint64)
     seals, pg_seals = [], []
+    pg_dev = None
+    if (mesh is None and jax.default_backend() != "cpu"
+            and os.environ.get("ZETH_PAGING_CPU", "0") == "1"):
+        try:
+            pg_dev = jax.devices("cpu")[0]
+        except RuntimeError:
+            pg_dev = None
+
+    def _on_pg_dev(fn, *a, **kw):
+        if pg_dev is None:
+            return fn(*a, **kw)
+        with jax.default_device(pg_dev):
+            return fn(*a, **kw)
+
     pool = ThreadPoolExecutor(max_workers=1)
     try:
         for seg in segments:
@@ -2492,7 +2520,8 @@ def prove_segments(segments, image_addrs, image_words, mesh=None):
             # it first so its root can pre-seed the rv32im transcript
             pg_main, _ = pg_air.witgen(pn, prep, postp, tch, sibs, r0, r1,
                                        zero4, zero4)
-            pg_root, pg_commit = prover_mod.commit_main(pg_air, pg_main)
+            pg_root, pg_commit = _on_pg_dev(
+                prover_mod.commit_main, pg_air, pg_main)
 
             po2 = choose_po2(seg, len(image_addrs))
             main, publics = air.witgen(seg, po2)
@@ -2509,8 +2538,8 @@ def prove_segments(segments, image_addrs, image_words, mesh=None):
                     g4, g5, r0, r1,
                     paging_mod._touch_sum(pn, prep, tch, g4, g5),
                     paging_mod._touch_sum(pn, postp, tch, g4, g5))
-                return prover_mod.prove(pg_air, pg_main, pg_pubs,
-                                        main_commit=pg_commit)
+                return _on_pg_dev(prover_mod.prove, pg_air, pg_main,
+                                  pg_pubs, main_commit=pg_commit)
 
             def dx(sampled, fut=fut, init_list=init_list,
                    fin_list=fin_list, pg_prove=pg_prove):

@@ -25,4 +25,13 @@ def enabled(arr=None) -> bool:
         sh = getattr(arr, "sharding", None)
         if sh is not None and getattr(sh, "num_devices", 1) != 1:
             return False
+        # arrays placed on a non-TPU device (e.g. the companion paging
+        # prove offloaded to the host CPU backend) take the XLA path
+        try:
+            devs = arr.devices() if callable(
+                getattr(arr, "devices", None)) else None
+            if devs and next(iter(devs)).platform != "tpu":
+                return False
+        except Exception:
+            pass
     return True
